@@ -1,44 +1,91 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship KG-construction pipeline on an
+sf0.001-scale synthetic page corpus. ``queries()`` exposes every
+implemented operator/pipeline (SURVEY.md §2); entries with a matching
+``oracle_sql()`` are verified against DuckDB at sf0.01, the KG-pipeline
+entries (non-SQL-expressible: NER, MinHash-LSH, union-find) get the
+rows-only check and are instead verified exactly against the serial
+golden reference by ``python -m pytest -x -q``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+CACHE_ROOT = "/tmp/blarify_ray_cache"
+
+
+def _kg_paths(sf_dir: str) -> dict[str, str]:
+    """Build (or resume from checkpoint) the KG for the corpus size tied
+    to sf_dir; all kg_* queries share the checkpointed build."""
+    from blarify_ray.pipelines.kg_build import build_kg
+    from blarify_ray.sources.pages import pages_count_for_sf
+
+    n_pages = pages_count_for_sf(sf_dir)
+    out_dir = os.path.join(CACHE_ROOT, f"kg_n{n_pages}")
+    return build_kg(out_dir, n_pages)
+
+
+def _stage_ds(path: str, columns=None):
+    from blarify_ray.state.manifest import read_stage
+
+    return read_stage(path, columns=columns)
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline at sf0.001 scale: synth pages → extract → NER +
+    triples + link → canonicalize → entities table."""
+    paths = _kg_paths("/root/testdata/sf0.001")
+    return _stage_ds(paths["entities"])
+
+
+# --- KG pipeline queries (rows-only driver check; exact check in pytest) --
+
+def _q_kg_docs(sf_dir: str):
+    paths = _kg_paths(sf_dir)
+    return _stage_ds(paths["docs"], columns=["url", "warc_ts", "lang", "raw", "n_sents"])
+
+
+def _q_kg_mentions(sf_dir: str):
+    paths = _kg_paths(sf_dir)
+    return _stage_ds(paths["mentions"])
+
+
+def _q_kg_triples(sf_dir: str):
+    from blarify_ray.pipelines.kg_build import triples_table
+
+    return triples_table(_kg_paths(sf_dir))
+
+
+def _q_kg_entities(sf_dir: str):
+    return _stage_ds(_kg_paths(sf_dir)["entities"])
+
+
+def _q_kg_edges(sf_dir: str):
+    return _stage_ds(_kg_paths(sf_dir)["edges"])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from blarify_ray.pipelines import analytics
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q: dict[str, Callable[[str], Any]] = {
+        "kg_docs": _q_kg_docs,
+        "kg_mentions": _q_kg_mentions,
+        "kg_triples": _q_kg_triples,
+        "kg_entities": _q_kg_entities,
+        "kg_edges": _q_kg_edges,
+    }
+    q.update(analytics.QUERIES)
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from blarify_ray.pipelines import analytics
+
+    return dict(analytics.ORACLE_SQL)

@@ -1,0 +1,151 @@
+"""Canonicalization semantics (MinHash-LSH blocking + union-find), in a
+serial, pure form. This module is the SPEC: the distributed stage
+(``stages/canonicalize.py``) must produce exactly this mapping; tests
+compare them.
+
+Rules (deterministic):
+- node set = unknown normalized surfaces ∪ unambiguous known alias norms;
+- candidate pair = shares ≥1 LSH band AND has ≥1 unknown side (known
+  entities are never merged with each other — the duplicate_names
+  guarantee); within a bucket only unk×known and unk×unk pairs are even
+  enumerated, so dense all-known buckets cost nothing;
+- pair kept iff char-shingle Jaccard ≥ threshold;
+- each unknown's best known attachment = argmax Jaccard over its kept
+  (unk, known) pairs, ties → lexicographically smallest known norm;
+- union-find over kept unk–unk pairs → unknown clusters;
+- a cluster canonicalizes to the best attachment among its members
+  (max Jaccard, tie → smallest known norm), else its smallest member
+  surface becomes a new UNK entity.
+
+The iterative-fixpoint shape of the distributed version mirrors the
+reference's bottom-up batch processor loop with its stuck-round guard
+(``blarify/documentation/utils/bottom_up_batch_processor.py:184-246``).
+"""
+
+from __future__ import annotations
+
+from .config import PipelineConfig
+from .minhash import band_hashes, make_perms, minhash_signature
+from .text import char_shingles, jaccard
+
+
+class UnionFind:
+    def __init__(self):
+        self.parent: dict[str, str] = {}
+
+    def find(self, x: str) -> str:
+        p = self.parent.setdefault(x, x)
+        while p != x:
+            self.parent[x] = p = self.parent.setdefault(p, p)
+            x = p
+            p = self.parent[x]
+        return x
+
+    def union(self, a: str, b: str) -> None:
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            # deterministic: smaller string becomes root
+            if rb < ra:
+                ra, rb = rb, ra
+            self.parent[rb] = ra
+
+
+def lsh_buckets(keys: list[str], cfg: PipelineConfig) -> dict[tuple[int, int], list[str]]:
+    """(band_id, band_hash) → member keys. Shared blocking primitive."""
+    a, b = make_perms(cfg.minhash_perms)
+    buckets: dict[tuple[int, int], list[str]] = {}
+    for k in keys:
+        sig = minhash_signature(char_shingles(k, cfg.shingle_k), a, b)
+        for band_id, bh in enumerate(band_hashes(sig, cfg.lsh_bands)):
+            buckets.setdefault((band_id, bh), []).append(k)
+    return buckets
+
+
+def verified_pairs(
+    unk_norms: set[str], known_norms: set[str], cfg: PipelineConfig
+) -> list[tuple[str, str, float]]:
+    """Jaccard-verified candidate pairs (x, y, j) with ≥1 unknown side;
+    x < y lexicographically."""
+    keys = sorted(unk_norms | known_norms)
+    sh = {k: char_shingles(k, cfg.shingle_k) for k in keys}
+    seen: set[tuple[str, str]] = set()
+    out: list[tuple[str, str, float]] = []
+    for members in lsh_buckets(keys, cfg).values():
+        if len(members) < 2:
+            continue
+        unks = [m for m in members if m in unk_norms]
+        if not unks:
+            continue
+        for u in unks:
+            for v in members:
+                if v == u:
+                    continue
+                x, y = (u, v) if u < v else (v, u)
+                if (x, y) in seen:
+                    continue
+                seen.add((x, y))
+                j = jaccard(sh[x], sh[y])
+                if j >= cfg.jaccard_threshold:
+                    out.append((x, y, j))
+    return sorted(out)
+
+
+def canonicalize_surfaces(
+    unk_norms: set[str],
+    known_norm_to_name: dict[str, tuple[str, str]],  # norm → (canonical name, etype)
+    cfg: PipelineConfig,
+) -> dict[str, tuple[str, str, bool]]:
+    """unknown norm surface → (canonical name, etype, is_new_entity)."""
+    known_set = set(known_norm_to_name)
+    pairs = verified_pairs(unk_norms, known_set, cfg)
+
+    # best known attachment per unknown: (j, known) with max j, tie → min known
+    best: dict[str, tuple[float, str]] = {}
+    uf = UnionFind()
+    for x, y, j in pairs:
+        if y in known_set and x in known_set:
+            continue
+        if x in known_set or y in known_set:
+            u, k = (y, x) if x in known_set else (x, y)
+            cur = best.get(u)
+            if cur is None or (j, _neg(k)) > (cur[0], _neg(cur[1])):
+                best[u] = (j, k)
+        else:
+            uf.union(x, y)
+
+    comps: dict[str, list[str]] = {}
+    for u in unk_norms:
+        comps.setdefault(uf.find(u), []).append(u)
+
+    out: dict[str, tuple[str, str, bool]] = {}
+    for members in comps.values():
+        atts = [best[m] for m in members if m in best]
+        if atts:
+            j, k = max(atts, key=lambda t: (t[0], _neg(t[1])))
+            name, etype = known_norm_to_name[k]
+            for m in members:
+                out[m] = (name, etype, False)
+        else:
+            root = min(members)
+            for m in members:
+                out[m] = (root, "UNK", True)
+    return out
+
+
+class _neg:
+    """Wrapper giving strings a REVERSED comparison so that
+    (max j, min lexicographic) composes as a single max()."""
+
+    __slots__ = ("s",)
+
+    def __init__(self, s: str):
+        self.s = s
+
+    def __lt__(self, other: "_neg") -> bool:
+        return self.s > other.s
+
+    def __gt__(self, other: "_neg") -> bool:
+        return self.s < other.s
+
+    def __eq__(self, other: object) -> bool:
+        return isinstance(other, _neg) and self.s == other.s

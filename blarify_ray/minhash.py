@@ -1,0 +1,53 @@
+"""MinHash signatures + LSH banding, shared by the serial golden and the
+distributed canonicalization stage so candidate-pair generation is
+bit-identical on both paths.
+
+Universal hashing h_i(x) = (a_i·x + b_i) mod p over stable 32-bit shingle
+hashes, p = 2^31−1, so a_i·x + b_i < 2^62 and the whole signature matrix
+is a single vectorized uint64 numpy expression. Constants derive from a
+fixed seed (never Python's salted ``hash()``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+
+import numpy as np
+
+_P = (1 << 31) - 1  # Mersenne prime 2^31-1
+
+
+def make_perms(n_perms: int, seed: str = "blarify-ray:minhash") -> tuple[np.ndarray, np.ndarray]:
+    rng = random.Random(seed)
+    a = np.array([rng.randrange(1, _P) for _ in range(n_perms)], dtype=np.uint64)
+    b = np.array([rng.randrange(0, _P) for _ in range(n_perms)], dtype=np.uint64)
+    return a, b
+
+
+def shingle_hash32(s: str) -> int:
+    """Deterministic 32-bit hash of a shingle."""
+    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:4], "big") % _P
+
+
+def minhash_signature(shingles: set[str], a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """uint64 signature of length n_perms. Empty set → all-max sentinel."""
+    if not shingles:
+        return np.full(len(a), np.iinfo(np.uint64).max, dtype=np.uint64)
+    xs = np.array([shingle_hash32(s) for s in sorted(shingles)], dtype=np.uint64)
+    # (n_perms, n_shingles): a[:,None]*xs + b[:,None] < 2^62 — no overflow
+    m = (a[:, None] * xs[None, :] + b[:, None]) % _P
+    return m.min(axis=1)
+
+
+def band_hashes(sig: np.ndarray, n_bands: int) -> list[int]:
+    """Split the signature into n_bands equal bands; each band → a stable
+    63-bit hash. A shared (band_id, band_hash) puts two keys in the same
+    LSH bucket."""
+    rows = len(sig) // n_bands
+    out = []
+    for b in range(n_bands):
+        chunk = np.ascontiguousarray(sig[b * rows : (b + 1) * rows]).tobytes()
+        h = hashlib.md5(b.to_bytes(2, "big") + chunk).digest()
+        out.append(int.from_bytes(h[:8], "big") >> 1)
+    return out

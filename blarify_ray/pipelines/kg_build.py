@@ -1,0 +1,168 @@
+"""End-to-end KG build (SURVEY.md §7.1 stage graph), checkpointed.
+
+pages → [S1 extract+dedup] → docs.parquet
+      → [S2–S4 NER+triples+link, actor pool] → mentions_resolved.parquet
+      → [S5 canonicalize (LSH + union-find)] → canonical.parquet
+      → [S6 entities / edges, partial-agg + groupby] → partitioned parquet
+
+Each stage is a checkpoint: written atomically with a lineage manifest
+(state/manifest.py), so a killed run resumes by skipping stages whose
+lineage matches — and downstream stages re-read Parquet instead of
+holding page-scale intermediates in the object store (the multi-consumer
+fan-out of mentions_resolved costs one scan per consumer, not one NER
+pass per consumer).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+import ray.data
+
+from ..config import DEFAULT_CONFIG, PipelineConfig
+from ..corpus import entity_universe
+from ..linking import known_alias_norms
+from ..rules import Gazetteer
+from ..sources.pages import synth_pages
+from ..stages.canonicalize import build_canonical_map
+from ..stages.extract import dedup_latest, extract_docs
+from ..stages.materialize import build_edges, build_entities
+from ..stages.mentions import detect_and_link, triples_projection
+from ..state.manifest import lineage_hash, read_stage, run_stage
+
+
+def build_kg(
+    out_dir: str,
+    n_pages: int,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    pages: ray.data.Dataset | None = None,
+    source_fingerprint: str | None = None,
+) -> dict[str, str]:
+    """Run (or resume) the full pipeline; returns stage paths."""
+    os.makedirs(out_dir, exist_ok=True)
+    entities = entity_universe(n_pages)
+    gaz_fp = lineage_hash("gazetteer", len(entities))
+    src_fp = source_fingerprint or lineage_hash("synth", n_pages, cfg.max_html_bytes)
+
+    # S1
+    docs_lin = lineage_hash("docs", src_fp, cfg.supported_langs, cfg.max_html_bytes)
+
+    def produce_docs(tmp: str) -> None:
+        ds = pages if pages is not None else synth_pages(n_pages, cfg)
+        dedup_latest(extract_docs(ds, cfg)).write_parquet(tmp)
+
+    docs_path, docs_skipped = run_stage(out_dir, "docs", docs_lin, produce_docs)
+
+    # S2–S4
+    men_lin = lineage_hash("mentions", docs_lin, gaz_fp, cfg.ner_batch_size)
+
+    def produce_mentions(tmp: str) -> None:
+        ents_ref = ray.put(entities)
+        docs = read_stage(docs_path, columns=["url", "text", "raw"])
+        detect_and_link(docs, ents_ref, cfg).write_parquet(tmp)
+
+    men_path, _ = run_stage(out_dir, "mentions", men_lin, produce_mentions)
+
+    # S5 — canonical map (entity-scale, single parquet file)
+    can_lin = lineage_hash(
+        "canonical", men_lin, gaz_fp, cfg.minhash_perms, cfg.lsh_bands,
+        cfg.shingle_k, cfg.jaccard_threshold, cfg.cc_max_rounds,
+    )
+
+    def produce_canonical(tmp: str) -> None:
+        known = known_alias_norms(Gazetteer(entities))
+        mr = read_stage(men_path, columns=["key", "resolved"])
+        tbl = build_canonical_map(mr, known, cfg)
+        pq.write_table(tbl, os.path.join(tmp, "canonical.parquet"))
+
+    can_path, _ = run_stage(out_dir, "canonical", can_lin, produce_canonical)
+
+    canon_tbl = pq.read_table(os.path.join(can_path, "canonical.parquet"))
+    canon = {
+        n: (nm, t, bool(new))
+        for n, nm, t, new in zip(
+            canon_tbl["norm"].to_pylist(), canon_tbl["name"].to_pylist(),
+            canon_tbl["etype"].to_pylist(), canon_tbl["is_new"].to_pylist(),
+        )
+    }
+
+    # S6a — entities
+    ent_lin = lineage_hash("entities", men_lin, can_lin, cfg.num_buckets, cfg.env.prefix)
+
+    def produce_entities(tmp: str) -> None:
+        canon_ref = ray.put(canon)
+        mr = read_stage(men_path, columns=["key", "etype", "resolved", "surface"])
+        build_entities(mr, canon_ref, cfg).sort(["bucket", "entity_id"]).write_parquet(
+            tmp, partition_cols=["bucket"]
+        )
+
+    ent_path, _ = run_stage(out_dir, "entities", ent_lin, produce_entities)
+
+    # S6b — edges
+    edge_lin = lineage_hash("edges", men_lin, can_lin, cfg.num_buckets, cfg.env.prefix)
+
+    def produce_edges(tmp: str) -> None:
+        canon_ref = ray.put(canon)
+        mr = read_stage(men_path)
+        build_edges(triples_projection(mr), canon_ref, cfg).sort(
+            ["bucket", "src_id", "pred", "dst_id"]
+        ).write_parquet(tmp, partition_cols=["bucket"])
+
+    edge_path, _ = run_stage(out_dir, "edges", edge_lin, produce_edges)
+
+    return {
+        "docs": docs_path,
+        "mentions": men_path,
+        "canonical": can_path,
+        "entities": ent_path,
+        "edges": edge_path,
+    }
+
+
+def triples_table(paths: dict[str, str], cfg: PipelineConfig = DEFAULT_CONFIG) -> ray.data.Dataset:
+    """Canonicalized (url, sent_id, subj, pred, obj) triples — the P/R
+    comparison surface vs the serial golden (FIXTURES.md §3)."""
+    canon_tbl = pq.read_table(os.path.join(paths["canonical"], "canonical.parquet"))
+    canon = {
+        n: (nm, t, bool(new))
+        for n, nm, t, new in zip(
+            canon_tbl["norm"].to_pylist(), canon_tbl["name"].to_pylist(),
+            canon_tbl["etype"].to_pylist(), canon_tbl["is_new"].to_pylist(),
+        )
+    }
+    canon_ref = ray.put(canon)
+
+    def resolve(batch: pa.Table) -> pa.Table:
+        c = ray.get(canon_ref)
+
+        def res(keys, types, resolveds):
+            names, typs = [], []
+            for k, t, r in zip(keys, types, resolveds):
+                if r:
+                    names.append(k)
+                    typs.append(t)
+                else:
+                    nm, tt, _ = c[k]
+                    names.append(nm)
+                    typs.append(tt)
+            return names, typs
+
+        sn, st = res(batch["subj_key"].to_pylist(), batch["subj_type"].to_pylist(), batch["subj_resolved"].to_pylist())
+        on, ot = res(batch["obj_key"].to_pylist(), batch["obj_type"].to_pylist(), batch["obj_resolved"].to_pylist())
+        return pa.Table.from_pydict(
+            {
+                "url": batch["url"],
+                "sent_id": batch["sent_id"],
+                "subj": pa.array(sn, pa.string()),
+                "subj_type": pa.array(st, pa.string()),
+                "pred": batch["pred"],
+                "obj": pa.array(on, pa.string()),
+                "obj_type": pa.array(ot, pa.string()),
+            }
+        )
+
+    mr = read_stage(paths["mentions"])
+    return triples_projection(mr).map_batches(resolve, batch_format="pyarrow")

@@ -1,0 +1,145 @@
+"""Extraction rules: gazetteer NER, heuristic proper-noun NER, and the
+predicate-pattern table for triple extraction.
+
+Pure, deterministic, shared by the serial golden reference
+(``serial.py``) and the Ray stages (``stages/``) — the analog of
+blarify's pluggable per-language ``LanguageDefinitions``
+(``blarify/code_hierarchy/languages/language_definitions.py:21-109``):
+``Gazetteer.find_mentions`` ≅ the identifier scan
+(``tree_sitter_helper.py:34-48``), ``classify_connector`` ≅
+``get_reference_type``'s {node_type → RelationshipType} map
+(``python_definitions.py:61-76``).
+
+The Gazetteer is expensive to build (compiled alternation regex) → in
+the Ray pipeline it is constructed ONCE per actor in ``__init__``
+(actor-pool pattern ≅ the LSP server pool, ``lsp_helper.py:205-244``).
+At real gazetteer scale the alternation regex would be replaced by an
+Aho-Corasick automaton; the interface stays the same.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from .corpus import PREDICATES, Entity
+from .text import normalize_surface
+
+# connector phrase (stripped text strictly between two mentions) → predicate
+CONNECTOR_TO_PRED: dict[str, str] = {phrase: pred for pred, _s, _o, phrase in PREDICATES}
+
+# Capitalized-token sequences (>=2 tokens, allowing initials like "A.") or
+# ALLCAPS acronyms — the open-world mention detector for surfaces missing
+# from the gazetteer (typos, novel entities).
+_RE_PROPER = re.compile(
+    r"\b[A-Z][a-zA-Z0-9]*\.?(?:[ ][A-Z][a-zA-Z0-9]*\.?)+|\b[A-Z]{2,}\b"
+)
+
+
+@dataclass(frozen=True)
+class Mention:
+    start: int
+    end: int
+    surface: str
+    ner_type: str  # entity type from gazetteer, or "UNK" for heuristic hits
+
+
+_RE_TOKEN = re.compile(r"[A-Za-z0-9]+\.?")
+
+
+class Gazetteer:
+    """Alias dictionary + token-indexed leftmost-longest matcher.
+
+    ``alias_map``: normalized surface → sorted tuple of candidate entity
+    idx (ambiguity preserved — acronyms collide by construction, the
+    duplicate_names analog). Resolution happens in the link stage.
+
+    Matching is O(sentence_tokens × aliases_sharing_first_token), not
+    O(sentence_len × total_aliases) — a dict on the first normalized
+    token plays the role an Aho-Corasick automaton would at full
+    gazetteer scale.
+    """
+
+    def __init__(self, entities: tuple[Entity, ...] | list[Entity]):
+        self.entities = tuple(entities)
+        alias_map: dict[str, list[int]] = {}
+        token_seqs: set[tuple[str, ...]] = set()
+        for e in self.entities:
+            for a in e.aliases:
+                norm = normalize_surface(a)
+                alias_map.setdefault(norm, []).append(e.idx)
+                toks = tuple(norm.split())
+                if toks:
+                    token_seqs.add(toks)
+        self.alias_map: dict[str, tuple[int, ...]] = {
+            k: tuple(sorted(set(v))) for k, v in alias_map.items()
+        }
+        # first normalized token → alias token-sequences, longest first
+        self._by_first: dict[str, tuple[tuple[str, ...], ...]] = {}
+        tmp: dict[str, list[tuple[str, ...]]] = {}
+        for seq in token_seqs:
+            tmp.setdefault(seq[0], []).append(seq)
+        for k, seqs in tmp.items():
+            self._by_first[k] = tuple(sorted(seqs, key=lambda s: (-len(s), s)))
+
+    def candidates(self, surface: str) -> tuple[int, ...]:
+        return self.alias_map.get(normalize_surface(surface), ())
+
+    def find_mentions(self, sentence: str) -> list[Mention]:
+        """Gazetteer matches (leftmost-longest, non-overlapping), then
+        heuristic proper-noun spans on the uncovered remainder."""
+        toks = [(m.start(), m.end(), m.group(0).rstrip(".").lower()) for m in _RE_TOKEN.finditer(sentence)]
+        out: list[Mention] = []
+        covered: list[tuple[int, int]] = []
+        i, n = 0, len(toks)
+        while i < n:
+            seqs = self._by_first.get(toks[i][2])
+            matched = False
+            if seqs:
+                for seq in seqs:  # longest first
+                    j = i + len(seq)
+                    if j <= n and all(toks[i + k][2] == seq[k] for k in range(1, len(seq))):
+                        start, end = toks[i][0], toks[j - 1][1]
+                        surface = sentence[start:end]
+                        cands = self.alias_map.get(" ".join(seq), ())
+                        etype = (
+                            self.entities[cands[0]].etype
+                            if len(cands) == 1
+                            else ("AMBIG" if cands else "UNK")
+                        )
+                        out.append(Mention(start, end, surface, etype))
+                        covered.append((start, end))
+                        i = j
+                        matched = True
+                        break
+            if not matched:
+                i += 1
+        for m in _RE_PROPER.finditer(sentence):
+            s, e = m.start(), m.end()
+            if any(not (e <= cs or s >= ce) for cs, ce in covered):
+                continue
+            out.append(Mention(s, e, m.group(0), "UNK"))
+        out.sort(key=lambda x: x.start)
+        return out
+
+
+def classify_connector(connector: str) -> str | None:
+    """Predicate for the text strictly between two adjacent mentions;
+    None when no rule matches (≅ default-USES fallback is deliberately
+    NOT emitted — unmatched pairs produce no triple)."""
+    return CONNECTOR_TO_PRED.get(connector.strip())
+
+
+def extract_triples_from_sentence(
+    sentence: str, mentions: list[Mention]
+) -> list[tuple[Mention, str, Mention]]:
+    """Adjacent-mention-pair rule: for consecutive mentions (no mention in
+    between), classify the connector. Ordering is positional (start
+    offset), mirroring the reference's (startLine, referenceCharacter)
+    ordering (``queries.py:1329-1334``)."""
+    out = []
+    for a, b in zip(mentions, mentions[1:]):
+        pred = classify_connector(sentence[a.end : b.start])
+        if pred is not None:
+            out.append((a, pred, b))
+    return out

@@ -1,0 +1,262 @@
+"""S5 — distributed canonicalization: MinHash-LSH blocking + union-find
+connected components, as Ray Data shuffles.
+
+Must reproduce ``blarify_ray.canonical.canonicalize_surfaces`` (the
+serial spec) exactly; tests compare the two mappings. Pipeline:
+
+1. distinct unresolved surface norms (vectorized projection + groupby);
+2. union with the known unambiguous alias norms (small driver-side
+   table — at real scale a parquet dimension table);
+3. ``flat_map`` each norm to its 32 LSH (band_id, band_hash) rows;
+4. ``groupby(band)`` → per-bucket verified pairs (unk×known, unk×unk;
+   known×known never enumerated — the duplicate_names guarantee);
+5. unk→known attachments: per-unk argmax Jaccard (groupby);
+6. unk–unk pairs → iterative min-label propagation over
+   ``Dataset.join`` (hash-partitioned) until fixpoint — distributed
+   union-find; labels are the norms themselves, so a component's label
+   converges to its lexicographically smallest member. Round cap =
+   ``cfg.cc_max_rounds`` mirrors the reference's stuck-round guard
+   (``bottom_up_batch_processor.py:184-246``);
+7. per-component best attachment (argmax again) → canonical map
+   ``(norm, name, etype, is_new)``.
+
+Every intermediate here is entity-scale (distinct surfaces), orders of
+magnitude smaller than the page corpus; the expensive corpus-scale scan
+happened once in S2–S4.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from ..config import DEFAULT_CONFIG, PipelineConfig
+from ..minhash import band_hashes, make_perms, minhash_signature
+from ..text import char_shingles, jaccard
+
+
+def distinct_unk_norms(mentions_resolved: ray.data.Dataset) -> ray.data.Dataset:
+    """Distinct normalized surfaces of unresolved mentions → ds[norm]."""
+
+    def project(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.invert(t["resolved"]))
+        return pa.Table.from_arrays([t["key"]], names=["norm"])
+
+    return (
+        mentions_resolved.map_batches(project, batch_format="pyarrow")
+        .groupby("norm")
+        .count()
+        .select_columns(["norm"])
+    )
+
+
+def _band_rows(t: pa.Table, cfg: PipelineConfig, perms) -> pa.Table:
+    a, b = perms
+    norms, knowns = t["norm"].to_pylist(), t["is_known"].to_pylist()
+    out = {"band_id": [], "band_hash": [], "norm": [], "is_known": []}
+    for norm, k in zip(norms, knowns):
+        sig = minhash_signature(char_shingles(norm, cfg.shingle_k), a, b)
+        for band_id, bh in enumerate(band_hashes(sig, cfg.lsh_bands)):
+            out["band_id"].append(band_id)
+            out["band_hash"].append(bh)
+            out["norm"].append(norm)
+            out["is_known"].append(k)
+    return pa.Table.from_pydict(out)
+
+
+def _bucket_pairs(group: pa.Table, cfg: PipelineConfig) -> pa.Table:
+    """Verified pairs within one LSH bucket; ≥1 unk side; x<y."""
+    out = {"x": [], "y": [], "j": [], "x_known": [], "y_known": []}
+    if group.num_rows >= 2:
+        members = sorted(set(zip(group["norm"].to_pylist(), group["is_known"].to_pylist())))
+        unks = [m for m, k in members if not k]
+        if unks:
+            known_of = dict(members)
+            sh = {m: char_shingles(m, cfg.shingle_k) for m, _ in members}
+            for u in unks:
+                for v, _vk in members:
+                    if v == u:
+                        continue
+                    x, y = (u, v) if u < v else (v, u)
+                    j = jaccard(sh[x], sh[y])
+                    if j >= cfg.jaccard_threshold:
+                        out["x"].append(x)
+                        out["y"].append(y)
+                        out["j"].append(j)
+                        out["x_known"].append(known_of[x])
+                        out["y_known"].append(known_of[y])
+    return pa.Table.from_pydict(
+        out,
+        schema=pa.schema(
+            [("x", pa.string()), ("y", pa.string()), ("j", pa.float64()),
+             ("x_known", pa.bool_()), ("y_known", pa.bool_())]
+        ),
+    )
+
+
+def _dedup_pairs(t: pa.Table) -> pa.Table:
+    """A pair can surface from several bands — keep one copy."""
+    import pandas as pd  # noqa: F401
+
+    df = t.to_pandas().drop_duplicates(subset=["x", "y"])
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def connected_components(pairs: ray.data.Dataset, cfg: PipelineConfig) -> dict[str, str]:
+    """Min-label propagation → {node: component_label}.
+
+    Labels are the node strings, so the fixpoint label of a component is
+    its lexicographically smallest member (exactly the serial
+    new-entity naming rule). Each round is a distributed
+    ``map_batches`` + ``groupby(node).min(comp)`` shuffle over the edge
+    dataset; only the current label map is broadcast (``ray.put``) —
+    it is entity-scale (distinct unresolved surfaces in candidate
+    pairs), orders of magnitude below corpus scale. Should it ever
+    outgrow the driver, the propagation becomes a hash-partitioned
+    ``Dataset.join`` on the same loop shape (Ray 2.49's join currently
+    faults on empty hash partitions, hence the broadcast formulation).
+    """
+    if pairs.count() == 0:
+        return {}
+
+    def sym(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "src": pa.concat_arrays([t["x"].combine_chunks(), t["y"].combine_chunks()]),
+                "dst": pa.concat_arrays([t["y"].combine_chunks(), t["x"].combine_chunks()]),
+            }
+        )
+
+    edges = pairs.map_batches(sym, batch_format="pyarrow").materialize()
+    labels: dict[str, str] = {
+        r["src"]: r["src"] for r in edges.groupby("src").count().select_columns(["src"]).take_all()
+    }
+    for _round in range(cfg.cc_max_rounds):
+        ref = ray.put(labels)
+
+        def prop(t: pa.Table, _ref=ref) -> pa.Table:
+            lm = ray.get(_ref)
+            comp = [lm.get(s, s) for s in t["src"].to_pylist()]
+            return pa.Table.from_pydict(
+                {"node": t["dst"], "comp": pa.array(comp, pa.string())}
+            )
+
+        self_rows = pa.Table.from_pydict(
+            {"node": list(labels), "comp": [labels[k] for k in labels]}
+        )
+        msgs = edges.map_batches(prop, batch_format="pyarrow").union(
+            ray.data.from_arrow(self_rows)
+        )
+        new_rows = msgs.groupby("node").min("comp").take_all()
+        new_labels = {r["node"]: r["min(comp)"] for r in new_rows}
+        if new_labels == labels:
+            break
+        labels = new_labels
+    return labels
+
+
+def build_canonical_map(
+    mentions_resolved: ray.data.Dataset,
+    known_norm_to_name: dict[str, tuple[str, str]],
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+) -> pa.Table:
+    """→ small Arrow table (norm, name, etype, is_new) for every distinct
+    unresolved surface norm. Materialized (entity-scale, not page-scale);
+    the driver broadcasts it to the resolve stages via ``ray.put``."""
+    unks = distinct_unk_norms(mentions_resolved).map_batches(
+        lambda t: t.append_column("is_known", pa.array([False] * t.num_rows)),
+        batch_format="pyarrow",
+    )
+    known_tbl = pa.Table.from_pydict(
+        {
+            "norm": list(known_norm_to_name),
+            "is_known": [True] * len(known_norm_to_name),
+        }
+    )
+    nodes = unks.union(ray.data.from_arrow(known_tbl))
+
+    perms = make_perms(cfg.minhash_perms)
+    bands = nodes.map_batches(
+        lambda t: _band_rows(t, cfg, perms), batch_format="pyarrow", batch_size=2048
+    )
+    pairs = (
+        bands.groupby(["band_id", "band_hash"])
+        .map_groups(lambda g: _bucket_pairs(g, cfg), batch_format="pyarrow")
+        .map_batches(_dedup_pairs, batch_format="pyarrow")
+        .materialize()
+    )
+
+    # unk→known attachments: argmax Jaccard per unk (tie → min known norm)
+    def att_rows(t: pa.Table) -> pa.Table:
+        mask = pc.xor(t["x_known"], t["y_known"])
+        t = t.filter(mask)
+        unk = pc.if_else(t["x_known"], t["y"], t["x"])
+        kn = pc.if_else(t["x_known"], t["x"], t["y"])
+        return pa.Table.from_pydict({"unk": unk, "known": kn, "j": t["j"]})
+
+    atts = pairs.map_batches(att_rows, batch_format="pyarrow")
+
+    def argmax_att(g: pa.Table) -> pa.Table:
+        js = g["j"].to_pylist()
+        ks = g["known"].to_pylist()
+        best = max(range(len(js)), key=lambda i: (js[i], _rev(ks[i])))
+        return g.slice(best, 1)
+
+    best_att = atts.groupby("unk").map_groups(argmax_att, batch_format="pyarrow")
+
+    # unk–unk pairs → components
+    uu = pairs.map_batches(
+        lambda t: t.filter(pc.invert(pc.or_(t["x_known"], t["y_known"]))),
+        batch_format="pyarrow",
+    )
+    comp_map = connected_components(uu, cfg)
+
+    # Assemble on the driver — every table here is entity-scale.
+    unk_list = [r["norm"] for r in unks.select_columns(["norm"]).take_all()]
+    att_map = {r["unk"]: (r["j"], r["known"]) for r in best_att.take_all()}
+
+    # per-component best attachment
+    comp_best: dict[str, tuple[float, str]] = {}
+    for u in unk_list:
+        c = comp_map.get(u, u)
+        a = att_map.get(u)
+        if a is not None:
+            cur = comp_best.get(c)
+            if cur is None or (a[0], _rev(a[1])) > (cur[0], _rev(cur[1])):
+                comp_best[c] = a
+    out = {"norm": [], "name": [], "etype": [], "is_new": []}
+    for u in sorted(unk_list):
+        c = comp_map.get(u, u)
+        b = comp_best.get(c)
+        if b is not None:
+            name, etype = known_norm_to_name[b[1]]
+            out["norm"].append(u)
+            out["name"].append(name)
+            out["etype"].append(etype)
+            out["is_new"].append(False)
+        else:
+            out["norm"].append(u)
+            out["name"].append(c)  # min member = component label
+            out["etype"].append("UNK")
+            out["is_new"].append(True)
+    return pa.Table.from_pydict(out)
+
+
+class _rev:
+    """Reversed string ordering so (max j, min lexicographic) composes as
+    one max()."""
+
+    __slots__ = ("s",)
+
+    def __init__(self, s: str):
+        self.s = s
+
+    def __lt__(self, other: "_rev") -> bool:
+        return self.s > other.s
+
+    def __gt__(self, other: "_rev") -> bool:
+        return self.s < other.s
+
+    def __eq__(self, other: object) -> bool:
+        return isinstance(other, _rev) and self.s == other.s

@@ -1,0 +1,71 @@
+"""Canonicalization: serial spec behavior + distributed == serial."""
+
+import ray
+
+from blarify_ray.canonical import canonicalize_surfaces, verified_pairs
+from blarify_ray.config import DEFAULT_CONFIG
+from blarify_ray.stages.canonicalize import build_canonical_map
+
+KNOWN = {
+    "global data systems": ("Global Data Systems", "ORG"),
+    "solar data systems": ("Solar Data Systems", "ORG"),
+    "nordic foods": ("Nordic Foods Industries", "ORG"),
+    "hiro almeida": ("Hiro Almeida", "PERSON"),
+}
+
+
+def test_typo_attaches_to_best_known():
+    canon = canonicalize_surfaces({"nrodic foods"}, KNOWN, DEFAULT_CONFIG)
+    assert canon["nrodic foods"] == ("Nordic Foods Industries", "ORG", False)
+
+
+def test_knowns_never_pair_with_each_other():
+    pairs = verified_pairs(set(), set(KNOWN), DEFAULT_CONFIG)
+    assert pairs == []  # no unk side → nothing emitted
+
+
+def test_unrelated_surface_becomes_new_entity():
+    canon = canonicalize_surfaces({"zzz qqq vvv"}, KNOWN, DEFAULT_CONFIG)
+    assert canon["zzz qqq vvv"] == ("zzz qqq vvv", "UNK", True)
+
+
+def test_unk_cluster_merges_and_shares_attachment():
+    # two typo variants of the same known name cluster together and both
+    # resolve to it
+    unks = {"golbal data systems", "global data sytsems"}
+    canon = canonicalize_surfaces(unks, KNOWN, DEFAULT_CONFIG)
+    for u in unks:
+        assert canon[u][0] == "Global Data Systems"
+
+
+def test_distributed_matches_serial_spec():
+    import pyarrow as pa
+    import ray.data as rd
+
+    unks = {
+        "nrodic foods",
+        "golbal data systems",
+        "global data sytsems",
+        "zzz qqq vvv",
+        "hiro almedia",
+    }
+    want = canonicalize_surfaces(unks, KNOWN, DEFAULT_CONFIG)
+
+    # fabricate a minimal mentions_resolved dataset carrying the unks
+    tbl = pa.table(
+        {
+            "key": list(unks) + ["Global Data Systems"],
+            "resolved": [False] * len(unks) + [True],
+        }
+    )
+    got_tbl = build_canonical_map(rd.from_arrow(tbl), KNOWN, DEFAULT_CONFIG)
+    got = {
+        n: (nm, t, bool(new))
+        for n, nm, t, new in zip(
+            got_tbl["norm"].to_pylist(),
+            got_tbl["name"].to_pylist(),
+            got_tbl["etype"].to_pylist(),
+            got_tbl["is_new"].to_pylist(),
+        )
+    }
+    assert got == want

@@ -1,0 +1,118 @@
+"""End-to-end: the Ray pipeline must reproduce the serial golden EXACTLY
+(triples, entities, edges), resume from checkpoints, and satisfy the
+structural invariants of FIXTURES.md §4."""
+
+import os
+import shutil
+
+import pyarrow.parquet as pq
+import pytest
+import ray.data as rd
+
+from blarify_ray.corpus import gen_page_rows
+from blarify_ray.pipelines.kg_build import build_kg, triples_table
+from blarify_ray.serial import run_serial
+from blarify_ray.state.manifest import read_manifest
+
+N = 80
+OUT = "/tmp/blarify_ray_test_e2e"
+
+
+def _stage_rows(path):
+    files = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    return rd.read_parquet(files).take_all()
+
+
+@pytest.fixture(scope="module")
+def built():
+    shutil.rmtree(OUT, ignore_errors=True)
+    paths = build_kg(OUT, N)
+    rows = []
+    for i in range(N):
+        rows.extend(gen_page_rows(i, N))
+    serial = run_serial(rows, N)
+    return paths, serial
+
+
+def test_text_byte_identical(built):
+    paths, serial = built
+    ray_sha = {r["url"]: r["text_sha"] for r in _stage_rows(paths["docs"])}
+    ser_sha = {d["url"]: d["text_sha"] for d in serial["docs"]}
+    assert ray_sha == ser_sha
+
+
+def test_triples_match_serial(built):
+    paths, serial = built
+    got = {
+        (r["url"], r["sent_id"], r["subj"], r["pred"], r["obj"])
+        for r in triples_table(paths).take_all()
+    }
+    want = {
+        (t["url"], t["sent_id"], t["subj"], t["pred"], t["obj"])
+        for t in serial["triples"]
+    }
+    assert got == want
+
+
+def test_entities_match_serial(built):
+    paths, serial = built
+    got = {
+        (e["entity_id"], e["name"], e["type"], tuple(e["aliases"]), e["n_mentions"])
+        for e in _stage_rows(paths["entities"])
+    }
+    want = {
+        (e["entity_id"], e["name"], e["type"], tuple(e["aliases"]), e["n_mentions"])
+        for e in serial["entities"]
+    }
+    assert got == want
+
+
+def test_edges_match_serial_and_no_dangling(built):
+    paths, serial = built
+    edges = _stage_rows(paths["edges"])
+    got = {
+        (e["src_id"], e["dst_id"], e["pred"], e["url"], e["sent_id"], e["weight"])
+        for e in edges
+    }
+    want = {
+        (e["src_id"], e["dst_id"], e["pred"], e["url"], e["sent_id"], e["weight"])
+        for e in serial["edges"]
+    }
+    assert got == want
+    eids = {e["entity_id"] for e in _stage_rows(paths["entities"])}
+    assert all(e["src_id"] in eids and e["dst_id"] in eids for e in edges)
+
+
+def test_manifests_and_resume(built):
+    paths, _ = built
+    for stage in ("docs", "mentions", "canonical", "entities", "edges"):
+        man = read_manifest(OUT, stage)
+        assert man is not None and man["rows"] > 0 and "lineage" in man
+
+    # resume: delete one downstream stage; re-run must rebuild ONLY it
+    shutil.rmtree(paths["edges"])
+    docs_mtime = os.path.getmtime(os.path.join(paths["docs"], "_MANIFEST.json"))
+    paths2 = build_kg(OUT, N)
+    assert os.path.getmtime(os.path.join(paths2["docs"], "_MANIFEST.json")) == docs_mtime
+    assert read_manifest(OUT, "edges") is not None
+
+
+def test_partitioned_sorted_output(built):
+    paths, _ = built
+    buckets = [d for d in os.listdir(paths["entities"]) if d.startswith("bucket=")]
+    assert len(buckets) > 1
+    one = buckets[0]
+    files = [
+        os.path.join(paths["entities"], one, f)
+        for f in os.listdir(os.path.join(paths["entities"], one))
+        if f.endswith(".parquet")
+    ]
+    ids = []
+    for f in sorted(files):
+        ids.extend(pq.read_table(f, columns=["entity_id"])["entity_id"].to_pylist())
+    assert ids == sorted(ids)
