@@ -72,7 +72,7 @@ def _q_kg_edges(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from blarify_ray.pipelines import analytics
+    from blarify_ray.pipelines import analytics, training_ops
 
     q: dict[str, Callable[[str], Any]] = {
         "kg_docs": _q_kg_docs,
@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_edges": _q_kg_edges,
     }
     q.update(analytics.QUERIES)
+    q.update(training_ops.QUERIES)
     return q
 
 

@@ -1,0 +1,144 @@
+"""Benchmark harness.
+
+Runs the headline KG-construction pipeline plus representative analytics
+queries over ``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1) and prints
+ONE JSON line. ``--scaling`` runs the headline in two fresh processes at
+8 and 32 CPUs on the same input and reports throughput + scaling
+efficiency (the sandbox protocol for the N vs 4N cluster criterion —
+see BASELINE.md).
+
+The synthetic page corpus is generated once (distributed) and cached as
+parquet under /tmp, and the OS page cache is warmed with an untimed
+read, so the timed section measures compute + shuffle, not cold disk.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_ROOT = "/tmp/blarify_ray_bench"
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+        ignore_reinit_error=True, logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    from blarify_ray.pipelines import analytics
+    from blarify_ray.pipelines.kg_build import build_kg
+    from blarify_ray.sources.pages import pages_count_for_sf, read_pages, write_pages_parquet
+    from blarify_ray.state.manifest import read_stage
+
+    n_pages = pages_count_for_sf(SF_DIR)
+    corpus_dir = os.path.join(BENCH_ROOT, f"pages_n{n_pages}")
+    if not os.path.isdir(corpus_dir) or not any(
+        f.endswith(".parquet") for f in os.listdir(corpus_dir)
+    ):
+        shutil.rmtree(corpus_dir, ignore_errors=True)
+        write_pages_parquet(corpus_dir, n_pages)
+
+    # warm the page cache (untimed)
+    read_pages(corpus_dir, columns=["url"]).count()
+
+    out_dir = os.path.join(BENCH_ROOT, f"kg_out_cpus{NUM_CPUS}")
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    queries: dict[str, float] = {}
+
+    t0 = time.monotonic()
+    paths = build_kg(out_dir, n_pages, pages=read_pages(corpus_dir), source_fingerprint=f"bench-{n_pages}")
+    kg_wall = time.monotonic() - t0
+    queries["kg_build"] = round(kg_wall, 3)
+
+    n_triples = (
+        read_stage(paths["mentions"], columns=["pred"])
+        .map_batches(
+            lambda t: t.filter(pc.is_valid(t["pred"])), batch_format="pyarrow"
+        )
+        .count()
+    )
+    frag_rows = sum(
+        f.count_rows() for f in pads.dataset(paths["docs"], format="parquet").get_fragments()
+    )
+
+    for name in (
+        "pricing_summary", "order_priority_revenue", "events_hourly",
+        "sessionize_users", "exact_dedup_docs", "vector_topk",
+        "latest_event_per_user", "token_counts",
+    ):
+        t0 = time.monotonic()
+        res = analytics.QUERIES[name](SF_DIR)
+        if hasattr(res, "to_pandas"):
+            res.to_pandas()
+        queries[name] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(queries.values()), 3)
+    result = {
+        "metric": "kg_build+queries_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "pages": n_pages,
+        "docs": frag_rows,
+        "triples": n_triples,
+        "triples_per_sec": round(n_triples / kg_wall, 1),
+        "pages_per_sec": round(n_pages / kg_wall, 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> None:
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = one(8), one(32)
+    t_lo = lo["queries"]["kg_build"]
+    t_hi = hi["queries"]["kg_build"]
+    eff = (t_lo / t_hi) / (32 / 8)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling_efficiency",
+                "value": round(eff, 3),
+                "unit": "ratio",
+                "kg_build_sec_8cpu": t_lo,
+                "kg_build_sec_32cpu": t_hi,
+                "triples_per_sec_8cpu": lo["triples_per_sec"],
+                "triples_per_sec_32cpu": hi["triples_per_sec"],
+                "pages": lo["pages"],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_bench()))

@@ -1,0 +1,149 @@
+"""Text-analysis operators: language ID, quality scoring, token counts,
+document fingerprinting. All vectorized-per-batch, stateless or
+regex-compiled-once actor pools.
+
+Reference analog: per-node complexity stats (``blarify/stats/complexity.py:23-82``)
+and the skeletonize/normalize text transforms (``definition_node.py:100-138``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pyarrow as pa
+import ray.data
+
+# --- language ID (n-gram/stopword heuristic) -------------------------------
+
+_STOPWORDS: dict[str, frozenset[str]] = {
+    "en": frozenset("the and of to in is you that it he was for on are as with his they at be this have from or one had by word but not what all were we when your can said there use an each which she do how their if".split()),
+    "de": frozenset("der die und in den von zu das mit sich des auf für ist im dem nicht ein eine als auch es an werden aus er hat dass sie nach wird bei einer um am sind noch wie einem über".split()),
+    "fr": frozenset("le de un être et à il avoir ne je son que se qui ce dans en du elle au pour pas sur par plus pouvoir avec tout faire mettre autre on mais nous comme ou si leur".split()),
+    "es": frozenset("el la de que y a en un ser se no haber por con su para como estar tener le lo lo pero más hacer o poder decir este ir otro ese si me ya ver porque dar cuando".split()),
+}
+_WORD = re.compile(r"[a-zA-ZäöüßéèêàâçíóúñÁÉ]+")
+
+
+def lang_id_text(text: str) -> tuple[str, float]:
+    """→ (lang, confidence). CJK-dominant text → 'zh'; otherwise argmax
+    stopword-hit ratio over built-in profiles; no hits → 'und'."""
+    if not text:
+        return "und", 0.0
+    cjk = sum(1 for ch in text[:2000] if "一" <= ch <= "鿿")
+    if cjk > len(text[:2000]) * 0.2:
+        return "zh", round(cjk / len(text[:2000]), 4)
+    toks = [w.lower() for w in _WORD.findall(text[:5000])]
+    if not toks:
+        return "und", 0.0
+    best, best_r = "und", 0.0
+    for lang in sorted(_STOPWORDS):
+        r = sum(1 for t in toks if t in _STOPWORDS[lang]) / len(toks)
+        if r > best_r:
+            best, best_r = lang, r
+    if best_r < 0.05:
+        return "und", round(best_r, 4)
+    return best, round(best_r, 4)
+
+
+def lang_id(ds: ray.data.Dataset, text_col: str, id_col: str) -> ray.data.Dataset:
+    def f(t: pa.Table) -> pa.Table:
+        res = [lang_id_text(x) for x in t[text_col].to_pylist()]
+        return pa.Table.from_pydict(
+            {
+                "id": t[id_col],
+                "lang_pred": pa.array([r[0] for r in res], pa.string()),
+                "lang_conf": pa.array([r[1] for r in res], pa.float64()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# --- quality scoring -------------------------------------------------------
+
+_ALPHA = re.compile(r"[A-Za-z]")
+_PUNCT = re.compile(r"[.,;:!?'\"()\[\]{}-]")
+
+
+def quality_features(text: str) -> dict:
+    n = len(text)
+    if n == 0:
+        return {"n_chars": 0, "alpha_ratio": 0.0, "punct_ratio": 0.0,
+                "mean_word_len": 0.0, "stop_ratio": 0.0, "quality": 0.0}
+    words = text.split()
+    alpha = len(_ALPHA.findall(text))
+    punct = len(_PUNCT.findall(text))
+    stop = sum(1 for w in words if w.lower() in _STOPWORDS["en"])
+    mean_wl = sum(len(w) for w in words) / max(1, len(words))
+    alpha_r = alpha / n
+    punct_r = punct / n
+    stop_r = stop / max(1, len(words))
+    # simple composite in [0, 1]: alphabetic, sane word length, some
+    # stopwords (fluent prose), not punctuation soup
+    quality = max(
+        0.0,
+        min(
+            1.0,
+            0.5 * alpha_r
+            + 0.3 * min(stop_r / 0.4, 1.0)
+            + 0.2 * (1.0 - min(abs(mean_wl - 5.0) / 5.0, 1.0))
+            - max(0.0, punct_r - 0.1),
+        ),
+    )
+    return {
+        "n_chars": n,
+        "alpha_ratio": round(alpha_r, 6),
+        "punct_ratio": round(punct_r, 6),
+        "mean_word_len": round(mean_wl, 6),
+        "stop_ratio": round(stop_r, 6),
+        "quality": round(quality, 6),
+    }
+
+
+def quality_score(ds: ray.data.Dataset, text_col: str, id_col: str) -> ray.data.Dataset:
+    def f(t: pa.Table) -> pa.Table:
+        feats = [quality_features(x) for x in t[text_col].to_pylist()]
+        cols: dict = {"id": t[id_col]}
+        for k in ("n_chars", "alpha_ratio", "punct_ratio", "mean_word_len", "stop_ratio", "quality"):
+            typ = pa.int64() if k == "n_chars" else pa.float64()
+            cols[k] = pa.array([f[k] for f in feats], typ)
+        return pa.Table.from_pydict(cols)
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# --- document fingerprinting (winnowing over rolling hashes) ---------------
+
+def fingerprint_text(text: str, k: int = 5, window: int = 4) -> list[int]:
+    """Winnowed rolling-hash fingerprints over word k-grams (the classic
+    MOSS scheme): min hash per sliding window, deduplicated, sorted."""
+    toks = text.split()
+    if len(toks) < k:
+        grams = [" ".join(toks)] if toks else []
+    else:
+        grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    hs = [
+        int.from_bytes(hashlib.md5(g.encode("utf-8")).digest()[:8], "big") >> 1
+        for g in grams
+    ]
+    if not hs:
+        return []
+    picked = set()
+    for i in range(max(1, len(hs) - window + 1)):
+        picked.add(min(hs[i : i + window]))
+    return sorted(picked)
+
+
+def fingerprints(ds: ray.data.Dataset, text_col: str, id_col: str) -> ray.data.Dataset:
+    def f(t: pa.Table) -> pa.Table:
+        fps = [fingerprint_text(x) for x in t[text_col].to_pylist()]
+        return pa.Table.from_pydict(
+            {
+                "id": t[id_col],
+                "fingerprints": pa.array(fps, pa.list_(pa.uint64())),
+                "n_fingerprints": pa.array([len(f) for f in fps], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -1,13 +1,569 @@
 """Operator-parity analytics over the driver's testdata tables — each
 query demonstrates one operator family from SURVEY.md §2 as idiomatic
 Ray Data, with a DuckDB oracle in ORACLE_SQL for the hash-verified
-correctness gate.
+correctness gate (column names and dtypes match the SQL exactly).
 
-QUERIES: name → callable(sf_dir) → Dataset/DataFrame/Table.
-ORACLE_SQL: name → equivalent ANSI SQL (column names must match).
+Money/float aggregates are carried as integer cents
+(``CAST(ROUND(x*100) AS BIGINT)``) so sums are order-independent and
+hash-stable across engines; regex character classes are spelled out in
+ASCII so Python ``re`` and DuckDB RE2 agree.
+
+Operator coverage ↔ reference analog:
+- pricing_summary          groupby-aggregate w/ derived cols (Graph label index, graph.py:37-47)
+- top_customer_revenue     agg + broadcast dim join + global top-k (project_files_stats.py:22-33)
+- users_without_purchase   anti-join via broadcast key set (entry-point discovery, queries.py:1692-1701)
+- doc_stats_top10          full-scan stats + sort desc + limit (ProjectFileStats, project_files_stats.py:7-52)
+- latest_event_per_user    latest-wins dedup / argmax per key (incremental update, graph_builder.py:138-225)
+- events_hourly            tumbling window groupby (SURVEY §2.8 mapping)
+- sessionize_users         gap-based session windows via map_groups (ordered per-key fold, queries.py:1329-1374)
+- exact_dedup_docs         content-hash dedup (embedding dedup aggregate, embedding_service.py:97-144)
+- token_counts             per-row text metrics (complexity stats, stats/complexity.py:23-82)
+- char_class_stats         per-row scalar UDFs (path/id scalar fns, utils/path_calculator.py)
+- vector_topk              brute-force cosine top-k (vector search, queries.py:2298-2356)
+- grep_docs                predicate scan + groupby (grep text, queries.py:1746-1849)
+- order_priority_revenue   large-large hash join (reference resolution join, scip_helper.py:748-835)
+- topk_docs_per_source     per-group top-k (per-file top-5 counts, project_graph_creator.py:206-237)
+- distinct_users_per_type  two-level distinct aggregate (seen-set dedup, queries.py:1380-1417)
+- nation_rollup            chained broadcast dim joins (blame attribution join shape)
 """
 
 from __future__ import annotations
 
-QUERIES: dict = {}
-ORACLE_SQL: dict[str, str] = {}
+import os
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray.data as rd
+
+
+def _t(sf_dir: str, name: str, columns: list[str] | None = None) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
+
+
+def _round_half_away(v: np.ndarray) -> np.ndarray:
+    """DuckDB ROUND semantics: half away from zero (numpy's rint is
+    half-to-even — off by one on exact .5 values, which cents*discount
+    products hit often)."""
+    return (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+
+
+def _cents(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """CAST(ROUND(x*100) AS BIGINT), vectorized."""
+    np_vals = np.asarray(arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr, dtype=np.float64)
+    return pa.array(_round_half_away(np_vals * 100))
+
+
+# --- pricing_summary -------------------------------------------------------
+
+def q_pricing_summary(sf_dir: str):
+    ds = _t(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        ext = np.asarray(t["l_extendedprice"].combine_chunks(), dtype=np.float64)
+        disc = np.asarray(t["l_discount"].combine_chunks(), dtype=np.float64)
+        return pa.Table.from_pydict(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "qty": pc.cast(pc.round(t["l_quantity"]), pa.int64()),
+                "base_cents": pa.array(_round_half_away(ext * 100)),
+                "disc_cents": pa.array(_round_half_away(ext * (1 - disc) * 100)),
+            }
+        )
+
+    from ray.data.aggregate import Count, Sum
+
+    return (
+        ds.map_batches(derive, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty", alias_name="sum_qty"),
+            Sum("base_cents", alias_name="sum_base_cents"),
+            Sum("disc_cents", alias_name="sum_disc_cents"),
+            Count(alias_name="count_order"),
+        )
+    )
+
+
+SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+       CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+       COUNT(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+# --- top_customer_revenue --------------------------------------------------
+
+def q_top_customer_revenue(sf_dir: str):
+    orders = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"o_custkey": t["o_custkey"], "cents": _cents(t["o_totalprice"])}
+        )
+
+    from ray.data.aggregate import Sum
+
+    rev = orders.map_batches(derive, batch_format="pyarrow").groupby("o_custkey").aggregate(
+        Sum("cents", alias_name="revenue_cents")
+    )
+    # broadcast the small dimension table (customer) — no shuffle join
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_name"])
+    names = dict(zip(cust["c_custkey"].to_pylist(), cust["c_name"].to_pylist()))
+
+    def attach(t: pa.Table) -> pa.Table:
+        keys = t["o_custkey"].to_pylist()
+        return pa.Table.from_pydict(
+            {
+                "c_custkey": pa.array(keys, pa.int64()),
+                "c_name": pa.array([names[k] for k in keys], pa.string()),
+                "revenue_cents": t["revenue_cents"],
+            }
+        )
+
+    return (
+        rev.map_batches(attach, batch_format="pyarrow")
+        .sort(["revenue_cents", "c_custkey"], descending=[True, False])
+        .limit(10)
+    )
+
+
+SQL_TOP_CUSTOMER = """
+SELECT c_custkey, c_name,
+       CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY revenue_cents DESC, c_custkey LIMIT 10
+"""
+
+# --- users_without_purchase (anti-join) -----------------------------------
+
+def q_users_without_purchase(sf_dir: str):
+    """Anti-join via broadcast key set + vectorized filter: users that
+    never made a purchase over 300 (entry-point-discovery shape)."""
+    ev = _t(sf_dir, "events", ["user_id", "event_type"])
+    tbl = pq.read_table(os.path.join(sf_dir, "events.parquet"), columns=["user_id", "event_type", "value"])
+    big = pc.and_(pc.equal(tbl["event_type"], "purchase"), pc.greater(tbl["value"], 300.0))
+    buyers = set(tbl.filter(big)["user_id"].to_pylist())
+
+    def anti(t: pa.Table) -> pa.Table:
+        mask = pa.array([u not in buyers for u in t["user_id"].to_pylist()])
+        return t.filter(mask).select(["user_id"])
+
+    from ray.data.aggregate import Count
+
+    return (
+        ev.map_batches(anti, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Count(alias_name="n_events"))
+    )
+
+
+SQL_NO_PURCHASE = """
+SELECT user_id, COUNT(*) AS n_events FROM events
+WHERE user_id NOT IN (SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 300.0)
+GROUP BY user_id
+"""
+
+# --- doc_stats_top10 -------------------------------------------------------
+
+def q_doc_stats_top10(sf_dir: str):
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def stats(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        return pa.Table.from_pydict(
+            {
+                "doc_id": t["doc_id"],
+                "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+                "n_lines": pa.array([x.count("\n") + 1 for x in texts], pa.int64()),
+            }
+        )
+
+    return docs.map_batches(stats, batch_format="pyarrow").sort(
+        ["n_chars", "doc_id"], descending=[True, False]
+    ).limit(10)
+
+
+SQL_DOC_STATS = """
+SELECT doc_id, length(text) AS n_chars,
+       length(text) - length(replace(text, chr(10), '')) + 1 AS n_lines
+FROM documents ORDER BY n_chars DESC, doc_id LIMIT 10
+"""
+
+# --- latest_event_per_user -------------------------------------------------
+
+def q_latest_event_per_user(sf_dir: str):
+    ev = _t(sf_dir, "events", ["user_id", "event_id", "ts"])
+
+    def latest(g: pa.Table) -> pa.Table:
+        i = max(range(g.num_rows), key=lambda j: (g["ts"][j].as_py(), g["event_id"][j].as_py()))
+        return g.select(["user_id", "event_id", "ts"]).slice(i, 1)
+
+    return ev.groupby("user_id").map_groups(latest, batch_format="pyarrow")
+
+
+SQL_LATEST_EVENT = """
+SELECT user_id, event_id, ts FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+"""
+
+# --- events_hourly ---------------------------------------------------------
+
+def q_events_hourly(sf_dir: str):
+    ev = _t(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "event_type": t["event_type"],
+                "hour": pc.floor_temporal(t["ts"], unit="hour"),
+                "value_cents": _cents(t["value"]),
+            }
+        )
+
+    from ray.data.aggregate import Count, Sum
+
+    return (
+        ev.map_batches(derive, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(Count(alias_name="n_events"), Sum("value_cents", alias_name="sum_value_cents"))
+    )
+
+
+SQL_EVENTS_HOURLY = """
+SELECT event_type, date_trunc('hour', ts) AS hour,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM events GROUP BY event_type, date_trunc('hour', ts)
+"""
+
+# --- sessionize_users ------------------------------------------------------
+
+SESSION_GAP_S = 1800
+
+
+def q_sessionize_users(sf_dir: str):
+    import pandas as pd
+
+    ev = _t(sf_dir, "events", ["user_id", "event_id", "ts"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        gaps = g["ts"].diff().dt.total_seconds()
+        n_sessions = int((gaps > SESSION_GAP_S).sum()) + 1
+        return pd.DataFrame(
+            {
+                "user_id": [int(g["user_id"].iloc[0])],
+                "n_events": [len(g)],
+                "n_sessions": [n_sessions],
+            }
+        )
+
+    return ev.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+SQL_SESSIONIZE = f"""
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(1 + SUM(CASE WHEN prev_ts IS NOT NULL
+                     AND epoch(ts) - epoch(prev_ts) > {SESSION_GAP_S}
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+FROM (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+) GROUP BY user_id
+"""
+
+# --- exact_dedup_docs ------------------------------------------------------
+
+def q_exact_dedup_docs(sf_dir: str):
+    import hashlib
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def h(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "text_md5": pa.array(
+                    [hashlib.md5(x.encode("utf-8")).hexdigest() for x in t["text"].to_pylist()],
+                    pa.string(),
+                ),
+                "doc_id": t["doc_id"],
+            }
+        )
+
+    from ray.data.aggregate import Count, Min
+
+    return (
+        docs.map_batches(h, batch_format="pyarrow")
+        .groupby("text_md5")
+        .aggregate(Min("doc_id", alias_name="keep_id"), Count(alias_name="n_copies"))
+    )
+
+
+SQL_EXACT_DEDUP = """
+SELECT md5(text) AS text_md5, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+# --- token_counts ----------------------------------------------------------
+
+_WS_SPLIT = re.compile(r"[ \t\n]+")
+_BPEISH = re.compile(r"[A-Za-z]+|[0-9]+|[^ \t\nA-Za-z0-9]")
+
+
+def q_token_counts(sf_dir: str):
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def toks(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        return pa.Table.from_pydict(
+            {
+                "doc_id": t["doc_id"],
+                "n_ws_tokens": pa.array(
+                    [len(_WS_SPLIT.split(x.strip(" \t\n"))) for x in texts], pa.int64()
+                ),
+                "n_bpeish_tokens": pa.array([len(_BPEISH.findall(x)) for x in texts], pa.int64()),
+            }
+        )
+
+    return docs.map_batches(toks, batch_format="pyarrow")
+
+
+SQL_TOKEN_COUNTS = """
+SELECT doc_id,
+       len(regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10)), '[ \t\n]+')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^ \t\nA-Za-z0-9]')) AS n_bpeish_tokens
+FROM documents
+"""
+
+# --- char_class_stats ------------------------------------------------------
+
+_ALPHA = re.compile(r"[^A-Za-z]")
+_DIGIT = re.compile(r"[^0-9]")
+
+
+def q_char_class_stats(sf_dir: str):
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def stats(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        return pa.Table.from_pydict(
+            {
+                "doc_id": t["doc_id"],
+                "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+                "n_alpha": pa.array([len(_ALPHA.sub("", x)) for x in texts], pa.int64()),
+                "n_digit": pa.array([len(_DIGIT.sub("", x)) for x in texts], pa.int64()),
+            }
+        )
+
+    return docs.map_batches(stats, batch_format="pyarrow")
+
+
+SQL_CHAR_CLASS = """
+SELECT doc_id, length(text) AS n_chars,
+       length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+       length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit
+FROM documents
+"""
+
+# --- vector_topk -----------------------------------------------------------
+
+def q_vector_topk(sf_dir: str):
+    emb = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qtbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    qvec = None
+    for vid, v in zip(qtbl["vec_id"].to_pylist(), qtbl["embedding"].to_pylist()):
+        if vid == 0:
+            qvec = np.asarray(v, dtype=np.float64)
+            break
+    qn = qvec / np.linalg.norm(qvec)
+
+    def cos(t: pa.Table) -> pa.Table:
+        m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        norms = np.linalg.norm(m, axis=1)
+        sims = (m @ qn) / np.where(norms == 0, 1, norms)
+        return pa.Table.from_pydict({"vec_id": t["vec_id"], "s": pa.array(sims)})
+
+    return (
+        emb.map_batches(cos, batch_format="pyarrow")
+        .sort(["s", "vec_id"], descending=[True, False])
+        .limit(10)
+        .select_columns(["vec_id"])
+    )
+
+
+SQL_VECTOR_TOPK = """
+SELECT vec_id FROM (
+  SELECT vec_id,
+         list_cosine_similarity(embedding,
+            (SELECT embedding FROM embeddings WHERE vec_id = 0)) AS s
+  FROM embeddings
+) ORDER BY s DESC, vec_id LIMIT 10
+"""
+
+# --- grep_docs -------------------------------------------------------------
+
+GREP_PATTERN = "data"
+
+
+def q_grep_docs(sf_dir: str):
+    docs = _t(sf_dir, "documents", ["source", "text"])
+
+    def grep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.match_substring(t["text"], GREP_PATTERN)).select(["source"])
+
+    from ray.data.aggregate import Count
+
+    return docs.map_batches(grep, batch_format="pyarrow").groupby("source").aggregate(
+        Count(alias_name="n_matching")
+    )
+
+
+SQL_GREP = f"""
+SELECT source, COUNT(*) AS n_matching FROM documents
+WHERE contains(text, '{GREP_PATTERN}') GROUP BY source
+"""
+
+# --- order_priority_revenue (large-large hash join) ------------------------
+
+def q_order_priority_revenue(sf_dir: str):
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        ext = np.asarray(t["l_extendedprice"].combine_chunks(), dtype=np.float64)
+        disc = np.asarray(t["l_discount"].combine_chunks(), dtype=np.float64)
+        return pa.Table.from_pydict(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "rev_cents": pa.array(_round_half_away(ext * (1 - disc) * 100)),
+            }
+        )
+
+    li2 = li.map_batches(derive, batch_format="pyarrow")
+    joined = li2.join(
+        orders, join_type="inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",)
+    )
+    from ray.data.aggregate import Count, Sum
+
+    return joined.groupby("o_orderpriority").aggregate(
+        Sum("rev_cents", alias_name="revenue_cents"), Count(alias_name="n_items")
+    )
+
+
+SQL_ORDER_PRIORITY = """
+SELECT o_orderpriority,
+       CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       COUNT(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+# --- topk_docs_per_source --------------------------------------------------
+
+def q_topk_docs_per_source(sf_dir: str):
+    docs = _t(sf_dir, "documents", ["source", "doc_id", "n_chars"])
+
+    def topk(g: pa.Table) -> pa.Table:
+        order = sorted(range(g.num_rows), key=lambda i: (-g["n_chars"][i].as_py(), g["doc_id"][i].as_py()))
+        return g.take(order[:3])
+
+    return docs.groupby("source").map_groups(topk, batch_format="pyarrow")
+
+
+SQL_TOPK_PER_SOURCE = """
+SELECT source, doc_id, n_chars FROM documents
+QUALIFY row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) <= 3
+"""
+
+# --- distinct_users_per_type -----------------------------------------------
+
+def q_distinct_users_per_type(sf_dir: str):
+    ev = _t(sf_dir, "events", ["event_type", "user_id"])
+    from ray.data.aggregate import Count
+
+    pairs = ev.groupby(["event_type", "user_id"]).aggregate(Count(alias_name="_c"))
+    return pairs.groupby("event_type").aggregate(Count(alias_name="n_users"))
+
+
+SQL_DISTINCT_USERS = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users FROM events GROUP BY event_type
+"""
+
+# --- nation_rollup ---------------------------------------------------------
+
+def q_nation_rollup(sf_dir: str):
+    cust = _t(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    n2r = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_regionkey"].to_pylist()))
+    r2name = dict(zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist()))
+
+    def attach(t: pa.Table) -> pa.Table:
+        rname = [r2name[n2r[k]] for k in t["c_nationkey"].to_pylist()]
+        return pa.Table.from_pydict(
+            {"r_name": pa.array(rname, pa.string()), "acctbal_cents": _cents(t["c_acctbal"])}
+        )
+
+    from ray.data.aggregate import Count, Sum
+
+    return cust.map_batches(attach, batch_format="pyarrow").groupby("r_name").aggregate(
+        Count(alias_name="n_customers"), Sum("acctbal_cents", alias_name="acctbal_cents_sum")
+    )
+
+
+SQL_NATION_ROLLUP = """
+SELECT r_name, COUNT(*) AS n_customers,
+       CAST(SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)) AS BIGINT) AS acctbal_cents_sum
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "pricing_summary": q_pricing_summary,
+    "top_customer_revenue": q_top_customer_revenue,
+    "users_without_purchase": q_users_without_purchase,
+    "doc_stats_top10": q_doc_stats_top10,
+    "latest_event_per_user": q_latest_event_per_user,
+    "events_hourly": q_events_hourly,
+    "sessionize_users": q_sessionize_users,
+    "exact_dedup_docs": q_exact_dedup_docs,
+    "token_counts": q_token_counts,
+    "char_class_stats": q_char_class_stats,
+    "vector_topk": q_vector_topk,
+    "grep_docs": q_grep_docs,
+    "order_priority_revenue": q_order_priority_revenue,
+    "topk_docs_per_source": q_topk_docs_per_source,
+    "distinct_users_per_type": q_distinct_users_per_type,
+    "nation_rollup": q_nation_rollup,
+}
+
+ORACLE_SQL = {
+    "pricing_summary": SQL_PRICING,
+    "top_customer_revenue": SQL_TOP_CUSTOMER,
+    "users_without_purchase": SQL_NO_PURCHASE,
+    "doc_stats_top10": SQL_DOC_STATS,
+    "latest_event_per_user": SQL_LATEST_EVENT,
+    "events_hourly": SQL_EVENTS_HOURLY,
+    "sessionize_users": SQL_SESSIONIZE,
+    "exact_dedup_docs": SQL_EXACT_DEDUP,
+    "token_counts": SQL_TOKEN_COUNTS,
+    "char_class_stats": SQL_CHAR_CLASS,
+    "vector_topk": SQL_VECTOR_TOPK,
+    "grep_docs": SQL_GREP,
+    "order_priority_revenue": SQL_ORDER_PRIORITY,
+    "topk_docs_per_source": SQL_TOPK_PER_SOURCE,
+    "distinct_users_per_type": SQL_DISTINCT_USERS,
+    "nation_rollup": SQL_NATION_ROLLUP,
+}

@@ -1,0 +1,80 @@
+"""Training-data-pipeline queries over the testdata tables — the
+large-scale-pipeline operator families (dedup, similarity search, text
+analysis) exposed through the driver contract. Non-SQL-expressible
+(sketches, LSH, ANN, heuristics) → no oracle entry; the driver records
+rows-only checks and `tests/test_ops.py` provides planted-ground-truth
+verification.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from ..ops.dedup import minhash_near_dup, simhash_docs, simhash_near_dup
+from ..ops.similarity import IvfIndex, embedding_near_dup
+from ..ops.text_analysis import fingerprints, lang_id, quality_score
+
+
+def _docs(sf_dir: str) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+
+
+def q_minhash_dedup_docs(sf_dir: str):
+    return minhash_near_dup(_docs(sf_dir), "text", "doc_id")
+
+
+def q_simhash_docs(sf_dir: str):
+    return simhash_docs(_docs(sf_dir), "text", "doc_id")
+
+
+def q_simhash_pairs_docs(sf_dir: str):
+    return simhash_near_dup(_docs(sf_dir), "text", "doc_id", max_hamming=6)
+
+
+def q_lang_id_docs(sf_dir: str):
+    return lang_id(_docs(sf_dir), "text", "doc_id")
+
+
+def q_quality_docs(sf_dir: str):
+    return quality_score(_docs(sf_dir), "text", "doc_id")
+
+
+def q_fingerprints_docs(sf_dir: str):
+    return fingerprints(_docs(sf_dir), "text", "doc_id").select_columns(["id", "n_fingerprints"])
+
+
+def q_vector_topk_ivf(sf_dir: str):
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    qtbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    qvec = None
+    for vid, v in zip(qtbl["vec_id"].to_pylist(), qtbl["embedding"].to_pylist()):
+        if vid == 0:
+            qvec = np.asarray(v, dtype=np.float64)
+            break
+    idx = IvfIndex.train(emb, n_centroids=16)
+    assigned = idx.assign(emb).materialize()
+    hits = idx.search(assigned, qvec, k=10, nprobe=6)
+    import pandas as pd
+
+    return pd.DataFrame({"vec_id": [i for i, _ in hits], "rank": list(range(1, len(hits) + 1))})
+
+
+def q_embedding_near_dup(sf_dir: str):
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    return embedding_near_dup(emb, threshold=0.5)
+
+
+QUERIES = {
+    "minhash_dedup_docs": q_minhash_dedup_docs,
+    "simhash_docs": q_simhash_docs,
+    "simhash_pairs_docs": q_simhash_pairs_docs,
+    "lang_id_docs": q_lang_id_docs,
+    "quality_docs": q_quality_docs,
+    "fingerprints_docs": q_fingerprints_docs,
+    "vector_topk_ivf": q_vector_topk_ivf,
+    "embedding_near_dup": q_embedding_near_dup,
+}

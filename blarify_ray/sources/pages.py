@@ -24,9 +24,12 @@ from ..schemas import PAGES
 
 
 def pages_count_for_sf(sf_dir: str) -> int:
-    """Corpus size scales with the driver's testdata: one logical page per
-    ``documents`` row (500 / 5k / 50k at sf 0.001/0.01/0.1)."""
-    return pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    """Corpus size scales with the driver's testdata: 500 / 5k / 50k
+    logical pages at sf 0.001 / 0.01 / 0.1 (documents rows don't scale
+    linearly across sf dirs, lineitem does)."""
+    docs = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    li = pq.read_metadata(os.path.join(sf_dir, "lineitem.parquet")).num_rows
+    return max(docs, li // 12)
 
 
 def synth_pages(

@@ -1,0 +1,49 @@
+"""Every analytics query must match its DuckDB oracle exactly
+(order-insensitive, like the driver's value-hash check) at sf0.001."""
+
+import os
+
+import duckdb
+import pandas as pd
+import pytest
+
+from blarify_ray.pipelines.analytics import ORACLE_SQL, QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _oracle(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(SF_DIR, f"{t}.parquet")
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con.sql(sql).df()
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+
+
+@pytest.mark.parametrize("name", sorted(ORACLE_SQL))
+def test_query_matches_oracle(name):
+    got = QUERIES[name](SF_DIR)
+    if hasattr(got, "to_pandas"):
+        got = got.to_pandas()
+    want = _oracle(ORACLE_SQL[name])
+    got, want = _normalize(got), _normalize(want)
+    assert list(got.columns) == list(want.columns), (got.columns, want.columns)
+    assert len(got) == len(want), (len(got), len(want))
+    for c in got.columns:
+        a, b = got[c], want[c]
+        if a.dtype.kind == "f" or b.dtype.kind == "f":
+            pd.testing.assert_series_equal(
+                a.astype(float), b.astype(float), check_names=False, rtol=1e-9
+            )
+        else:
+            assert a.astype(str).tolist() == b.astype(str).tolist(), f"column {c} differs"

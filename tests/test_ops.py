@@ -1,0 +1,144 @@
+"""Training-data ops: dedup family, similarity search, text analysis,
+multimodal plumbing."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from blarify_ray.ops.dedup import exact_dedup, minhash_near_dup, simhash_near_dup
+from blarify_ray.ops.multimodal import (
+    FEATURE_DIM,
+    MediaDecoder,
+    decode_media,
+    frame_sample,
+    synth_media_table,
+)
+from blarify_ray.ops.similarity import IvfIndex, embedding_near_dup, knn_bruteforce
+from blarify_ray.ops.text_analysis import (
+    fingerprint_text,
+    lang_id_text,
+    quality_features,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the sun sets slowly "
+    "behind the green hills and the river runs quietly to the sea"
+)
+NEAR = BASE.replace("quietly", "silently")  # one-word change → near-dup
+OTHER = (
+    "completely different content about spacecraft engines and orbital "
+    "mechanics with no overlap whatsoever in the token stream at all"
+)
+
+
+def _docs():
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": [BASE, NEAR, OTHER, BASE],  # 4 = exact dup of 1
+            }
+        )
+    )
+
+
+def test_exact_dedup():
+    out = exact_dedup(_docs(), "text", "doc_id").take_all()
+    ids = sorted(r["doc_id"] for r in out)
+    assert ids == [1, 2, 3]  # doc 4 collapsed into 1
+
+
+def test_minhash_near_dup():
+    pairs = minhash_near_dup(_docs(), "text", "doc_id").take_all()
+    dup = {(r["id"], r["dup_of"]) for r in pairs}
+    assert (2, 1) in dup and (4, 1) in dup
+    assert all(r["id"] != 3 and r["dup_of"] != 3 for r in pairs)
+
+
+def test_simhash_near_dup():
+    pairs = simhash_near_dup(_docs(), "text", "doc_id", max_hamming=6).take_all()
+    got = {(r["a"], r["b"]) for r in pairs}
+    assert (1, 4) in got  # exact dup → hamming 0
+    assert (1, 2) in got or (2, 4) in got  # near dup within 6 bits
+    assert not any(3 in p for p in got)
+
+
+def _emb_ds(n=50, d=16, seed=3):
+    rng = np.random.RandomState(seed)
+    m = rng.randn(n, d).astype(np.float32)
+    m[7] = m[0] + 0.01 * rng.randn(d)  # planted near-duplicate of vec 0
+    return rd.from_arrow(
+        pa.table({"vec_id": list(range(n)), "embedding": [list(map(float, r)) for r in m]})
+    ), m
+
+
+def test_knn_bruteforce_exact():
+    ds, m = _emb_ds()
+    got = knn_bruteforce(ds, m[0], k=5)[0]
+    mm = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = mm @ (m[0] / np.linalg.norm(m[0]))
+    want = sorted(range(len(m)), key=lambda i: (-sims[i], i))[:5]
+    assert [i for i, _ in got] == want
+
+
+def test_ivf_recall():
+    ds, m = _emb_ds(n=200)
+    idx = IvfIndex.train(ds, n_centroids=8)
+    assigned = idx.assign(ds).materialize()
+    exact = {i for i, _ in knn_bruteforce(ds, m[0], k=10)[0]}
+    approx = {i for i, _ in idx.search(assigned, m[0], k=10, nprobe=4)}
+    assert len(exact & approx) / 10 >= 0.8
+
+
+def test_embedding_near_dup():
+    ds, _ = _emb_ds()
+    pairs = embedding_near_dup(ds, threshold=0.95).take_all()
+    assert any({r["a"], r["b"]} == {0, 7} for r in pairs)
+
+
+def test_lang_id_heuristic():
+    assert lang_id_text("the cat sat on the mat and it was happy with this")[0] == "en"
+    assert lang_id_text("der Hund und die Katze sind in dem Haus mit einem Ball")[0] == "de"
+    assert lang_id_text("le chat est dans la maison avec le chien et il est content")[0] == "fr"
+    assert lang_id_text("这是一个中文测试文本，用来检测语言识别功能是否正常工作")[0] == "zh"
+    assert lang_id_text("")[0] == "und"
+    assert lang_id_text("zzz qqq vvv xxx www")[0] == "und"
+
+
+def test_quality_features():
+    good = quality_features(BASE)
+    junk = quality_features("@@## $$%% ^^&& ** (( )) !!!! ???? ;;;; 0101 ####")
+    assert good["quality"] > junk["quality"]
+    assert quality_features("")["quality"] == 0.0
+
+
+def test_fingerprints_overlap_for_near_dups():
+    a, b, c = set(fingerprint_text(BASE)), set(fingerprint_text(NEAR)), set(fingerprint_text(OTHER))
+    assert len(a & b) / len(a | b) > 0.5
+    assert len(a & c) == 0
+
+
+def test_media_decode_plumbing():
+    media = rd.from_arrow(synth_media_table(30))
+    out = decode_media(media).take_all()
+    assert len(out) == 30
+    r = out[0]
+    assert len(r["features"]) == FEATURE_DIM
+    assert r["width"] > 0 and r["height"] > 0
+    # deterministic across calls
+    out2 = decode_media(rd.from_arrow(synth_media_table(30))).take_all()
+    assert [x["features"][0] for x in out] == [x["features"][0] for x in out2]
+    # malformed payload → graceful sentinel, not a crash
+    bad = MediaDecoder()(pa.table(
+        {"media_id": [99], "kind": ["image"], "mime": ["x"], "payload": [b"\x00\x01"]}
+    ))
+    assert bad["width"][0].as_py() == -1
+
+
+def test_frame_sample():
+    media = rd.from_arrow(synth_media_table(9))
+    frames = frame_sample(media, every_n=2).take_all()
+    assert frames and all(f["frame_idx"] % 2 == 0 for f in frames)
+    vids = {f["media_id"] for f in frames}
+    assert all(mid % 3 == 2 for mid in vids)  # only 'video' rows sampled
