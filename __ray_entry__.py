@@ -71,6 +71,71 @@ def _q_kg_edges(sf_dir: str):
     return _stage_ds(_kg_paths(sf_dir)["edges"])
 
 
+# --- KG query layer (SURVEY §2.7 parity; rows-only driver check) ----------
+
+def _q_kg_top_entities(sf_dir: str):
+    from blarify_ray.pipelines.graph_queries import top_entities
+
+    return top_entities(_kg_paths(sf_dir), k=20)
+
+
+def _q_kg_entry_points(sf_dir: str):
+    from blarify_ray.pipelines.graph_queries import entry_points
+
+    return entry_points(_kg_paths(sf_dir))
+
+
+def _q_kg_skeleton(sf_dir: str):
+    from blarify_ray.pipelines.graph_queries import skeleton
+
+    return skeleton(_kg_paths(sf_dir))
+
+
+def _q_kg_khop(sf_dir: str):
+    from blarify_ray.pipelines.graph_queries import k_hop, top_entities
+
+    paths = _kg_paths(sf_dir)
+    seed = top_entities(paths, k=1).take_all()[0]["entity_id"]
+    return k_hop(paths, [seed], max_depth=3)
+
+
+def _q_kg_find(sf_dir: str):
+    from blarify_ray.pipelines.graph_queries import find_entities
+
+    return find_entities(_kg_paths(sf_dir), "Data")
+
+
+def _q_kg_workflows(sf_dir: str):
+    from blarify_ray.pipelines.graph_queries import workflows
+
+    return workflows(_kg_paths(sf_dir), max_depth=5)
+
+
+def _q_kg_doc_search(sf_dir: str):
+    from blarify_ray.pipelines.doc_layer import doc_search
+    from blarify_ray.pipelines.graph_queries import top_entities
+
+    paths = _kg_paths(sf_dir)
+    top = top_entities(paths, k=1).take_all()[0]["name"]
+    return doc_search(paths, f"information about {top}", k=10)
+
+
+def _q_kg_domain_rollup(sf_dir: str):
+    from blarify_ray.pipelines.hierarchy import bottom_up_rollup
+
+    return bottom_up_rollup(_kg_paths(sf_dir))
+
+
+def _q_kg_mermaid(sf_dir: str):
+    import pandas as pd
+
+    from blarify_ray.pipelines.graph_queries import render_mermaid, top_entities
+
+    paths = _kg_paths(sf_dir)
+    seed = top_entities(paths, k=1).take_all()[0]["entity_id"]
+    return pd.DataFrame({"line": render_mermaid(paths, seed)})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from blarify_ray.pipelines import analytics, training_ops
 
@@ -80,6 +145,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples": _q_kg_triples,
         "kg_entities": _q_kg_entities,
         "kg_edges": _q_kg_edges,
+        "kg_top_entities": _q_kg_top_entities,
+        "kg_entry_points": _q_kg_entry_points,
+        "kg_skeleton": _q_kg_skeleton,
+        "kg_khop": _q_kg_khop,
+        "kg_find": _q_kg_find,
+        "kg_workflows": _q_kg_workflows,
+        "kg_doc_search": _q_kg_doc_search,
+        "kg_domain_rollup": _q_kg_domain_rollup,
+        "kg_mermaid": _q_kg_mermaid,
     }
     q.update(analytics.QUERIES)
     q.update(training_ops.QUERIES)

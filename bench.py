@@ -24,6 +24,10 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_ROOT = "/tmp/blarify_ray_bench"
+# --scaling uses a corpus multiplier (FIXTURES.md bench tier ~200k pages)
+# so the measured ratio reflects compute+shuffle, not fixed per-run
+# orchestration overhead that a real 100 TB run amortizes away.
+PAGES_MULT = int(os.environ.get("GRAFT_BENCH_PAGES_MULT", "1"))
 
 
 def run_bench() -> dict:
@@ -47,7 +51,7 @@ def run_bench() -> dict:
     from blarify_ray.sources.pages import pages_count_for_sf, read_pages, write_pages_parquet
     from blarify_ray.state.manifest import read_stage
 
-    n_pages = pages_count_for_sf(SF_DIR)
+    n_pages = pages_count_for_sf(SF_DIR) * PAGES_MULT
     corpus_dir = os.path.join(BENCH_ROOT, f"pages_n{n_pages}")
     if not os.path.isdir(corpus_dir) or not any(
         f.endswith(".parquet") for f in os.listdir(corpus_dir)
@@ -110,7 +114,11 @@ def run_bench() -> dict:
 
 def run_scaling() -> None:
     def one(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_BENCH_PAGES_MULT=os.environ.get("GRAFT_BENCH_PAGES_MULT", "4"),
+        )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)], env=env,
             capture_output=True, text=True, check=True,

@@ -1,0 +1,85 @@
+"""CLI entrypoint — the ``blarify create`` analog
+(``blarify/cli/main.py:10-51``, ``cli/commands/create.py:237-289``),
+submittable via ``ray job submit -- python -m blarify_ray build ...``.
+
+This is the ONLY module in the package that may call ``ray.init`` (and
+only when no session exists).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="blarify_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="run the full KG-construction pipeline")
+    b.add_argument("--out", required=True, help="output/checkpoint directory")
+    b.add_argument("--pages", type=int, required=True, help="synthetic corpus size")
+    b.add_argument("--num-cpus", type=int, default=None)
+
+    u = sub.add_parser("update", help="incremental update for changed pages")
+    u.add_argument("--out", required=True)
+    u.add_argument("--pages", type=int, required=True)
+    u.add_argument("--indices", required=True, help="comma-separated page indices")
+    u.add_argument("--num-cpus", type=int, default=None)
+
+    q = sub.add_parser("query", help="run a KG query against a built graph")
+    q.add_argument("--out", required=True)
+    q.add_argument("--name", required=True, choices=["top", "entry-points", "skeleton", "rollup"])
+    q.add_argument("--num-cpus", type=int, default=None)
+
+    args = p.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        kw = {"address": "local", "include_dashboard": False, "logging_level": "ERROR"}
+        if args.num_cpus:
+            kw["num_cpus"] = args.num_cpus
+        ray.init(**kw)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    try:
+        if args.cmd == "build":
+            from .pipelines.kg_build import build_kg
+
+            paths = build_kg(args.out, args.pages)
+            print(json.dumps({"status": "ok", "stages": paths}))
+        elif args.cmd == "update":
+            from .pipelines.incremental import incremental_update
+
+            idx = [int(x) for x in args.indices.split(",") if x]
+            paths = incremental_update(args.out, args.pages, idx)
+            print(json.dumps({"status": "ok", "stages": paths}))
+        else:
+            from .pipelines import graph_queries as gq
+            from .pipelines.hierarchy import bottom_up_rollup
+
+            paths = {
+                k: f"{args.out}/{k}"
+                for k in ("docs", "mentions", "canonical", "entities", "edges")
+            }
+            if args.name == "top":
+                rows = gq.top_entities(paths, k=10).take_all()
+            elif args.name == "entry-points":
+                rows = gq.entry_points(paths).take_all()
+            elif args.name == "skeleton":
+                rows = gq.skeleton(paths).take_all()
+            else:
+                rows = bottom_up_rollup(paths).take_all()
+            for r in rows:
+                print(json.dumps(r, default=str))
+    finally:
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -25,7 +25,7 @@ reference's bottom-up batch processor loop with its stuck-round guard
 from __future__ import annotations
 
 from .config import PipelineConfig
-from .minhash import band_hashes, make_perms, minhash_signature
+from .minhash import band_hashes, make_perms, signature_for
 from .text import char_shingles, jaccard
 
 
@@ -55,7 +55,7 @@ def lsh_buckets(keys: list[str], cfg: PipelineConfig) -> dict[tuple[int, int], l
     a, b = make_perms(cfg.minhash_perms)
     buckets: dict[tuple[int, int], list[str]] = {}
     for k in keys:
-        sig = minhash_signature(char_shingles(k, cfg.shingle_k), a, b)
+        sig = signature_for(k, cfg.shingle_k, a, b)
         for band_id, bh in enumerate(band_hashes(sig, cfg.lsh_bands)):
             buckets.setdefault((band_id, bh), []).append(k)
     return buckets
@@ -71,7 +71,7 @@ def verified_pairs(
     seen: set[tuple[str, str]] = set()
     out: list[tuple[str, str, float]] = []
     for members in lsh_buckets(keys, cfg).values():
-        if len(members) < 2:
+        if len(members) < 2 or len(members) > cfg.max_lsh_bucket:
             continue
         unks = [m for m in members if m in unk_norms]
         if not unks:

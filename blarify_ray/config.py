@@ -43,7 +43,12 @@ class PipelineConfig:
     # with large_string text columns.
     extract_batch_size: int = 256
     ner_batch_size: int = 256
-    ner_concurrency: int = 4  # actor-pool size for the mention detector
+    ner_concurrency: int = 16  # actor-pool size for the mention detector
+    # (util.pool_size caps it at half the cluster CPUs at runtime)
+
+    # partition count for partition-level groupby fns (hash the group key
+    # into this many Ray-level groups; vectorized aggregation inside)
+    agg_partitions: int = 64
 
     # MinHash-LSH canonicalization.
     minhash_perms: int = 64
@@ -52,6 +57,16 @@ class PipelineConfig:
     jaccard_threshold: float = 0.45  # adjacent-letter typos land at J≈0.5
     cc_max_rounds: int = 12  # convergence guard, cf. the reference's
     # stuck-round cycle breaker (bottom_up_batch_processor.py:224-238)
+    # below this many unk–unk pairs, union-find runs on the driver (the
+    # guide's "provably small" case); above it, the distributed
+    # min-label-propagation loop takes over
+    cc_driver_max_pairs: int = 5_000_000
+    # hot-bucket guard (skew handling): an LSH bucket with more members
+    # than this is skipped entirely — deterministic, applied identically
+    # by the serial spec and the distributed stage. A near-dup pair
+    # shares many of the 32 bands, so losing its hottest buckets rarely
+    # loses the pair; it only bounds the quadratic enumeration.
+    max_lsh_bucket: int = 100
 
     # Salting for hot keys (north_rule skew requirement).
     salt_buckets: int = 16

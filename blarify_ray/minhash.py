@@ -30,6 +30,32 @@ def shingle_hash32(s: str) -> int:
     return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:4], "big") % _P
 
 
+def shingle_codes(s: str, k: int) -> np.ndarray:
+    """Vectorized char-k-shingle codes of the padded string ``^s$``:
+    positional byte encoding (exact, collision-free for k ≤ 4 on ASCII
+    norms) — one numpy expression instead of one md5 per shingle."""
+    arr = np.frombuffer(f"^{s}$".encode("utf-8"), dtype=np.uint8)
+    if len(arr) <= k:
+        v = 0
+        for c in arr:
+            v = v * 256 + int(c)
+        return np.array([v % _P], dtype=np.uint64)
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    w = sliding_window_view(arr, k).astype(np.uint64)
+    mult = (256 ** np.arange(k - 1, -1, -1)).astype(np.uint64)
+    return (w * mult).sum(axis=1) % _P
+
+
+def signature_for(s: str, k: int, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """MinHash signature of a normalized surface string — the shared
+    primitive of the serial spec and the distributed stage (bit-identical
+    by construction)."""
+    xs = shingle_codes(s, k)
+    m = (a[:, None] * xs[None, :] + b[:, None]) % _P
+    return m.min(axis=1)
+
+
 def minhash_signature(shingles: set[str], a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """uint64 signature of length n_perms. Empty set → all-max sentinel."""
     if not shingles:

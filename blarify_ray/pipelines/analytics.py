@@ -528,9 +528,64 @@ JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name
 """
 
+# --- orders_last_event (as-of join) ----------------------------------------
+
+def q_orders_last_event(sf_dir: str):
+    """As-of join: each event ⋈ the user's most recent per-day order
+    aggregate at or before the event ts (co-partition by key +
+    merge_asof per partition). The right side is pre-aggregated to one
+    row per (user, day), so the as-of pick is tie-free and
+    deterministic on both engines."""
+    from ray.data.aggregate import Sum
+
+    from ..ops.joins import asof_join
+
+    orders = _t(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"]).map_batches(
+        lambda t: pa.Table.from_pydict(
+            {
+                "user_id": t["o_custkey"],
+                "o_orderdate": t["o_orderdate"],
+                "cents": _cents(t["o_totalprice"]),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    daily = orders.groupby(["user_id", "o_orderdate"]).aggregate(
+        Sum("cents", alias_name="day_cents")
+    )
+    events = _t(sf_dir, "events", ["user_id", "event_id", "ts"])
+    joined = asof_join(
+        events, daily, key="user_id", left_ts="ts", right_ts="o_orderdate",
+        right_cols=["o_orderdate", "day_cents"],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["day_cents"]))
+        return pa.Table.from_pydict(
+            {
+                "event_id": pc.cast(t["event_id"], pa.int64()),
+                "user_id": pc.cast(t["user_id"], pa.int64()),
+                "o_orderdate": pc.cast(t["o_orderdate"], pa.timestamp("us")),
+                "day_cents": pc.cast(t["day_cents"], pa.int64()),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_ASOF = """
+SELECT event_id, events.user_id AS user_id, o_orderdate, day_cents
+FROM events ASOF JOIN (
+  SELECT o_custkey AS user_id, o_orderdate,
+         CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS day_cents
+  FROM orders GROUP BY o_custkey, o_orderdate
+) daily ON events.user_id = daily.user_id AND daily.o_orderdate <= events.ts
+"""
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
+    "orders_last_event": q_orders_last_event,
     "pricing_summary": q_pricing_summary,
     "top_customer_revenue": q_top_customer_revenue,
     "users_without_purchase": q_users_without_purchase,
@@ -550,6 +605,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "orders_last_event": SQL_ASOF,
     "pricing_summary": SQL_PRICING,
     "top_customer_revenue": SQL_TOP_CUSTOMER,
     "users_without_purchase": SQL_NO_PURCHASE,

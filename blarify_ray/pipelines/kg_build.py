@@ -40,15 +40,22 @@ def build_kg(
     cfg: PipelineConfig = DEFAULT_CONFIG,
     pages: ray.data.Dataset | None = None,
     source_fingerprint: str | None = None,
+    _upstream_lineages: dict[str, str] | None = None,
+    **_ignored,
 ) -> dict[str, str]:
-    """Run (or resume) the full pipeline; returns stage paths."""
+    """Run (or resume) the full pipeline; returns stage paths.
+
+    ``_upstream_lineages`` lets the incremental path inject the lineage
+    values it already wrote for docs/mentions so those stages are
+    recognized as current and only the aggregates recompute."""
     os.makedirs(out_dir, exist_ok=True)
     entities = entity_universe(n_pages)
     gaz_fp = lineage_hash("gazetteer", len(entities))
     src_fp = source_fingerprint or lineage_hash("synth", n_pages, cfg.max_html_bytes)
+    up = _upstream_lineages or {}
 
     # S1
-    docs_lin = lineage_hash("docs", src_fp, cfg.supported_langs, cfg.max_html_bytes)
+    docs_lin = up.get("docs") or lineage_hash("docs", src_fp, cfg.supported_langs, cfg.max_html_bytes)
 
     def produce_docs(tmp: str) -> None:
         ds = pages if pages is not None else synth_pages(n_pages, cfg)
@@ -57,7 +64,7 @@ def build_kg(
     docs_path, docs_skipped = run_stage(out_dir, "docs", docs_lin, produce_docs)
 
     # S2–S4
-    men_lin = lineage_hash("mentions", docs_lin, gaz_fp, cfg.ner_batch_size)
+    men_lin = up.get("mentions") or lineage_hash("mentions", docs_lin, gaz_fp, cfg.ner_batch_size)
 
     def produce_mentions(tmp: str) -> None:
         ents_ref = ray.put(entities)
@@ -106,7 +113,13 @@ def build_kg(
 
     def produce_edges(tmp: str) -> None:
         canon_ref = ray.put(canon)
-        mr = read_stage(men_path)
+        mr = read_stage(
+            men_path,
+            columns=[
+                "url", "sent_id", "key", "etype", "resolved",
+                "pred", "obj_key", "obj_type", "obj_resolved",
+            ],
+        )
         build_edges(triples_projection(mr), canon_ref, cfg).sort(
             ["bucket", "src_id", "pred", "dst_id"]
         ).write_parquet(tmp, partition_cols=["bucket"])
@@ -164,5 +177,11 @@ def triples_table(paths: dict[str, str], cfg: PipelineConfig = DEFAULT_CONFIG) -
             }
         )
 
-    mr = read_stage(paths["mentions"])
+    mr = read_stage(
+        paths["mentions"],
+        columns=[
+            "url", "sent_id", "key", "etype", "resolved",
+            "pred", "obj_key", "obj_type", "obj_resolved",
+        ],
+    )
     return triples_projection(mr).map_batches(resolve, batch_format="pyarrow")

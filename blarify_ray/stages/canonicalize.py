@@ -32,19 +32,23 @@ import pyarrow.compute as pc
 import ray.data
 
 from ..config import DEFAULT_CONFIG, PipelineConfig
-from ..minhash import band_hashes, make_perms, minhash_signature
+from ..minhash import band_hashes, make_perms, signature_for
 from ..text import char_shingles, jaccard
 
 
 def distinct_unk_norms(mentions_resolved: ray.data.Dataset) -> ray.data.Dataset:
-    """Distinct normalized surfaces of unresolved mentions → ds[norm]."""
+    """Distinct normalized surfaces of unresolved mentions → ds[norm].
+    Partial distinct per batch first (a batch's unks collapse to a tiny
+    set) so the global distinct shuffle moves entity-scale rows, not
+    mention-scale rows."""
 
-    def project(t: pa.Table) -> pa.Table:
+    def local_distinct(t: pa.Table) -> pa.Table:
         t = t.filter(pc.invert(t["resolved"]))
-        return pa.Table.from_arrays([t["key"]], names=["norm"])
+        uniq = sorted(set(t["key"].to_pylist()))
+        return pa.Table.from_pydict({"norm": pa.array(uniq, pa.string())})
 
     return (
-        mentions_resolved.map_batches(project, batch_format="pyarrow")
+        mentions_resolved.map_batches(local_distinct, batch_format="pyarrow", batch_size=8192)
         .groupby("norm")
         .count()
         .select_columns(["norm"])
@@ -54,10 +58,14 @@ def distinct_unk_norms(mentions_resolved: ray.data.Dataset) -> ray.data.Dataset:
 def _band_rows(t: pa.Table, cfg: PipelineConfig, perms) -> pa.Table:
     a, b = perms
     norms, knowns = t["norm"].to_pylist(), t["is_known"].to_pylist()
-    out = {"band_id": [], "band_hash": [], "norm": [], "is_known": []}
+    out = {"pkey": [], "band_id": [], "band_hash": [], "norm": [], "is_known": []}
     for norm, k in zip(norms, knowns):
-        sig = minhash_signature(char_shingles(norm, cfg.shingle_k), a, b)
+        sig = signature_for(norm, cfg.shingle_k, a, b)
         for band_id, bh in enumerate(band_hashes(sig, cfg.lsh_bands)):
+            # pkey routes WHOLE buckets to Ray-level partitions: the
+            # shuffle groups ~agg_partitions partitions, not one Ray
+            # group per LSH bucket (500k tiny map_groups calls → ~64).
+            out["pkey"].append(bh % cfg.agg_partitions)
             out["band_id"].append(band_id)
             out["band_hash"].append(bh)
             out["norm"].append(norm)
@@ -65,27 +73,50 @@ def _band_rows(t: pa.Table, cfg: PipelineConfig, perms) -> pa.Table:
     return pa.Table.from_pydict(out)
 
 
-def _bucket_pairs(group: pa.Table, cfg: PipelineConfig) -> pa.Table:
-    """Verified pairs within one LSH bucket; ≥1 unk side; x<y."""
+def _partition_pairs(group: pa.Table, cfg: PipelineConfig) -> pa.Table:
+    """Verified pairs for every LSH bucket routed to this partition;
+    ≥1 unk side; x<y. Buckets are reconstructed locally with a dict —
+    same pairs as per-bucket processing, two orders of magnitude fewer
+    Ray-level groups."""
     out = {"x": [], "y": [], "j": [], "x_known": [], "y_known": []}
-    if group.num_rows >= 2:
-        members = sorted(set(zip(group["norm"].to_pylist(), group["is_known"].to_pylist())))
+    buckets: dict[tuple[int, int], list[tuple[str, bool]]] = {}
+    for band_id, bh, norm, k in zip(
+        group["band_id"].to_pylist(), group["band_hash"].to_pylist(),
+        group["norm"].to_pylist(), group["is_known"].to_pylist(),
+    ):
+        buckets.setdefault((band_id, bh), []).append((norm, k))
+    sh_cache: dict[str, set] = {}
+    seen: set[tuple[str, str]] = set()
+
+    def sh(m: str):
+        s = sh_cache.get(m)
+        if s is None:
+            s = sh_cache[m] = char_shingles(m, cfg.shingle_k)
+        return s
+
+    for members0 in buckets.values():
+        if len(members0) < 2 or len(members0) > cfg.max_lsh_bucket:
+            continue
+        members = sorted(set(members0))
         unks = [m for m, k in members if not k]
-        if unks:
-            known_of = dict(members)
-            sh = {m: char_shingles(m, cfg.shingle_k) for m, _ in members}
-            for u in unks:
-                for v, _vk in members:
-                    if v == u:
-                        continue
-                    x, y = (u, v) if u < v else (v, u)
-                    j = jaccard(sh[x], sh[y])
-                    if j >= cfg.jaccard_threshold:
-                        out["x"].append(x)
-                        out["y"].append(y)
-                        out["j"].append(j)
-                        out["x_known"].append(known_of[x])
-                        out["y_known"].append(known_of[y])
+        if not unks:
+            continue
+        known_of = dict(members)
+        for u in unks:
+            for v, _vk in members:
+                if v == u:
+                    continue
+                x, y = (u, v) if u < v else (v, u)
+                if (x, y) in seen:
+                    continue
+                seen.add((x, y))
+                j = jaccard(sh(x), sh(y))
+                if j >= cfg.jaccard_threshold:
+                    out["x"].append(x)
+                    out["y"].append(y)
+                    out["j"].append(j)
+                    out["x_known"].append(known_of[x])
+                    out["y_known"].append(known_of[y])
     return pa.Table.from_pydict(
         out,
         schema=pa.schema(
@@ -164,9 +195,13 @@ def build_canonical_map(
     """→ small Arrow table (norm, name, etype, is_new) for every distinct
     unresolved surface norm. Materialized (entity-scale, not page-scale);
     the driver broadcasts it to the resolve stages via ``ray.put``."""
-    unks = distinct_unk_norms(mentions_resolved).map_batches(
-        lambda t: t.append_column("is_known", pa.array([False] * t.num_rows)),
-        batch_format="pyarrow",
+    unks = (
+        distinct_unk_norms(mentions_resolved)
+        .map_batches(
+            lambda t: t.append_column("is_known", pa.array([False] * t.num_rows)),
+            batch_format="pyarrow",
+        )
+        .materialize()  # reused for band generation AND the final unk list
     )
     known_tbl = pa.Table.from_pydict(
         {
@@ -181,40 +216,60 @@ def build_canonical_map(
         lambda t: _band_rows(t, cfg, perms), batch_format="pyarrow", batch_size=2048
     )
     pairs = (
-        bands.groupby(["band_id", "band_hash"])
-        .map_groups(lambda g: _bucket_pairs(g, cfg), batch_format="pyarrow")
+        bands.groupby("pkey")
+        .map_groups(lambda g: _partition_pairs(g, cfg), batch_format="pyarrow")
         .map_batches(_dedup_pairs, batch_format="pyarrow")
         .materialize()
     )
+    # cross-partition duplicate pairs are possible — harmless: argmax and
+    # union-find are idempotent over duplicates.
 
-    # unk→known attachments: argmax Jaccard per unk (tie → min known norm)
-    def att_rows(t: pa.Table) -> pa.Table:
-        mask = pc.xor(t["x_known"], t["y_known"])
-        t = t.filter(mask)
-        unk = pc.if_else(t["x_known"], t["y"], t["x"])
-        kn = pc.if_else(t["x_known"], t["x"], t["y"])
-        return pa.Table.from_pydict({"unk": unk, "known": kn, "j": t["j"]})
+    # The verified pair set is entity-scale by construction (distinct
+    # surfaces, not corpus rows) — pull it to the driver ONCE and do the
+    # argmax attachment + union-find in-process; fall back to the
+    # distributed min-label loop only when it is genuinely large.
+    n_pairs = pairs.count()
+    att_map: dict[str, tuple[float, str]] = {}
+    if n_pairs <= cfg.cc_driver_max_pairs:
+        uu_rows: list[tuple[str, str]] = []
+        for r in pairs.take_all():
+            xk, yk = r["x_known"], r["y_known"]
+            if xk ^ yk:
+                u, k = (r["y"], r["x"]) if xk else (r["x"], r["y"])
+                cur = att_map.get(u)
+                cand = (r["j"], k)
+                if cur is None or (cand[0], _rev(cand[1])) > (cur[0], _rev(cur[1])):
+                    att_map[u] = cand
+            elif not xk and not yk:
+                uu_rows.append((r["x"], r["y"]))
+        from ..canonical import UnionFind
 
-    atts = pairs.map_batches(att_rows, batch_format="pyarrow")
+        uf = UnionFind()
+        for x, y in uu_rows:
+            uf.union(x, y)
+        comp_map = {k: uf.find(k) for k in list(uf.parent)}
+    else:
 
-    def argmax_att(g: pa.Table) -> pa.Table:
-        js = g["j"].to_pylist()
-        ks = g["known"].to_pylist()
-        best = max(range(len(js)), key=lambda i: (js[i], _rev(ks[i])))
-        return g.slice(best, 1)
+        def att_rows(t: pa.Table) -> pa.Table:
+            mask = pc.xor(t["x_known"], t["y_known"])
+            t = t.filter(mask)
+            unk = pc.if_else(t["x_known"], t["y"], t["x"])
+            kn = pc.if_else(t["x_known"], t["x"], t["y"])
+            return pa.Table.from_pydict({"unk": unk, "known": kn, "j": t["j"]})
 
-    best_att = atts.groupby("unk").map_groups(argmax_att, batch_format="pyarrow")
-
-    # unk–unk pairs → components
-    uu = pairs.map_batches(
-        lambda t: t.filter(pc.invert(pc.or_(t["x_known"], t["y_known"]))),
-        batch_format="pyarrow",
-    )
-    comp_map = connected_components(uu, cfg)
+        for r in pairs.map_batches(att_rows, batch_format="pyarrow").take_all():
+            cur = att_map.get(r["unk"])
+            cand = (r["j"], r["known"])
+            if cur is None or (cand[0], _rev(cand[1])) > (cur[0], _rev(cur[1])):
+                att_map[r["unk"]] = cand
+        uu = pairs.map_batches(
+            lambda t: t.filter(pc.invert(pc.or_(t["x_known"], t["y_known"]))),
+            batch_format="pyarrow",
+        ).materialize()
+        comp_map = connected_components(uu, cfg)
 
     # Assemble on the driver — every table here is entity-scale.
     unk_list = [r["norm"] for r in unks.select_columns(["norm"]).take_all()]
-    att_map = {r["unk"]: (r["j"], r["known"]) for r in best_att.take_all()}
 
     # per-component best attachment
     comp_best: dict[str, tuple[float, str]] = {}

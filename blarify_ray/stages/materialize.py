@@ -8,23 +8,23 @@ re-run-converges property without a database.
 
 Skew handling (north_rule): both aggregations use the partial/combiner
 pattern — a vectorized per-batch pre-aggregation emits ≤1 row per key
-per batch, so the hot entity (~30% of pages) reaches the global
-``groupby`` as one row per upstream batch instead of one row per
-mention. That bounds the reduce fan-in by block count, which is the
-salting effect without re-keying.
+per batch, so the hot entity (~30% of pages) reaches the global shuffle
+as one row per upstream batch instead of one row per mention. The final
+merge groups by ``gkey = hash(key) % agg_partitions`` (partition-level
+map_groups with a local dict aggregation inside) rather than one
+Ray-level group per key — bounded fan-in AND bounded task count.
 """
 
 from __future__ import annotations
 
 import pyarrow as pa
-import pyarrow.compute as pc
 import ray
 import ray.data
 
 from ..config import DEFAULT_CONFIG, PipelineConfig
-from ..ids import entity_id, id_bucket
-from ..util import pool_size
+from ..ids import entity_id, id_bucket, stable_u64
 from ..schemas import EDGES, ENTITIES
+from ..util import get_broadcast
 
 
 def _resolve_arrays(keys, etypes, resolveds, canon: dict):
@@ -40,43 +40,36 @@ def _resolve_arrays(keys, etypes, resolveds, canon: dict):
     return names, types
 
 
-class _CanonResolver:
-    """Shared actor-side state: the broadcast canonical map, fetched once
-    per worker from the object store."""
-
-    def __init__(self, canon_ref):
-        canon = ray.get(canon_ref) if not isinstance(canon_ref, dict) else canon_ref
-        self.canon = canon
-
-
-class EntityPartials(_CanonResolver):
-    """Per-batch partial aggregation: (name, type) → n, distinct surfaces."""
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        names, types = _resolve_arrays(
-            batch["key"].to_pylist(), batch["etype"].to_pylist(), batch["resolved"].to_pylist(), self.canon
-        )
-        agg: dict[tuple[str, str], tuple[int, set]] = {}
-        for name, typ, surf in zip(names, types, batch["surface"].to_pylist()):
-            cur = agg.get((name, typ))
-            if cur is None:
-                agg[(name, typ)] = (1, {surf})
-            else:
-                cur[1].add(surf)
-                agg[(name, typ)] = (cur[0] + 1, cur[1])
-        ks = sorted(agg)
-        return pa.Table.from_pydict(
-            {
-                "name": [k[0] for k in ks],
-                "type": [k[1] for k in ks],
-                "n": [agg[k][0] for k in ks],
-                "surfaces": [sorted(agg[k][1]) for k in ks],
-            },
-            schema=pa.schema(
-                [("name", pa.string()), ("type", pa.string()), ("n", pa.int64()),
-                 ("surfaces", pa.list_(pa.string()))]
-            ),
-        )
+def entity_partials(batch: pa.Table, canon_ref, agg_partitions: int) -> pa.Table:
+    """Per-batch partial aggregation: (name, type) → n, distinct
+    surfaces. A stateless TASK (not an actor pool — the only state is
+    the broadcast canonical map, cached per worker by get_broadcast)."""
+    canon = get_broadcast(canon_ref)
+    names, types = _resolve_arrays(
+        batch["key"].to_pylist(), batch["etype"].to_pylist(), batch["resolved"].to_pylist(), canon
+    )
+    agg: dict[tuple[str, str], tuple[int, set]] = {}
+    for name, typ, surf in zip(names, types, batch["surface"].to_pylist()):
+        cur = agg.get((name, typ))
+        if cur is None:
+            agg[(name, typ)] = (1, {surf})
+        else:
+            cur[1].add(surf)
+            agg[(name, typ)] = (cur[0] + 1, cur[1])
+    ks = sorted(agg)
+    return pa.Table.from_pydict(
+        {
+            "gkey": [stable_u64(f"{k[0]}\x00{k[1]}") % agg_partitions for k in ks],
+            "name": [k[0] for k in ks],
+            "type": [k[1] for k in ks],
+            "n": [agg[k][0] for k in ks],
+            "surfaces": [sorted(agg[k][1]) for k in ks],
+        },
+        schema=pa.schema(
+            [("gkey", pa.int32()), ("name", pa.string()), ("type", pa.string()),
+             ("n", pa.int64()), ("surfaces", pa.list_(pa.string()))]
+        ),
+    )
 
 
 def build_entities(
@@ -85,73 +78,79 @@ def build_entities(
     cfg: PipelineConfig = DEFAULT_CONFIG,
 ) -> ray.data.Dataset:
     partials = mentions_resolved.map_batches(
-        EntityPartials,
-        fn_constructor_kwargs={"canon_ref": canon_ref},
+        lambda b, _r=canon_ref, _p=cfg.agg_partitions: entity_partials(b, _r, _p),
         batch_format="pyarrow",
         batch_size=4096,
-        concurrency=pool_size(cfg.ner_concurrency),
-        num_cpus=1,
     )
 
-    def merge(group: pa.Table) -> pa.Table:
-        name = group["name"][0].as_py()
-        typ = group["type"][0].as_py()
-        n = int(pc.sum(group["n"]).as_py())
-        aliases = sorted({s for lst in group["surfaces"].to_pylist() for s in lst})
-        eid = entity_id(cfg.env, typ, name)
+    def merge_partition(group: pa.Table) -> pa.Table:
+        agg: dict[tuple[str, str], tuple[int, set]] = {}
+        for name, typ, n, surfs in zip(
+            group["name"].to_pylist(), group["type"].to_pylist(),
+            group["n"].to_pylist(), group["surfaces"].to_pylist(),
+        ):
+            cur = agg.get((name, typ))
+            if cur is None:
+                agg[(name, typ)] = (n, set(surfs))
+            else:
+                cur[1].update(surfs)
+                agg[(name, typ)] = (cur[0] + n, cur[1])
+        ks = sorted(agg)
+        eids = [entity_id(cfg.env, typ, name) for name, typ in ks]
         return pa.Table.from_pydict(
             {
-                "entity_id": [eid],
-                "name": [name],
-                "type": [typ],
-                "aliases": [aliases],
-                "n_mentions": [n],
-                "bucket": [id_bucket(eid, cfg.num_buckets)],
+                "entity_id": eids,
+                "name": [k[0] for k in ks],
+                "type": [k[1] for k in ks],
+                "aliases": [sorted(agg[k][1]) for k in ks],
+                "n_mentions": [agg[k][0] for k in ks],
+                "bucket": [id_bucket(e, cfg.num_buckets) for e in eids],
             },
             schema=ENTITIES,
         )
 
-    return partials.groupby(["name", "type"]).map_groups(merge, batch_format="pyarrow")
+    return partials.groupby("gkey").map_groups(merge_partition, batch_format="pyarrow")
 
 
-class EdgePartials(_CanonResolver):
+def edge_partials(batch: pa.Table, canon_ref, agg_partitions: int) -> pa.Table:
     """Per-batch partial aggregation of triples:
-    (subj, st, pred, obj, ot) → weight, min-(url, sent_id) provenance."""
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        snames, stypes = _resolve_arrays(
-            batch["subj_key"].to_pylist(), batch["subj_type"].to_pylist(),
-            batch["subj_resolved"].to_pylist(), self.canon,
-        )
-        onames, otypes = _resolve_arrays(
-            batch["obj_key"].to_pylist(), batch["obj_type"].to_pylist(),
-            batch["obj_resolved"].to_pylist(), self.canon,
-        )
-        agg: dict[tuple, tuple[int, tuple[str, int]]] = {}
-        for sn, st, p, on, ot, url, sid in zip(
-            snames, stypes, batch["pred"].to_pylist(), onames, otypes,
-            batch["url"].to_pylist(), batch["sent_id"].to_pylist(),
-        ):
-            k = (sn, st, p, on, ot)
-            prov = (url, sid)
-            cur = agg.get(k)
-            if cur is None:
-                agg[k] = (1, prov)
-            else:
-                agg[k] = (cur[0] + 1, min(cur[1], prov))
-        ks = sorted(agg)
-        return pa.Table.from_pydict(
-            {
-                "subj": [k[0] for k in ks],
-                "subj_type": [k[1] for k in ks],
-                "pred": [k[2] for k in ks],
-                "obj": [k[3] for k in ks],
-                "obj_type": [k[4] for k in ks],
-                "weight": [agg[k][0] for k in ks],
-                "url": [agg[k][1][0] for k in ks],
-                "sent_id": [agg[k][1][1] for k in ks],
-            }
-        )
+    (subj, st, pred, obj, ot) → weight, min-(url, sent_id) provenance.
+    Stateless task; broadcast map cached per worker."""
+    canon = get_broadcast(canon_ref)
+    snames, stypes = _resolve_arrays(
+        batch["subj_key"].to_pylist(), batch["subj_type"].to_pylist(),
+        batch["subj_resolved"].to_pylist(), canon,
+    )
+    onames, otypes = _resolve_arrays(
+        batch["obj_key"].to_pylist(), batch["obj_type"].to_pylist(),
+        batch["obj_resolved"].to_pylist(), canon,
+    )
+    agg: dict[tuple, tuple[int, tuple[str, int]]] = {}
+    for sn, st, p, on, ot, url, sid in zip(
+        snames, stypes, batch["pred"].to_pylist(), onames, otypes,
+        batch["url"].to_pylist(), batch["sent_id"].to_pylist(),
+    ):
+        k = (sn, st, p, on, ot)
+        prov = (url, sid)
+        cur = agg.get(k)
+        if cur is None:
+            agg[k] = (1, prov)
+        else:
+            agg[k] = (cur[0] + 1, min(cur[1], prov))
+    ks = sorted(agg)
+    return pa.Table.from_pydict(
+        {
+            "gkey": [stable_u64("\x00".join(k)) % agg_partitions for k in ks],
+            "subj": [k[0] for k in ks],
+            "subj_type": [k[1] for k in ks],
+            "pred": [k[2] for k in ks],
+            "obj": [k[3] for k in ks],
+            "obj_type": [k[4] for k in ks],
+            "weight": [agg[k][0] for k in ks],
+            "url": [agg[k][1][0] for k in ks],
+            "sent_id": [agg[k][1][1] for k in ks],
+        }
+    )
 
 
 def build_edges(
@@ -160,38 +159,41 @@ def build_edges(
     cfg: PipelineConfig = DEFAULT_CONFIG,
 ) -> ray.data.Dataset:
     partials = triples_linked.map_batches(
-        EdgePartials,
-        fn_constructor_kwargs={"canon_ref": canon_ref},
+        lambda b, _r=canon_ref, _p=cfg.agg_partitions: edge_partials(b, _r, _p),
         batch_format="pyarrow",
         batch_size=4096,
-        concurrency=pool_size(cfg.ner_concurrency),
-        num_cpus=1,
     )
 
-    def merge(group: pa.Table) -> pa.Table:
-        sn = group["subj"][0].as_py()
-        st = group["subj_type"][0].as_py()
-        p = group["pred"][0].as_py()
-        on = group["obj"][0].as_py()
-        ot = group["obj_type"][0].as_py()
-        weight = int(pc.sum(group["weight"]).as_py())
-        prov = min(zip(group["url"].to_pylist(), group["sent_id"].to_pylist()))
-        src = entity_id(cfg.env, st, sn)
-        dst = entity_id(cfg.env, ot, on)
+    def merge_partition(group: pa.Table) -> pa.Table:
+        agg: dict[tuple, tuple[int, tuple[str, int]]] = {}
+        for sn, st, p, on, ot, w, url, sid in zip(
+            group["subj"].to_pylist(), group["subj_type"].to_pylist(),
+            group["pred"].to_pylist(), group["obj"].to_pylist(),
+            group["obj_type"].to_pylist(), group["weight"].to_pylist(),
+            group["url"].to_pylist(), group["sent_id"].to_pylist(),
+        ):
+            k = (sn, st, p, on, ot)
+            prov = (url, sid)
+            cur = agg.get(k)
+            if cur is None:
+                agg[k] = (w, prov)
+            else:
+                agg[k] = (cur[0] + w, min(cur[1], prov))
+        ks = sorted(agg)
+        srcs = [entity_id(cfg.env, k[1], k[0]) for k in ks]
+        dsts = [entity_id(cfg.env, k[4], k[3]) for k in ks]
         return pa.Table.from_pydict(
             {
-                "src_id": [src],
-                "dst_id": [dst],
-                "pred": [p],
-                "scope_text": [""],
-                "url": [prov[0]],
-                "sent_id": [prov[1]],
-                "weight": [weight],
-                "bucket": [id_bucket(src, cfg.num_buckets)],
+                "src_id": srcs,
+                "dst_id": dsts,
+                "pred": [k[2] for k in ks],
+                "scope_text": [""] * len(ks),
+                "url": [agg[k][1][0] for k in ks],
+                "sent_id": [agg[k][1][1] for k in ks],
+                "weight": [agg[k][0] for k in ks],
+                "bucket": [id_bucket(s, cfg.num_buckets) for s in srcs],
             },
             schema=EDGES,
         )
 
-    return partials.groupby(["subj", "subj_type", "pred", "obj", "obj_type"]).map_groups(
-        merge, batch_format="pyarrow"
-    )
+    return partials.groupby("gkey").map_groups(merge_partition, batch_format="pyarrow")

@@ -26,8 +26,30 @@ import ray.data
 from .. import __version__
 
 
+_CODE_DIGEST: str | None = None
+
+
+def _code_digest() -> str:
+    """md5 over the package's .py sources — lineage becomes code-change
+    sensitive, so a checkpoint produced by older code never survives a
+    deploy (the run_id-mismatch invalidation, made automatic)."""
+    global _CODE_DIGEST
+    if _CODE_DIGEST is None:
+        import blarify_ray
+
+        root = os.path.dirname(blarify_ray.__file__)
+        h = hashlib.md5()
+        for dp, _dns, fns in sorted(os.walk(root)):
+            for fn in sorted(fns):
+                if fn.endswith(".py"):
+                    with open(os.path.join(dp, fn), "rb") as f:
+                        h.update(f.read())
+        _CODE_DIGEST = h.hexdigest()
+    return _CODE_DIGEST
+
+
 def lineage_hash(*parts: object) -> str:
-    blob = json.dumps([__version__, *[str(p) for p in parts]], sort_keys=True)
+    blob = json.dumps([__version__, _code_digest(), *[str(p) for p in parts]], sort_keys=True)
     return hashlib.md5(blob.encode()).hexdigest()
 
 

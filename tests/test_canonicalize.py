@@ -38,6 +38,26 @@ def test_unk_cluster_merges_and_shares_attachment():
         assert canon[u][0] == "Global Data Systems"
 
 
+def test_distributed_cc_loop():
+    """Exercise the distributed min-label-propagation path directly (the
+    driver fallback handles small pair sets in build_canonical_map)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from blarify_ray.stages.canonicalize import connected_components
+
+    pairs = rd.from_arrow(
+        pa.table(
+            {
+                "x": ["b", "c", "e", "z"],
+                "y": ["a", "b", "f", "y"],
+            }
+        )
+    )
+    comp = connected_components(pairs, DEFAULT_CONFIG)
+    assert comp == {"a": "a", "b": "a", "c": "a", "e": "e", "f": "e", "y": "y", "z": "y"}
+
+
 def test_distributed_matches_serial_spec():
     import pyarrow as pa
     import ray.data as rd

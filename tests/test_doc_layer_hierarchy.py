@@ -1,0 +1,114 @@
+"""Documentation layer, vector search over it, bottom-up rollup, mermaid
+render, and the generic as-of / interval join ops."""
+
+import shutil
+from urllib.parse import urlparse
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from blarify_ray.ops.joins import asof_join, interval_join
+from blarify_ray.pipelines.doc_layer import EMBED_DIM, build_doc_layer, doc_search, hash_embed
+from blarify_ray.pipelines.graph_queries import render_mermaid
+from blarify_ray.pipelines.hierarchy import bottom_up_rollup
+from blarify_ray.pipelines.kg_build import build_kg
+from blarify_ray.state.manifest import read_stage
+
+N = 60
+OUT = "/tmp/blarify_ray_test_dl"
+
+
+@pytest.fixture(scope="module")
+def built():
+    shutil.rmtree(OUT, ignore_errors=True)
+    return build_kg(OUT, N)
+
+
+def test_doc_layer_rows_and_embeddings(built):
+    layer = build_doc_layer(built).take_all()
+    n_ents = read_stage(built["entities"]).count()
+    assert len(layer) == n_ents
+    r = layer[0]
+    assert r["layer"] == "documentation" and len(r["content_embedding"]) == EMBED_DIM
+    assert r["name"] in r["content"]
+    # embedding is the deterministic stub of the content
+    assert list(hash_embed(r["content"])) == pytest.approx(list(r["content_embedding"]))
+
+
+def test_doc_search_self_retrieval(built):
+    layer = build_doc_layer(built).take_all()
+    target = layer[0]
+    # querying with the exact content puts that entity at rank 1 (cos=1)
+    hits = doc_search(built, target["content"], k=3).take_all()
+    assert hits[0]["entity_id"] == target["entity_id"]
+    assert hits[0]["score"] == pytest.approx(1.0, abs=1e-5)
+
+
+def test_bottom_up_rollup_matches_direct(built):
+    rollup = bottom_up_rollup(built).take_all()
+    docs = read_stage(built["docs"], columns=["url", "n_sents"]).take_all()
+    # direct single-pass check for one domain and one tld
+    by_domain: dict[str, int] = {}
+    for d in docs:
+        by_domain[urlparse(d["url"]).netloc] = by_domain.get(urlparse(d["url"]).netloc, 0) + 1
+    lv1 = {r["node"]: r["n_docs"] for r in rollup if r["level"] == 1}
+    assert lv1 == by_domain
+    lv2 = {r["node"]: r["n_docs"] for r in rollup if r["level"] == 2}
+    assert sum(lv2.values()) == len(docs)
+    root = [r for r in rollup if r["level"] == 3]
+    assert len(root) == 1 and root[0]["n_docs"] == len(docs)
+
+
+def test_render_mermaid(built):
+    edge = read_stage(built["edges"]).take(1)[0]
+    lines = render_mermaid(built, edge["src_id"])
+    assert lines[0] == "graph TD" and len(lines) > 1
+    assert any("-->" in ln for ln in lines[1:])
+
+
+def test_asof_join_generic():
+    left = rd.from_arrow(
+        pa.table(
+            {
+                "k": [1, 1, 2, 3],
+                "lts": pd.to_datetime(["2024-01-05", "2024-01-01", "2024-01-05", "2024-01-05"]),
+            }
+        )
+    )
+    right = rd.from_arrow(
+        pa.table(
+            {
+                "k": [1, 1, 2],
+                "rts": pd.to_datetime(["2024-01-02", "2024-01-04", "2024-01-06"]),
+                "val": [10, 20, 30],
+            }
+        )
+    )
+    out = asof_join(left, right, key="k", left_ts="lts", right_ts="rts", right_cols=["rts", "val"]).take_all()
+    by = {(r["k"], str(r["lts"])[:10]): r["val"] for r in out}
+    assert by[(1, "2024-01-05")] == 20  # most recent of the two
+    assert pd.isna(by[(1, "2024-01-01")])  # nothing at/before
+    assert pd.isna(by[(2, "2024-01-05")])  # right side only after
+    assert pd.isna(by[(3, "2024-01-05")])  # key absent on right
+
+
+def test_interval_join_innermost():
+    points = rd.from_arrow(pa.table({"k": ["a", "a", "b"], "pos": [5, 50, 5]}))
+    intervals = rd.from_arrow(
+        pa.table(
+            {
+                "k": ["a", "a", "b"],
+                "start": [0, 10, 100],
+                "end": [10, 20, 200],
+                "label": ["first", "second", "other"],
+            }
+        )
+    )
+    out = interval_join(
+        points, intervals, key="k", point_col="pos", start_col="start",
+        end_col="end", payload_cols=["label"],
+    ).take_all()
+    got = {(r["k"], r["pos"]): r["label"] for r in out}
+    assert got == {("a", 5): "first"}  # 50 outside all; b:5 outside
