@@ -68,7 +68,20 @@ def q_embedding_near_dup(sf_dir: str):
     return embedding_near_dup(emb, threshold=0.5)
 
 
+def q_approx_distinct_users(sf_dir: str):
+    """HLL approximate COUNT(DISTINCT user_id) — mergeable-sketch
+    metrics pattern (deterministic hashing → stable estimate)."""
+    import pandas as pd
+
+    from ..ops.sketches import approx_distinct
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["user_id"])
+    est = approx_distinct(ev, "user_id")
+    return pd.DataFrame({"n_users_approx": [int(round(est))]})
+
+
 QUERIES = {
+    "approx_distinct_users": q_approx_distinct_users,
     "minhash_dedup_docs": q_minhash_dedup_docs,
     "simhash_docs": q_simhash_docs,
     "simhash_pairs_docs": q_simhash_pairs_docs,

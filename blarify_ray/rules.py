@@ -35,6 +35,11 @@ _RE_PROPER = re.compile(
     r"\b[A-Z][a-zA-Z0-9]*\.?(?:[ ][A-Z][a-zA-Z0-9]*\.?)+|\b[A-Z]{2,}\b"
 )
 
+# Boilerplate sentences (copyright footers, nav chrome) must not feed the
+# open-world mention detector — they otherwise mint spurious UNK entities
+# from site chrome on every page. Gazetteer matches still apply.
+_RE_BOILERPLATE = re.compile(r"©|\(c\)\s*\d{4}|all rights reserved", re.I)
+
 
 @dataclass(frozen=True)
 class Mention:
@@ -114,11 +119,12 @@ class Gazetteer:
                         break
             if not matched:
                 i += 1
-        for m in _RE_PROPER.finditer(sentence):
-            s, e = m.start(), m.end()
-            if any(not (e <= cs or s >= ce) for cs, ce in covered):
-                continue
-            out.append(Mention(s, e, m.group(0), "UNK"))
+        if not _RE_BOILERPLATE.search(sentence):
+            for m in _RE_PROPER.finditer(sentence):
+                s, e = m.start(), m.end()
+                if any(not (e <= cs or s >= ce) for cs, ce in covered):
+                    continue
+                out.append(Mention(s, e, m.group(0), "UNK"))
         out.sort(key=lambda x: x.start)
         return out
 
