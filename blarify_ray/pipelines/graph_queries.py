@@ -152,6 +152,34 @@ def top_entities(paths: dict[str, str], k: int = 20) -> ray.data.Dataset:
     )
 
 
+def doc_context(paths: dict[str, str], url: str) -> dict:
+    """File-context analog (``queries.py`` file context / node info): the
+    doc row for a url plus its mentions and triples — a predicate scan
+    with column pruning, no full materialization."""
+
+    def only_url(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["url"], url))
+
+    doc = (
+        read_stage(paths["docs"], columns=["url", "warc_ts", "lang", "n_sents", "text"])
+        .map_batches(only_url, batch_format="pyarrow")
+        .take_all()
+    )
+    mentions = (
+        read_stage(
+            paths["mentions"],
+            columns=["url", "sent_id", "start", "end", "surface", "ner_type", "key", "resolved", "pred", "obj_key"],
+        )
+        .map_batches(only_url, batch_format="pyarrow")
+        .take_all()
+    )
+    return {
+        "doc": doc[0] if doc else None,
+        "mentions": sorted(mentions, key=lambda m: (m["sent_id"], m["start"])),
+        "triples": [m for m in mentions if m["pred"] is not None],
+    }
+
+
 def workflows(
     paths: dict[str, str],
     max_depth: int = 6,

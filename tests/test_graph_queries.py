@@ -80,6 +80,19 @@ def test_top_entities_and_skeleton(built):
     assert any(r["pred"] == "FOUNDED_BY" for r in sk)
 
 
+def test_doc_context(built):
+    from blarify_ray.pipelines.graph_queries import doc_context
+    from blarify_ray.state.manifest import read_stage
+
+    some_url = read_stage(built["mentions"]).take(1)[0]["url"]
+    ctx = doc_context(built, some_url)
+    assert ctx["doc"] is not None and ctx["doc"]["url"] == some_url
+    assert ctx["mentions"]
+    assert all(m["url"] == some_url for m in ctx["mentions"])
+    missing = doc_context(built, "https://nope.example/x")
+    assert missing["doc"] is None and missing["mentions"] == []
+
+
 def test_workflows_dfs_lcp(built):
     from blarify_ray.pipelines.graph_queries import workflows
     from blarify_ray.state.manifest import read_stage
