@@ -188,7 +188,10 @@ def make_entity(idx: int) -> Entity:
 
 
 def n_entities_for(n_pages: int) -> int:
-    return max(40, n_pages // 10)
+    """Entity vocabulary grows with the corpus but saturates (as a real
+    web entity vocabulary does) — keeps the broadcast gazetteer bounded
+    at any corpus scale."""
+    return max(40, min(n_pages // 10, 20_000))
 
 
 @lru_cache(maxsize=8)

@@ -66,14 +66,20 @@ def minhash_signature(shingles: set[str], a: np.ndarray, b: np.ndarray) -> np.nd
     return m.min(axis=1)
 
 
+_FNV_OFFSET = np.uint64(1469598103934665603)
+_FNV_PRIME = np.uint64(1099511628211)
+_BAND_SALT = np.uint64(0x9E3779B97F4A7C15)
+
+
 def band_hashes(sig: np.ndarray, n_bands: int) -> list[int]:
     """Split the signature into n_bands equal bands; each band → a stable
-    63-bit hash. A shared (band_id, band_hash) puts two keys in the same
-    LSH bucket."""
+    63-bit hash (vectorized FNV-style mixing — one numpy expression, not
+    one md5 per band). A shared (band_id, band_hash) puts two keys in
+    the same LSH bucket."""
     rows = len(sig) // n_bands
-    out = []
-    for b in range(n_bands):
-        chunk = np.ascontiguousarray(sig[b * rows : (b + 1) * rows]).tobytes()
-        h = hashlib.md5(b.to_bytes(2, "big") + chunk).digest()
-        out.append(int.from_bytes(h[:8], "big") >> 1)
-    return out
+    m = np.ascontiguousarray(sig[: n_bands * rows]).reshape(n_bands, rows)
+    acc = np.full(n_bands, _FNV_OFFSET, dtype=np.uint64)
+    for c in range(rows):
+        acc = (acc ^ m[:, c]) * _FNV_PRIME
+    acc = acc ^ (np.arange(n_bands, dtype=np.uint64) * _BAND_SALT)
+    return (acc >> np.uint64(1)).tolist()

@@ -68,6 +68,17 @@ def q_embedding_near_dup(sf_dir: str):
     return embedding_near_dup(emb, threshold=0.5)
 
 
+def q_media_features(sf_dir: str):
+    """Multimodal plumbing: synthetic media table → actor-pool decode
+    (codec stubbed deterministically) → typed metadata rows."""
+    from ..ops.multimodal import decode_media, synth_media_table
+    from ..sources.pages import pages_count_for_sf
+
+    n = max(30, pages_count_for_sf(sf_dir) // 10)
+    media = rd.from_arrow(synth_media_table(n))
+    return decode_media(media).select_columns(["media_id", "kind", "width", "height"])
+
+
 def q_approx_distinct_users(sf_dir: str):
     """HLL approximate COUNT(DISTINCT user_id) — mergeable-sketch
     metrics pattern (deterministic hashing → stable estimate)."""
@@ -81,6 +92,7 @@ def q_approx_distinct_users(sf_dir: str):
 
 
 QUERIES = {
+    "media_features": q_media_features,
     "approx_distinct_users": q_approx_distinct_users,
     "minhash_dedup_docs": q_minhash_dedup_docs,
     "simhash_docs": q_simhash_docs,

@@ -79,13 +79,18 @@ class Gazetteer:
         self.alias_map: dict[str, tuple[int, ...]] = {
             k: tuple(sorted(set(v))) for k, v in alias_map.items()
         }
-        # first normalized token → alias token-sequences, longest first
-        self._by_first: dict[str, tuple[tuple[str, ...], ...]] = {}
-        tmp: dict[str, list[tuple[str, ...]]] = {}
+        # multi-token sequences indexed by their first TWO tokens (a
+        # single-token prefix like "global" would otherwise fan out to
+        # hundreds of candidates per occurrence); single-token aliases in
+        # their own set. Longest-first within a pair key.
+        self._singles: set[str] = {seq[0] for seq in token_seqs if len(seq) == 1}
+        tmp: dict[tuple[str, str], list[tuple[str, ...]]] = {}
         for seq in token_seqs:
-            tmp.setdefault(seq[0], []).append(seq)
-        for k, seqs in tmp.items():
-            self._by_first[k] = tuple(sorted(seqs, key=lambda s: (-len(s), s)))
+            if len(seq) >= 2:
+                tmp.setdefault((seq[0], seq[1]), []).append(seq)
+        self._by_pair: dict[tuple[str, str], tuple[tuple[str, ...], ...]] = {
+            k: tuple(sorted(seqs, key=lambda s: (-len(s), s))) for k, seqs in tmp.items()
+        }
 
     def candidates(self, surface: str) -> tuple[int, ...]:
         return self.alias_map.get(normalize_surface(surface), ())
@@ -98,26 +103,31 @@ class Gazetteer:
         covered: list[tuple[int, int]] = []
         i, n = 0, len(toks)
         while i < n:
-            seqs = self._by_first.get(toks[i][2])
-            matched = False
-            if seqs:
-                for seq in seqs:  # longest first
-                    j = i + len(seq)
-                    if j <= n and all(toks[i + k][2] == seq[k] for k in range(1, len(seq))):
-                        start, end = toks[i][0], toks[j - 1][1]
-                        surface = sentence[start:end]
-                        cands = self.alias_map.get(" ".join(seq), ())
-                        etype = (
-                            self.entities[cands[0]].etype
-                            if len(cands) == 1
-                            else ("AMBIG" if cands else "UNK")
-                        )
-                        out.append(Mention(start, end, surface, etype))
-                        covered.append((start, end))
-                        i = j
-                        matched = True
-                        break
-            if not matched:
+            matched_seq = None
+            if i + 1 < n:
+                seqs = self._by_pair.get((toks[i][2], toks[i + 1][2]))
+                if seqs:
+                    for seq in seqs:  # longest first
+                        j = i + len(seq)
+                        if j <= n and all(toks[i + k][2] == seq[k] for k in range(2, len(seq))):
+                            matched_seq = seq
+                            break
+            if matched_seq is None and toks[i][2] in self._singles:
+                matched_seq = (toks[i][2],)
+            if matched_seq is not None:
+                j = i + len(matched_seq)
+                start, end = toks[i][0], toks[j - 1][1]
+                surface = sentence[start:end]
+                cands = self.alias_map.get(" ".join(matched_seq), ())
+                etype = (
+                    self.entities[cands[0]].etype
+                    if len(cands) == 1
+                    else ("AMBIG" if cands else "UNK")
+                )
+                out.append(Mention(start, end, surface, etype))
+                covered.append((start, end))
+                i = j
+            else:
                 i += 1
         if not _RE_BOILERPLATE.search(sentence):
             for m in _RE_PROPER.finditer(sentence):

@@ -231,21 +231,26 @@ def build_canonical_map(
     n_pairs = pairs.count()
     att_map: dict[str, tuple[float, str]] = {}
     if n_pairs <= cfg.cc_driver_max_pairs:
-        uu_rows: list[tuple[str, str]] = []
-        for r in pairs.take_all():
-            xk, yk = r["x_known"], r["y_known"]
-            if xk ^ yk:
-                u, k = (r["y"], r["x"]) if xk else (r["x"], r["y"])
-                cur = att_map.get(u)
-                cand = (r["j"], k)
-                if cur is None or (cand[0], _rev(cand[1])) > (cur[0], _rev(cur[1])):
-                    att_map[u] = cand
-            elif not xk and not yk:
-                uu_rows.append((r["x"], r["y"]))
+        import numpy as np
+
+        pdf = pairs.to_pandas()
+        xk = pdf["x_known"].to_numpy()
+        yk = pdf["y_known"].to_numpy()
+        # unk→known attachments, vectorized: sort by (unk, -j, known) and
+        # keep the first row per unk = argmax j with min-known tie-break
+        att = pdf[xk ^ yk].copy()
+        if len(att):
+            att["unk"] = np.where(att["x_known"], att["y"], att["x"])
+            att["known"] = np.where(att["x_known"], att["x"], att["y"])
+            att = att.sort_values(
+                ["unk", "j", "known"], ascending=[True, False, True], kind="mergesort"
+            ).drop_duplicates("unk")
+            att_map = {u: (j, k) for u, j, k in zip(att["unk"], att["j"], att["known"])}
         from ..canonical import UnionFind
 
         uf = UnionFind()
-        for x, y in uu_rows:
+        uu = pdf[~xk & ~yk]
+        for x, y in zip(uu["x"], uu["y"]):
             uf.union(x, y)
         comp_map = {k: uf.find(k) for k in list(uf.parent)}
     else:
