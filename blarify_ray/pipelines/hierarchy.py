@@ -22,20 +22,6 @@ import ray.data
 from ..state.manifest import read_stage
 
 
-def _parents(t: pa.Table) -> pa.Table:
-    """url rows → (node, parent, level) rows for the 3-level hierarchy."""
-    nodes, parents, levels = [], [], []
-    for url in t["url"].to_pylist():
-        host = urlparse(url).netloc
-        tld = host.rsplit(".", 1)[-1]
-        nodes.append(url)
-        parents.append(host)
-        levels.append(0)
-    return pa.Table.from_pydict(
-        {"node": nodes, "parent": parents, "level": pa.array(levels, pa.int32())}
-    )
-
-
 def bottom_up_rollup(
     paths: dict[str, str], max_rounds: int = 8
 ) -> ray.data.Dataset:
@@ -44,7 +30,7 @@ def bottom_up_rollup(
 
     Returns ds[(node, level, n_docs, n_sents)] for every hierarchy node
     above the leaves (domains, tlds, root)."""
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
     docs = read_stage(paths["docs"], columns=["url", "n_sents"])
 
