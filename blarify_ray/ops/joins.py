@@ -79,7 +79,13 @@ def asof_join(
         lg = lg.sort_values([left_ts, key], kind="mergesort")
         rg = rg.sort_values([right_ts, key], kind="mergesort")
         if lg.empty:
-            return lg.iloc[0:0]
+            # full OUTPUT schema even for right-only partitions, so every
+            # group's block unions cleanly downstream
+            out = lg.copy()
+            for c in [right_ts, *[c for c in right_cols if c != right_ts]]:
+                if c not in out.columns:
+                    out[c] = pd.Series([], dtype=rg[c].dtype if c in rg.columns else "object")
+            return out
         out = pd.merge_asof(
             lg,
             rg[[key, right_ts, *[c for c in right_cols if c != right_ts]]],

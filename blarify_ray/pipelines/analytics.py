@@ -64,11 +64,14 @@ def q_pricing_summary(sf_dir: str):
     def derive(t: pa.Table) -> pa.Table:
         ext = np.asarray(t["l_extendedprice"].combine_chunks(), dtype=np.float64)
         disc = np.asarray(t["l_discount"].combine_chunks(), dtype=np.float64)
+        qty = np.asarray(t["l_quantity"].combine_chunks(), dtype=np.float64)
         return pa.Table.from_pydict(
             {
                 "l_returnflag": t["l_returnflag"],
                 "l_linestatus": t["l_linestatus"],
-                "qty": pc.cast(pc.round(t["l_quantity"]), pa.int64()),
+                # half-away-from-zero like the oracle's ROUND (Arrow's
+                # pc.round is half-to-even — diverges on fractional .5)
+                "qty": pa.array(_round_half_away(qty)),
                 "base_cents": pa.array(_round_half_away(ext * 100)),
                 "disc_cents": pa.array(_round_half_away(ext * (1 - disc) * 100)),
             }

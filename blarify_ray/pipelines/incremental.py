@@ -24,7 +24,7 @@ import ray.data
 from ..config import DEFAULT_CONFIG, PipelineConfig
 from ..corpus import entity_universe, gen_page_rows, page_url
 from ..schemas import PAGES
-from ..stages.extract import dedup_latest, extract_docs
+from ..stages.extract import extract_and_dedup
 from ..stages.mentions import detect_and_link
 from ..state.manifest import lineage_hash, read_manifest, read_stage, run_stage
 
@@ -58,7 +58,7 @@ def incremental_update(
                 kw["seed"] = content_seed
             rows.extend(gen_page_rows(i, n_pages, **kw))
         delta_pages = ray.data.from_arrow(pa.Table.from_pylist(rows, schema=PAGES))
-        docs_delta = dedup_latest(extract_docs(delta_pages, cfg))
+        docs_delta = extract_and_dedup(delta_pages, cfg)
 
         def drop_updated(t: pa.Table) -> pa.Table:
             urls = ray.get(urls_ref)

@@ -28,7 +28,7 @@ from ..linking import known_alias_norms
 from ..rules import Gazetteer
 from ..sources.pages import synth_pages
 from ..stages.canonicalize import build_canonical_map
-from ..stages.extract import dedup_latest, extract_docs
+from ..stages.extract import extract_and_dedup
 from ..stages.materialize import build_edges, build_entities
 from ..stages.mentions import detect_and_link, triples_projection
 from ..state.manifest import lineage_hash, read_stage, run_stage
@@ -59,7 +59,7 @@ def build_kg(
 
     def produce_docs(tmp: str) -> None:
         ds = pages if pages is not None else synth_pages(n_pages, cfg)
-        dedup_latest(extract_docs(ds, cfg)).write_parquet(tmp)
+        extract_and_dedup(ds, cfg).write_parquet(tmp)
 
     docs_path, docs_skipped = run_stage(out_dir, "docs", docs_lin, produce_docs)
 

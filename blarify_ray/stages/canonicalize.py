@@ -182,9 +182,19 @@ def connected_components(pairs: ray.data.Dataset, cfg: PipelineConfig) -> dict[s
         new_rows = msgs.groupby("node").min("comp").take_all()
         new_labels = {r["node"]: r["min(comp)"] for r in new_rows}
         if new_labels == labels:
-            break
+            return labels
         labels = new_labels
-    return labels
+    # Round cap hit without a fixpoint (component diameter > cc_max_rounds):
+    # returning partial labels would silently diverge from the union-find
+    # spec, so finish exactly on the driver — the label map is already
+    # driver-resident, so a driver union-find over the edges costs no more
+    # memory than the loop itself.
+    from ..canonical import UnionFind
+
+    uf = UnionFind()
+    for r in edges.take_all():
+        uf.union(r["src"], r["dst"])
+    return {x: uf.find(x) for x in labels}
 
 
 def build_canonical_map(
@@ -230,7 +240,10 @@ def build_canonical_map(
     # distributed min-label loop only when it is genuinely large.
     n_pairs = pairs.count()
     att_map: dict[str, tuple[float, str]] = {}
-    if n_pairs <= cfg.cc_driver_max_pairs:
+    comp_map: dict[str, str] = {}
+    if n_pairs == 0:
+        pass
+    elif n_pairs <= cfg.cc_driver_max_pairs:
         import numpy as np
 
         pdf = pairs.to_pandas()

@@ -7,9 +7,14 @@ turns each page row into a doc row (text byte-identical to the serial
 reference — same ``html_to_text``), dropping the heavy ``html`` column
 immediately so the url-dedup shuffle moves text, not raw bytes.
 
-Size-cap drops mirror the 0.8 MB file cap
-(``project_files_iterator.py:21,96``): explicit filter + metric column,
-never silent truncation. Unsupported langs pass through as RAW rows
+Size-cap semantics follow the serial spec (``serial.py:42-46``) EXACTLY:
+latest-crawl-wins dedup runs FIRST, and a url is dropped iff its WINNING
+crawl is oversize — an older in-cap crawl of such a url must NOT survive.
+Oversize rows therefore flow through the dedup carrying an ``_oversize``
+flag (they are never parsed: their text is irrelevant, they either win —
+and the url is dropped — or lose). The cap itself mirrors the 0.8 MB file
+cap (``project_files_iterator.py:21,96``): explicit drop + flag, never
+silent truncation. Unsupported langs pass through as RAW rows
 (``FallbackDefinitions``, ``tree_sitter_helper.py:83-91``).
 """
 
@@ -21,18 +26,24 @@ import ray.data
 
 from ..config import DEFAULT_CONFIG, PipelineConfig
 from ..schemas import DOCS
-from ..text import html_to_text, split_sentences, text_sha256
+
+DOCS_PRE_DEDUP = DOCS.append(pa.field("_oversize", pa.bool_()))
 
 
 def _extract_batch(batch: pa.Table, cfg: PipelineConfig) -> pa.Table:
+    from ..text import html_to_text, split_sentences, text_sha256
+
     urls = batch["url"].to_pylist()
     tss = batch["warc_ts"].to_pylist()
     htmls = batch["html"].to_pylist()
     pretexts = batch["text"].to_pylist()
     langs = batch["lang"].to_pylist()
-    out = {k: [] for k in ("url", "warc_ts", "lang", "text", "text_sha", "raw", "n_sents")}
+    out = {k: [] for k in ("url", "warc_ts", "lang", "text", "text_sha", "raw", "n_sents", "_oversize")}
     for url, ts, html, pre, lang in zip(urls, tss, htmls, pretexts, langs):
-        text = pre or html_to_text(html or b"")
+        oversize = len(html or b"") > cfg.max_html_bytes
+        # oversize rows are never parsed: they participate in the dedup
+        # (their timestamp decides the url's fate) but contribute no text
+        text = "" if oversize else (pre or html_to_text(html or b""))
         raw = lang not in cfg.supported_langs
         n_sents = 0 if raw else len(split_sentences(text))
         out["url"].append(url)
@@ -42,23 +53,33 @@ def _extract_batch(batch: pa.Table, cfg: PipelineConfig) -> pa.Table:
         out["text_sha"].append(text_sha256(text))
         out["raw"].append(raw)
         out["n_sents"].append(n_sents)
-    return pa.Table.from_pydict(out, schema=DOCS)
+        out["_oversize"].append(oversize)
+    return pa.Table.from_pydict(out, schema=DOCS_PRE_DEDUP)
 
 
 def extract_docs(pages: ray.data.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG) -> ray.data.Dataset:
-    """pages → docs (pre-dedup). Oversized pages dropped by a vectorized
-    Arrow predicate BEFORE any parsing."""
-    capped = pages.map_batches(
-        lambda t: t.filter(
-            pc.less_equal(pc.binary_length(pc.coalesce(t["html"], pa.scalar(b"", pa.binary()))), cfg.max_html_bytes)
-        ),
-        batch_format="pyarrow",
-    )
-    return capped.map_batches(
+    """pages → pre-dedup docs rows carrying ``_oversize``. Feed through
+    ``dedup_latest`` then ``drop_oversize`` (or use ``extract_and_dedup``)."""
+    return pages.map_batches(
         lambda t: _extract_batch(t, cfg),
         batch_format="pyarrow",
         batch_size=cfg.extract_batch_size,
     )
+
+
+def drop_oversize(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Drop urls whose WINNING crawl is oversize (run AFTER dedup_latest —
+    the spec's ordering, serial.py:42-46)."""
+    return docs.map_batches(
+        lambda t: t.filter(pc.invert(t["_oversize"])).drop_columns(["_oversize"]),
+        batch_format="pyarrow",
+    )
+
+
+def extract_and_dedup(pages: ray.data.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG) -> ray.data.Dataset:
+    """pages → final docs: extract → latest-crawl-wins dedup → oversize
+    drop, in the spec's order."""
+    return drop_oversize(dedup_latest(extract_docs(pages, cfg)))
 
 
 def dedup_latest(

@@ -5,15 +5,20 @@ from __future__ import annotations
 import ray
 
 
-_BROADCAST_CACHE: dict[str, object] = {}
+from collections import OrderedDict
+
+_BROADCAST_CACHE: OrderedDict[str, object] = OrderedDict()
+_BROADCAST_CACHE_MAX = 4  # bounded: repeated builds in one long-lived
+# session must not pin every generation's broadcast objects in every
+# worker — LRU keeps only the most recent few refs
 
 
 def get_broadcast(ref):
-    """Worker-local cache around ``ray.get`` for broadcast objects: the
-    first call in a worker process deserializes from the object store,
-    subsequent calls are dict hits. Lets cheap broadcast lookups run in
-    stateless TASKS (no actor-pool spin-up cost) while still fetching
-    the object once per worker."""
+    """Worker-local LRU cache around ``ray.get`` for broadcast objects:
+    the first call in a worker process deserializes from the object
+    store, subsequent calls are dict hits. Lets cheap broadcast lookups
+    run in stateless TASKS (no actor-pool spin-up cost) while still
+    fetching the object once per worker."""
     if isinstance(ref, (dict, list, tuple)):
         return ref
     key = ref.hex() if hasattr(ref, "hex") else str(id(ref))
@@ -22,6 +27,10 @@ def get_broadcast(ref):
         import ray
 
         v = _BROADCAST_CACHE[key] = ray.get(ref)
+        while len(_BROADCAST_CACHE) > _BROADCAST_CACHE_MAX:
+            _BROADCAST_CACHE.popitem(last=False)
+    else:
+        _BROADCAST_CACHE.move_to_end(key)
     return v
 
 

@@ -102,6 +102,42 @@ def test_manifests_and_resume(built):
     assert read_manifest(OUT, "edges") is not None
 
 
+def test_oversize_latest_vs_older_crawl_order():
+    """Spec-order regression (serial.py:42-46): latest-crawl-wins dedup
+    runs BEFORE the oversize drop. Page index 2738 hits both cadences
+    (i%37==0 → stale dup crawl exists, i%101==11 → LATEST crawl is
+    oversize): the url must vanish entirely — the in-cap older crawl must
+    NOT be resurrected by the Ray pipeline."""
+    import pyarrow as pa
+
+    from blarify_ray.corpus import page_url
+    from blarify_ray.schemas import PAGES
+
+    n = 2750
+    idxs = [2738, 0, 1, 2, 11, 37, 74]
+    rows = []
+    for i in idxs:
+        rows.extend(gen_page_rows(i, n))
+    serial = run_serial(rows, n)
+    assert page_url(2738) not in {d["url"] for d in serial["docs"]}
+
+    out = "/tmp/blarify_ray_test_oversize_dedup"
+    shutil.rmtree(out, ignore_errors=True)
+    pages = rd.from_arrow(pa.Table.from_pylist(rows, schema=PAGES))
+    paths = build_kg(out, n, pages=pages, source_fingerprint="oversize-dedup-test")
+    ray_docs = {r["url"]: r["text_sha"] for r in _stage_rows(paths["docs"])}
+    assert ray_docs == {d["url"]: d["text_sha"] for d in serial["docs"]}
+    got = {
+        (r["url"], r["sent_id"], r["subj"], r["pred"], r["obj"])
+        for r in triples_table(paths).take_all()
+    }
+    want = {
+        (t["url"], t["sent_id"], t["subj"], t["pred"], t["obj"])
+        for t in serial["triples"]
+    }
+    assert got == want
+
+
 def test_partitioned_sorted_output(built):
     paths, _ = built
     buckets = [d for d in os.listdir(paths["entities"]) if d.startswith("bucket=")]
