@@ -1,19 +1,33 @@
 """Deduplication operators for training-data pipelines.
 
-- exact_dedup            content-hash groupby, keep min-id row
+- exact_dedup            content-hash partial + one hash-partitioned
+                         shuffle, keep min-id row (vectorized inside)
 - minhash_near_dup       word-shingle MinHash + LSH banding → candidate
-                         pairs → exact n-gram Jaccard verify → union-find
+                         id pairs → exact n-gram Jaccard verify (texts
+                         fetched only for candidates) → min-label
                          clusters → survivors
 - simhash_near_dup       64-bit SimHash + 16-bit band blocking → Hamming
-                         verify
+                         verify (hot-bucket capped)
 - (embedding cosine near-dup lives in ops/similarity.py)
 
-All follow the partial/blocked pattern: per-batch vectorized signature
-computation (stateless or actor pool), then ONE groupby shuffle on the
-blocking key, then a small verify stage. Hash-partition blocking keys,
-never all-pairs. Reference analog: the content-hash→embed-once
-aggregate (``blarify/services/embedding_service.py:97-144``) and the
-SCIP symbol blocking join (``scip_helper.py:875-923``).
+All follow the partial/blocked pattern and the partition-safety rules the
+KG canonicalize stage (``stages/canonicalize.py``) established:
+
+* the LSH shuffle moves (pkey, band, id) rows ONLY — never the document
+  text or the signature; texts are re-read (pruned by a broadcast
+  candidate-id set) and attached to candidate pairs by a co-partitioned
+  lookup join, so the heavy column moves once, for candidates only;
+* whole buckets are routed to ``agg_partitions`` Ray-level groups
+  (``bh % agg_partitions``), not one Python call per bucket;
+* buckets larger than ``cfg.max_lsh_bucket`` are skipped (hot-bucket /
+  skew guard — boilerplate text otherwise costs O(n²));
+* clustering pulls pairs to the driver only below
+  ``cfg.cc_driver_max_pairs``; above it the distributed min-label loop
+  (``stages/canonicalize.connected_components``) takes over.
+
+Reference analog: the content-hash→embed-once aggregate
+(``blarify/services/embedding_service.py:97-144``) and the SCIP symbol
+blocking join (``scip_helper.py:875-923``).
 """
 
 from __future__ import annotations
@@ -21,28 +35,44 @@ from __future__ import annotations
 import hashlib
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
 import ray.data
 
 from ..config import DEFAULT_CONFIG, PipelineConfig
 from ..minhash import band_hashes, make_perms, minhash_signature
 
 
-def exact_dedup(ds: ray.data.Dataset, text_col: str, id_col: str) -> ray.data.Dataset:
-    """Keep exactly one row (min id) per distinct text. Exact dedup =
-    hash → groupby(hash) → first (the guide-blessed pattern)."""
+def exact_dedup(
+    ds: ray.data.Dataset, text_col: str, id_col: str, partitions: int = 64
+) -> ray.data.Dataset:
+    """Keep exactly one row (min id) per distinct text.
 
-    def h(t: pa.Table) -> pa.Table:
-        md5s = [hashlib.md5(x.encode("utf-8")).hexdigest() for x in t[text_col].to_pylist()]
-        return t.append_column("_md5", pa.array(md5s, pa.string()))
+    Scale shape: a per-batch PARTIAL (vectorized ``drop_duplicates``
+    keeps the min-id row per hash inside each batch) then ONE shuffle
+    grouped by ``hash(md5) % partitions`` — a bounded number of Ray-level
+    groups with a vectorized merge inside, never one Python call per
+    distinct text (the ``dedup_latest`` pattern, stages/extract.py)."""
 
-    def first(g: pa.Table) -> pa.Table:
-        i = pc.index(g[id_col], pc.min(g[id_col])).as_py()
-        return g.slice(i, 1).drop_columns(["_md5"])
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        md5s = [hashlib.md5(x.encode("utf-8")).hexdigest() for x in df[text_col]]
+        df = df.assign(_md5=md5s)
+        df = df.sort_values(["_md5", id_col], kind="mergesort").drop_duplicates("_md5")
+        df["_pkey"] = (
+            pd.util.hash_array(df["_md5"].to_numpy(dtype=object)) % partitions
+        ).astype("int32")
+        return df
 
-    return ds.map_batches(h, batch_format="pyarrow").groupby("_md5").map_groups(
-        first, batch_format="pyarrow"
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["_md5", id_col], kind="mergesort").drop_duplicates("_md5")
+        return g.drop(columns=["_md5", "_pkey"])
+
+    return (
+        ds.map_batches(partial, batch_format="pandas", batch_size=4096)
+        .groupby("_pkey")
+        .map_groups(merge, batch_format="pandas")
     )
 
 
@@ -51,6 +81,151 @@ def _word_shingles(text: str, k: int) -> set[str]:
     if len(toks) < k:
         return {" ".join(toks)} if toks else set()
     return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
+def minhash_band_rows(
+    ds: ray.data.Dataset,
+    text_col: str,
+    id_col: str,
+    cfg: PipelineConfig,
+    shingle_words: int,
+    perms,
+) -> ray.data.Dataset:
+    """IDs-ONLY LSH band rows: (pkey, band_id, band_hash, id). The text
+    and the signature never enter the shuffle — at 100 TB the banding
+    exchange moves ~32 small ints per document, not 32 copies of the
+    document."""
+
+    def sig_rows(t: pa.Table) -> pa.Table:
+        a, b = perms
+        out = {"pkey": [], "band_id": [], "band_hash": [], "id": []}
+        for i, text in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+            sh = _word_shingles(text, shingle_words)
+            sig = minhash_signature(sh, a, b)
+            for band_id, bh in enumerate(band_hashes(sig, cfg.lsh_bands)):
+                out["pkey"].append(bh % cfg.agg_partitions)
+                out["band_id"].append(band_id)
+                out["band_hash"].append(bh)
+                out["id"].append(i)
+        return pa.Table.from_pydict(
+            out,
+            schema=pa.schema(
+                [("pkey", pa.int32()), ("band_id", pa.int32()),
+                 ("band_hash", pa.uint64()), ("id", pa.int64())]
+            ),
+        )
+
+    return ds.map_batches(sig_rows, batch_format="pyarrow")
+
+
+def candidate_pairs(bands: ray.data.Dataset, cfg: PipelineConfig) -> ray.data.Dataset:
+    """Band rows → globally-distinct candidate id pairs (a < b).
+    Whole buckets are reconstructed inside each routed partition
+    (``stages/canonicalize._partition_pairs`` pattern); buckets above
+    ``cfg.max_lsh_bucket`` are skipped (hot-bucket cap)."""
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        buckets: dict[tuple[int, int], list[int]] = {}
+        for band_id, bh, i in zip(
+            g["band_id"].to_pylist(), g["band_hash"].to_pylist(), g["id"].to_pylist()
+        ):
+            buckets.setdefault((band_id, bh), []).append(i)
+        seen: set[tuple[int, int]] = set()
+        out = {"a": [], "b": []}
+        for members0 in buckets.values():
+            if len(members0) < 2 or len(members0) > cfg.max_lsh_bucket:
+                continue
+            members = sorted(set(members0))
+            for x in range(len(members)):
+                for y in range(x + 1, len(members)):
+                    p = (members[x], members[y])
+                    if p not in seen:
+                        seen.add(p)
+                        out["a"].append(p[0])
+                        out["b"].append(p[1])
+        return pa.Table.from_pydict(
+            out, schema=pa.schema([("a", pa.int64()), ("b", pa.int64())])
+        )
+
+    pairs = bands.groupby("pkey").map_groups(bucket_pairs, batch_format="pyarrow")
+    # the same pair can surface in buckets routed to different partitions —
+    # global dedup is a small groupby over id pairs
+    return pairs.groupby(["a", "b"]).count().select_columns(["a", "b"])
+
+
+def attach_pair_payload(
+    pairs: ray.data.Dataset,
+    items: ray.data.Dataset,
+    id_col: str,
+    payload_col: str,
+    partitions: int = 64,
+) -> ray.data.Dataset:
+    """pairs[(a, b)] → pairs[(a, b, _pa, _pb)]: the payload column fetched
+    for BOTH sides via two co-partitioned lookup joins. ``items`` should
+    already be pruned to candidate ids (broadcast-set filter) so the heavy
+    payload moves only for candidates."""
+    from .joins import copartition_attach
+
+    withx = copartition_attach(
+        pairs, items, "a", id_col, {payload_col: "_pa"}, partitions=partitions
+    )
+    return copartition_attach(
+        withx, items, "b", id_col, {payload_col: "_pb"}, partitions=partitions
+    )
+
+
+def _filter_items_to_candidates(
+    ds: ray.data.Dataset, id_col: str, cols: list[str], cand_ids_ref
+) -> ray.data.Dataset:
+    def flt(t: pa.Table) -> pa.Table:
+        from ..util import get_broadcast
+
+        cand = get_broadcast(cand_ids_ref)
+        mask = pc.is_in(pc.cast(t[id_col], pa.int64()), value_set=pa.array(sorted(cand), pa.int64()))
+        return t.filter(mask).select(cols)
+
+    return ds.map_batches(flt, batch_format="pyarrow")
+
+
+def cluster_pairs_min_label(
+    pairs: ray.data.Dataset, cfg: PipelineConfig
+) -> list[tuple[int, int]]:
+    """Verified pairs → [(id, cluster_min_id)] for every non-root member.
+    Driver union-find below ``cfg.cc_driver_max_pairs``; the distributed
+    min-label-propagation loop above it (same policy as the KG
+    canonicalize stage)."""
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        return []
+    if n_pairs <= cfg.cc_driver_max_pairs:
+        pdf = pairs.to_pandas()
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in zip(pdf["a"], pdf["b"]):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        return sorted((x, find(x)) for x in parent if find(x) != x)
+
+    # distributed fallback: min-label propagation is type-generic — reuse
+    # the canonicalize loop over (x, y) int columns
+    from ..stages.canonicalize import connected_components
+
+    renamed = pairs.map_batches(
+        lambda t: pa.Table.from_pydict({"x": t["a"], "y": t["b"]}),
+        batch_format="pyarrow",
+    )
+    labels = connected_components(renamed, cfg)
+    return sorted((int(x), int(c)) for x, c in labels.items() if x != c)
 
 
 def minhash_near_dup(
@@ -63,70 +238,51 @@ def minhash_near_dup(
 ) -> ray.data.Dataset:
     """→ ds[(id, dup_of)] — every row whose text near-duplicates a row
     with smaller id (dup_of = that smaller id, transitively the cluster
-    minimum). Pipeline: signature (map_batches) → explode band rows →
-    groupby(band_id, band_hash) → verified pairs → min-label clusters.
-    """
+    minimum).
+
+    Pipeline: signature (map_batches, computed once, never shuffled) →
+    ids-only band rows → partition-routed buckets (capped) → distinct
+    candidate id pairs → texts fetched for candidate ids only
+    (broadcast-set pruned scan + co-partitioned attach) → exact n-gram
+    Jaccard verify → min-label clusters (driver under threshold,
+    distributed above)."""
     perms = make_perms(cfg.minhash_perms, seed="blarify-ray:docdedup")
+    bands = minhash_band_rows(ds, text_col, id_col, cfg, shingle_words, perms)
+    cand = candidate_pairs(bands, cfg).materialize()
 
-    def sig_rows(t: pa.Table) -> pa.Table:
-        out = {"band_id": [], "band_hash": [], "id": [], "text": []}
-        a, b = perms
-        for i, text in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
-            sh = _word_shingles(text, shingle_words)
-            sig = minhash_signature(sh, a, b)
-            for band_id, bh in enumerate(band_hashes(sig, cfg.lsh_bands)):
-                out["band_id"].append(band_id)
-                out["band_hash"].append(bh)
-                out["id"].append(i)
-                out["text"].append(text)
-        return pa.Table.from_pydict(
-            out,
-            schema=pa.schema(
-                [("band_id", pa.int32()), ("band_hash", pa.uint64()), ("id", pa.int64()), ("text", pa.string())]
-            ),
+    # prune the text scan to candidate ids (candidate set is pairs-scale —
+    # orders of magnitude below corpus scale thanks to banding + caps)
+    ids_tbl = cand.to_pandas()
+    cand_ids = set(ids_tbl["a"].tolist()) | set(ids_tbl["b"].tolist())
+    if not cand_ids:
+        return ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {"id": pa.array([], pa.int64()), "dup_of": pa.array([], pa.int64())}
+            )
         )
+    cand_ref = ray.put(cand_ids)
+    texts = _filter_items_to_candidates(ds, id_col, [id_col, text_col], cand_ref)
+    enriched = attach_pair_payload(cand, texts, id_col, text_col)
 
-    def bucket_pairs(g: pa.Table) -> pa.Table:
-        ids = g["id"].to_pylist()
+    def verify(t: pa.Table) -> pa.Table:
         out = {"a": [], "b": []}
-        if len(ids) >= 2:
-            texts = g["text"].to_pylist()
-            order = sorted(range(len(ids)), key=lambda i: ids[i])
-            sh = [_word_shingles(texts[i], shingle_words) for i in order]
-            for x in range(len(order)):
-                for y in range(x + 1, len(order)):
-                    inter = len(sh[x] & sh[y])
-                    union = len(sh[x]) + len(sh[y]) - inter
-                    if union and inter / union >= jaccard_threshold:
-                        out["a"].append(ids[order[x]])
-                        out["b"].append(ids[order[y]])
+        for a, b, ta, tb in zip(
+            t["a"].to_pylist(), t["b"].to_pylist(),
+            t["_pa"].to_pylist(), t["_pb"].to_pylist(),
+        ):
+            sa = _word_shingles(ta, shingle_words)
+            sb = _word_shingles(tb, shingle_words)
+            inter = len(sa & sb)
+            union = len(sa) + len(sb) - inter
+            if union and inter / union >= jaccard_threshold:
+                out["a"].append(a)
+                out["b"].append(b)
         return pa.Table.from_pydict(
             out, schema=pa.schema([("a", pa.int64()), ("b", pa.int64())])
         )
 
-    pairs = (
-        ds.map_batches(sig_rows, batch_format="pyarrow")
-        .groupby(["band_id", "band_hash"])
-        .map_groups(bucket_pairs, batch_format="pyarrow")
-    )
-    # dedup pairs discovered via several bands, then min-label clusters.
-    pdf = pairs.to_pandas().drop_duplicates()
-    parent: dict[int, int] = {}
-
-    def find(x: int) -> int:
-        parent.setdefault(x, x)
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    for a, b in zip(pdf["a"], pdf["b"]):
-        ra, rb = find(int(a)), find(int(b))
-        if ra != rb:
-            if rb < ra:
-                ra, rb = rb, ra
-            parent[rb] = ra
-    rows = sorted((x, find(x)) for x in parent if find(x) != x)
+    verified = enriched.map_batches(verify, batch_format="pyarrow")
+    rows = cluster_pairs_min_label(verified, cfg)
     tbl = pa.Table.from_pydict(
         {
             "id": pa.array([r[0] for r in rows], pa.int64()),
@@ -164,43 +320,62 @@ def simhash_docs(ds: ray.data.Dataset, text_col: str, id_col: str) -> ray.data.D
 
 
 def simhash_near_dup(
-    ds: ray.data.Dataset, text_col: str, id_col: str, max_hamming: int = 3
+    ds: ray.data.Dataset,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    max_bucket: int = 200,
 ) -> ray.data.Dataset:
     """→ ds[(a, b, hamming)] pairs with Hamming distance ≤ max_hamming.
     Blocking: 4 × 16-bit bands (pigeonhole: any pair within distance 3
-    shares at least one exact band)."""
+    shares at least one exact band). Only the 8-byte signature moves
+    through the shuffle; buckets above ``max_bucket`` are skipped (the
+    hot-bucket cap — a band value shared by boilerplate/empty docs would
+    otherwise cost O(n²))."""
     sigs = simhash_docs(ds, text_col, id_col)
+    parts = DEFAULT_CONFIG.agg_partitions
 
     def band_rows(t: pa.Table) -> pa.Table:
-        out = {"band_id": [], "band_val": [], "id": [], "simhash": []}
+        out = {"pkey": [], "band_id": [], "band_val": [], "id": [], "simhash": []}
         for i, h in zip(t["id"].to_pylist(), t["simhash"].to_pylist()):
             for b in range(4):
+                v = (h >> (16 * b)) & 0xFFFF
+                # route WHOLE buckets to ~parts Ray-level groups
+                out["pkey"].append((v * 4 + b) % parts)
                 out["band_id"].append(b)
-                out["band_val"].append((h >> (16 * b)) & 0xFFFF)
+                out["band_val"].append(v)
                 out["id"].append(i)
                 out["simhash"].append(h)
         return pa.Table.from_pydict(
             out,
             schema=pa.schema(
-                [("band_id", pa.int32()), ("band_val", pa.int32()), ("id", pa.int64()), ("simhash", pa.uint64())]
+                [("pkey", pa.int32()), ("band_id", pa.int32()), ("band_val", pa.int32()),
+                 ("id", pa.int64()), ("simhash", pa.uint64())]
             ),
         )
 
     def verify(g: pa.Table) -> pa.Table:
-        ids = g["id"].to_pylist()
+        buckets: dict[tuple[int, int], list[tuple[int, int]]] = {}
+        for b, v, i, h in zip(
+            g["band_id"].to_pylist(), g["band_val"].to_pylist(),
+            g["id"].to_pylist(), g["simhash"].to_pylist(),
+        ):
+            buckets.setdefault((b, v), []).append((i, h))
         out = {"a": [], "b": [], "hamming": []}
-        if len(ids) >= 2:
-            hs = g["simhash"].to_pylist()
-            order = sorted(range(len(ids)), key=lambda i: ids[i])
-            for x in range(len(order)):
-                for y in range(x + 1, len(order)):
-                    ia, ib = order[x], order[y]
-                    if ids[ia] == ids[ib]:
+        for members in buckets.values():
+            if not (2 <= len(members) <= max_bucket):
+                continue
+            members = sorted(set(members))
+            for x in range(len(members)):
+                for y in range(x + 1, len(members)):
+                    ia, ha = members[x]
+                    ib, hb = members[y]
+                    if ia == ib:
                         continue
-                    d = bin(hs[ia] ^ hs[ib]).count("1")
+                    d = bin(ha ^ hb).count("1")
                     if d <= max_hamming:
-                        out["a"].append(ids[ia])
-                        out["b"].append(ids[ib])
+                        out["a"].append(ia)
+                        out["b"].append(ib)
                         out["hamming"].append(d)
         return pa.Table.from_pydict(
             out, schema=pa.schema([("a", pa.int64()), ("b", pa.int64()), ("hamming", pa.int64())])
@@ -208,7 +383,7 @@ def simhash_near_dup(
 
     pairs = (
         sigs.map_batches(band_rows, batch_format="pyarrow")
-        .groupby(["band_id", "band_val"])
+        .groupby("pkey")
         .map_groups(verify, batch_format="pyarrow")
     )
     # a pair can surface from several bands — global dedup via groupby

@@ -44,8 +44,8 @@ def asof_join(
         return f
 
     # union of differently-shaped tables: align columns with nulls
-    lcols = [f.name for f in left.schema().base_schema]
-    rcols = [f.name for f in right.schema().base_schema]
+    lcols = list(left.schema().names)
+    rcols = list(right.schema().names)
 
     def widen(t: pa.Table, want: list[str]) -> pa.Table:
         for c in want:
@@ -103,6 +103,97 @@ def asof_join(
     )
 
 
+def copartition_attach(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    left_key: str,
+    right_key: str,
+    attach: dict[str, str],
+    partitions: int = 64,
+    how: str = "inner",
+) -> ray.data.Dataset:
+    """Attach ``right`` columns to ``left`` rows by equality key with ONE
+    hash-co-partitioning shuffle (no driver-side materialization of
+    either side, no ``Dataset.join`` — which faults on empty hash
+    partitions in Ray 2.49). ``attach`` maps right column → output name.
+    ``right`` must be unique per key (a lookup/dimension side); use it
+    when the right side is too large to broadcast.
+
+    Scale shape: both sides move exactly once, keyed by
+    ``hash(key) % partitions``; each Ray-level group runs one vectorized
+    pandas merge. This is the co-partitioned form of the reference's
+    SCIP in-memory symbol join (``scip_helper.py:748-835``)."""
+
+    def _canon(k):
+        # null-widened unions drift int64 → float64 in pandas; hash the
+        # CANONICAL representation so both sides co-partition identically
+        if isinstance(k, float) and float(k).is_integer():
+            k = int(k)
+        return stable_u64(str(k))
+
+    def tag(side: str, key: str):
+        def f(t: pa.Table) -> pa.Table:
+            pk = [_canon(k) % partitions for k in t[key].to_pylist()]
+            t = t.append_column("_pkey", pa.array(pk, pa.int32()))
+            return t.append_column("_side", pa.array([side] * t.num_rows, pa.string()))
+
+        return f
+
+    lcols = list(left.schema().names)
+    ltypes = dict(zip(left.schema().names, left.schema().types))
+    def _is_int_type(t) -> bool:
+        if isinstance(t, pa.DataType):
+            return pa.types.is_integer(t)
+        return getattr(t, "kind", "") in ("i", "u")  # numpy dtype (pandas blocks)
+
+    int_lcols = [c for c in lcols if _is_int_type(ltypes.get(c))]
+    rkeep = [right_key, *[c for c in attach if c != right_key]]
+    right = right.select_columns(rkeep)
+    allcols = sorted(set(lcols) | set(rkeep) | {"_pkey", "_side"})
+
+    def widen(t: pa.Table) -> pa.Table:
+        for c in allcols:
+            if c not in t.column_names:
+                t = t.append_column(c, pa.nulls(t.num_rows))
+        return t.select(allcols)
+
+    lt = left.map_batches(tag("L", left_key), batch_format="pyarrow").map_batches(
+        widen, batch_format="pyarrow"
+    )
+    rt = right.map_batches(tag("R", right_key), batch_format="pyarrow").map_batches(
+        widen, batch_format="pyarrow"
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["_side"] == "L"][lcols].copy()
+        rg = g[g["_side"] == "R"][rkeep].copy()
+        out_cols = [c for c in lcols] + [attach[c] for c in attach]
+        rsub = rg.rename(columns=attach)
+        if right_key in attach:
+            rsub["_rk"] = rg[right_key]
+            rk = "_rk"
+        else:
+            rk = right_key
+        if lg[left_key].dtype != rsub[rk].dtype:
+            try:
+                lg[left_key] = lg[left_key].astype("int64")
+                rsub[rk] = rsub[rk].astype("int64")
+            except (TypeError, ValueError):
+                lg[left_key] = lg[left_key].astype(str)
+                rsub[rk] = rsub[rk].astype(str)
+        out = lg.merge(rsub, left_on=left_key, right_on=rk, how=how)
+        out = out[out_cols]
+        for c in int_lcols:  # undo the float64 drift from null-widening
+            if out[c].dtype != "int64":
+                try:
+                    out[c] = out[c].astype("int64")
+                except (TypeError, ValueError):
+                    pass
+        return out
+
+    return lt.union(rt).groupby("_pkey").map_groups(merge, batch_format="pandas")
+
+
 def interval_join(
     points: ray.data.Dataset,
     intervals: ray.data.Dataset,
@@ -126,8 +217,8 @@ def interval_join(
 
         return f
 
-    pcols = [f.name for f in points.schema().base_schema]
-    icols = [f.name for f in intervals.schema().base_schema]
+    pcols = list(points.schema().names)
+    icols = list(intervals.schema().names)
     allcols = sorted(set(pcols) | set(icols) | {"_pkey", "_side"})
 
     def widen(t: pa.Table) -> pa.Table:

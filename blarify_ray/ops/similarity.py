@@ -112,9 +112,12 @@ class IvfIndex:
             int(i) for i in np.argsort(-(self.centroids @ q))[:nprobe]
         )
 
+        import pyarrow.compute as pc
+
+        probe_arr = pa.array(sorted(probes), pa.int32())
+
         def flt(t: pa.Table) -> pa.Table:
-            mask = pa.array([c in probes for c in t["centroid"].to_pylist()])
-            return t.filter(mask)
+            return t.filter(pc.is_in(t["centroid"], value_set=probe_arr))
 
         filtered = assigned.map_batches(flt, batch_format="pyarrow")
         return knn_bruteforce(filtered, q[None, :], k, id_col=id_col, emb_col=emb_col)[0]
@@ -123,10 +126,17 @@ class IvfIndex:
 def embedding_near_dup(
     ds: ray.data.Dataset, threshold: float = 0.9, n_planes: int = 16, n_bands: int = 4,
     id_col: str = "vec_id", emb_col: str = "embedding", dim: int | None = None, seed: int = 11,
+    max_bucket: int = 200, partitions: int = 64,
 ) -> ray.data.Dataset:
     """Cosine-similar pairs (a < b, cos ≥ threshold) via sign-LSH
-    blocking: n_planes random hyperplanes → sign bits → bands; pairs
-    sharing a band get exact verification."""
+    blocking: n_planes random hyperplanes → sign bits → bands.
+
+    Scale shape (the ``ops/dedup.minhash_near_dup`` pattern): the banding
+    shuffle moves (pkey, band, id) ONLY — the vector is never replicated
+    per band row. Buckets above ``max_bucket`` are skipped (hot-bucket
+    cap). Candidate pairs then fetch their two vectors via a
+    broadcast-candidate-set pruned scan + co-partitioned lookup join and
+    get exact cosine verification."""
     first = ds.take(1)
     d = dim or len(first[0][emb_col])
     rng = np.random.RandomState(seed)
@@ -139,51 +149,103 @@ def embedding_near_dup(
         m = _unit(_mat(t[emb_col]))
         signs = (m @ pl) > 0  # (n, planes)
         ids = t[id_col].to_pylist()
-        vecs = t[emb_col].to_pylist()
-        out = {"band_id": [], "band_val": [], "id": [], "vec": []}
+        out = {"pkey": [], "band_id": [], "band_val": [], "id": []}
         for i in range(len(ids)):
             for b in range(n_bands):
                 val = 0
                 for j in range(bits_per_band):
                     val = (val << 1) | int(signs[i, b * bits_per_band + j])
+                out["pkey"].append((val * n_bands + b) % partitions)
                 out["band_id"].append(b)
                 out["band_val"].append(val)
                 out["id"].append(ids[i])
-                out["vec"].append(vecs[i])
         return pa.Table.from_pydict(
             out,
             schema=pa.schema(
-                [("band_id", pa.int32()), ("band_val", pa.int32()), ("id", pa.int64()),
-                 ("vec", pa.list_(pa.float32()))]
+                [("pkey", pa.int32()), ("band_id", pa.int32()), ("band_val", pa.int32()),
+                 ("id", pa.int64())]
             ),
         )
 
-    def verify(g: pa.Table) -> pa.Table:
-        ids = g["id"].to_pylist()
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        buckets: dict[tuple[int, int], list[int]] = {}
+        for b, v, i in zip(
+            g["band_id"].to_pylist(), g["band_val"].to_pylist(), g["id"].to_pylist()
+        ):
+            buckets.setdefault((b, v), []).append(i)
+        seen: set[tuple[int, int]] = set()
+        out = {"a": [], "b": []}
+        for members0 in buckets.values():
+            if not (2 <= len(members0) <= max_bucket):
+                continue
+            members = sorted(set(members0))
+            for x in range(len(members)):
+                for y in range(x + 1, len(members)):
+                    p = (members[x], members[y])
+                    if p not in seen:
+                        seen.add(p)
+                        out["a"].append(p[0])
+                        out["b"].append(p[1])
+        return pa.Table.from_pydict(
+            out, schema=pa.schema([("a", pa.int64()), ("b", pa.int64())])
+        )
+
+    cand = (
+        ds.map_batches(band_rows, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .count()
+        .select_columns(["a", "b"])
+        .materialize()
+    )
+    cpdf = cand.to_pandas()
+    if not len(cpdf):
+        return ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                 "cos": pa.array([], pa.float64())}
+            )
+        )
+    from ..ops.dedup import _filter_items_to_candidates, attach_pair_payload
+
+    cand_ids = set(cpdf["a"].tolist()) | set(cpdf["b"].tolist())
+    vecs = _filter_items_to_candidates(ds, id_col, [id_col, emb_col], ray.put(cand_ids))
+
+    # pack the vector into a binary payload for the co-partitioned attach:
+    # list/tensor-typed columns don't null-widen cleanly through a tagged
+    # union, bytes do
+    import pyarrow.compute as pc
+
+    def pack(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                id_col: pc.cast(t[id_col], pa.int64()),
+                "_vecb": pa.array(
+                    [np.asarray(v, np.float64).tobytes() for v in t[emb_col].to_pylist()],
+                    pa.binary(),
+                ),
+            }
+        )
+
+    packed = vecs.map_batches(pack, batch_format="pyarrow")
+    enriched = attach_pair_payload(cand, packed, id_col, "_vecb", partitions=partitions)
+
+    def verify(t: pa.Table) -> pa.Table:
         out = {"a": [], "b": [], "cos": []}
-        if len(ids) >= 2:
-            m = _unit(np.array(g["vec"].to_pylist(), dtype=np.float64))
-            order = sorted(range(len(ids)), key=lambda i: ids[i])
-            for x in range(len(order)):
-                for y in range(x + 1, len(order)):
-                    ia, ib = order[x], order[y]
-                    if ids[ia] == ids[ib]:
-                        continue
-                    c = float(m[ia] @ m[ib])
-                    if c >= threshold:
-                        out["a"].append(ids[ia])
-                        out["b"].append(ids[ib])
-                        out["cos"].append(round(c, 6))
+        for a, b, ba, bb in zip(
+            t["a"].to_pylist(), t["b"].to_pylist(),
+            t["_pa"].to_pylist(), t["_pb"].to_pylist(),
+        ):
+            va = _unit(np.frombuffer(ba, dtype=np.float64))
+            vb = _unit(np.frombuffer(bb, dtype=np.float64))
+            c = float(va @ vb)
+            if c >= threshold:
+                out["a"].append(int(a))
+                out["b"].append(int(b))
+                out["cos"].append(round(c, 6))
         return pa.Table.from_pydict(
             out, schema=pa.schema([("a", pa.int64()), ("b", pa.int64()), ("cos", pa.float64())])
         )
 
-    pairs = (
-        ds.map_batches(band_rows, batch_format="pyarrow")
-        .groupby(["band_id", "band_val"])
-        .map_groups(verify, batch_format="pyarrow")
-    )
-    return pairs.groupby(["a", "b"]).max("cos").map_batches(
-        lambda t: pa.Table.from_pydict({"a": t["a"], "b": t["b"], "cos": t["max(cos)"]}),
-        batch_format="pyarrow",
-    )
+    return enriched.map_batches(verify, batch_format="pyarrow")

@@ -201,14 +201,48 @@ FROM documents ORDER BY n_chars DESC, doc_id LIMIT 10
 
 # --- latest_event_per_user -------------------------------------------------
 
+AGG_PARTITIONS = 64
+
+
+def _with_pkey(df, col: str, parts: int = AGG_PARTITIONS):
+    """Deterministic partition-routing key (never observable in output)."""
+    import pandas as pd
+
+    df["_pkey"] = (pd.util.hash_array(df[col].to_numpy()) % parts).astype("int32")
+    return df
+
+
 def q_latest_event_per_user(sf_dir: str):
+    """argmax per key, partition-level: a per-batch PARTIAL keeps the max
+    (ts, event_id) row per user inside each batch, then ONE shuffle
+    grouped by hash(user_id) % 64 with a vectorized pandas merge — never
+    one Python call per user (the dedup_latest pattern)."""
+    import pandas as pd
+
     ev = _t(sf_dir, "events", ["user_id", "event_id", "ts"])
 
-    def latest(g: pa.Table) -> pa.Table:
-        i = max(range(g.num_rows), key=lambda j: (g["ts"][j].as_py(), g["event_id"][j].as_py()))
-        return g.select(["user_id", "event_id", "ts"]).slice(i, 1)
+    def keep_latest(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        return df.drop_duplicates("user_id", keep="last")
 
-    return ev.groupby("user_id").map_groups(latest, batch_format="pyarrow")
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return _with_pkey(keep_latest(df), "user_id")
+
+    def merge(g: pd.DataFrame) -> pa.Table:
+        g = keep_latest(g)
+        return pa.Table.from_pydict(
+            {
+                "user_id": pa.array(g["user_id"].astype("int64")),
+                "event_id": pa.array(g["event_id"].astype("int64")),
+                "ts": pa.array(g["ts"].astype("datetime64[us]")),
+            }
+        )
+
+    return (
+        ev.map_batches(partial, batch_format="pandas", batch_size=8192)
+        .groupby("_pkey")
+        .map_groups(merge, batch_format="pandas")
+    )
 
 
 SQL_LATEST_EVENT = """
@@ -252,23 +286,38 @@ SESSION_GAP_S = 1800
 
 
 def q_sessionize_users(sf_dir: str):
+    """Gap-based session counting, partition-level: users are
+    hash-routed into 64 Ray-level groups; inside each group one
+    vectorized pandas groupby computes per-user gaps — never one Python
+    call per user. (No pre-aggregation is possible: the gap rule needs
+    every event of a user together; the full event rows shuffle once,
+    which is inherent to the operator.)"""
     import pandas as pd
 
     ev = _t(sf_dir, "events", ["user_id", "event_id", "ts"])
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        gaps = g["ts"].diff().dt.total_seconds()
-        n_sessions = int((gaps > SESSION_GAP_S).sum()) + 1
-        return pd.DataFrame(
-            {
-                "user_id": [int(g["user_id"].iloc[0])],
-                "n_events": [len(g)],
-                "n_sessions": [n_sessions],
-            }
-        )
+    def add_pkey(df: pd.DataFrame) -> pd.DataFrame:
+        return _with_pkey(df, "user_id")
 
-    return ev.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        gaps = g.groupby("user_id")["ts"].diff().dt.total_seconds()
+        out = (
+            g.assign(_new=(gaps > SESSION_GAP_S))
+            .groupby("user_id", sort=True)
+            .agg(n_events=("user_id", "size"), n_sessions=("_new", "sum"))
+            .reset_index()
+        )
+        out["user_id"] = out["user_id"].astype("int64")
+        out["n_events"] = out["n_events"].astype("int64")
+        out["n_sessions"] = out["n_sessions"].astype("int64") + 1
+        return out[["user_id", "n_events", "n_sessions"]]
+
+    return (
+        ev.map_batches(add_pkey, batch_format="pandas")
+        .groupby("_pkey")
+        .map_groups(sessions, batch_format="pandas")
+    )
 
 
 SQL_SESSIONIZE = f"""

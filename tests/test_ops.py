@@ -56,6 +56,18 @@ def test_minhash_near_dup():
     assert all(r["id"] != 3 and r["dup_of"] != 3 for r in pairs)
 
 
+def test_minhash_band_rows_carry_ids_only():
+    """Scale invariant: the LSH banding shuffle must move (pkey, band,
+    id) rows ONLY — never the document text or the signature."""
+    from blarify_ray.config import DEFAULT_CONFIG
+    from blarify_ray.minhash import make_perms
+    from blarify_ray.ops.dedup import minhash_band_rows
+
+    perms = make_perms(DEFAULT_CONFIG.minhash_perms, seed="blarify-ray:docdedup")
+    bands = minhash_band_rows(_docs(), "text", "doc_id", DEFAULT_CONFIG, 3, perms)
+    assert set(bands.schema().names) == {"pkey", "band_id", "band_hash", "id"}
+
+
 def test_simhash_near_dup():
     pairs = simhash_near_dup(_docs(), "text", "doc_id", max_hamming=6).take_all()
     got = {(r["a"], r["b"]) for r in pairs}
