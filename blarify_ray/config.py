@@ -61,6 +61,14 @@ class PipelineConfig:
     # guide's "provably small" case); above it, the distributed
     # min-label-propagation loop takes over
     cc_driver_max_pairs: int = 5_000_000
+    # below this many DISTINCT unresolved norms the whole canonicalization
+    # runs on the driver via the serial spec (identical output by
+    # definition — canonical.canonicalize_surfaces IS the spec); above it
+    # the distributed LSH/verify/cluster stages take over. Entity-scale
+    # input (distinct surfaces), so the driver path covers real corpora
+    # up to hundreds of thousands of distinct unknown surfaces while
+    # skipping 3+ entity-scale shuffle executions per build.
+    canon_driver_max_norms: int = 200_000
     # hot-bucket guard (skew handling): an LSH bucket with more members
     # than this is skipped entirely — deterministic, applied identically
     # by the serial spec and the distributed stage. A near-dup pair

@@ -94,6 +94,10 @@ MENTIONS_RESOLVED = pa.schema(
         ("obj_type", pa.string()),
         ("obj_resolved", pa.bool_()),
         ("obj_start", pa.int32()),
+        # evidence snippet of the triple's sentence (null unless subject
+        # of a triple) — becomes the edge's scope_text provenance, the
+        # Relationship.scope_text analog (relationship.py:8-33)
+        ("sent_text", pa.string()),
     ]
 )
 

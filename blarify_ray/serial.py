@@ -20,7 +20,7 @@ from .corpus import entity_universe
 from .ids import entity_id
 from .linking import known_alias_norms, resolve_mention_keys
 from .rules import Gazetteer, extract_triples_from_sentence
-from .text import html_to_text, split_sentences, text_sha256
+from .text import html_to_text, scope_snippet, split_sentences, text_sha256
 
 
 def run_serial(rows: list[dict], n_pages: int, cfg: PipelineConfig = DEFAULT_CONFIG) -> dict:
@@ -101,6 +101,7 @@ def run_serial(rows: list[dict], n_pages: int, cfg: PipelineConfig = DEFAULT_CON
                         "obj_key": ok,
                         "obj_type": ot,
                         "obj_resolved": ores,
+                        "sent_text": scope_snippet(sent),
                     }
                 )
 
@@ -130,6 +131,7 @@ def run_serial(rows: list[dict], n_pages: int, cfg: PipelineConfig = DEFAULT_CON
                 "pred": t["pred"],
                 "obj": oname,
                 "obj_type": otype,
+                "sent_text": t["sent_text"],
             }
         )
 
@@ -173,7 +175,8 @@ def run_serial(rows: list[dict], n_pages: int, cfg: PipelineConfig = DEFAULT_CON
                 "src_id": eid[(t["subj"], t["subj_type"])],
                 "dst_id": eid[(t["obj"], t["obj_type"])],
                 "pred": t["pred"],
-                "scope_text": "",
+                # evidence snippet of the FIRST (url, sent_id) occurrence
+                "scope_text": t["sent_text"],
                 "url": t["url"],
                 "sent_id": t["sent_id"],
                 "weight": 1,

@@ -204,7 +204,41 @@ def build_canonical_map(
 ) -> pa.Table:
     """→ small Arrow table (norm, name, etype, is_new) for every distinct
     unresolved surface norm. Materialized (entity-scale, not page-scale);
-    the driver broadcasts it to the resolve stages via ``ray.put``."""
+    the driver broadcasts it to the resolve stages via ``ray.put``.
+
+    Size-tiered execution: the corpus-scale work (distinct unresolved
+    norms) always runs distributed; when the resulting DISTINCT norm set
+    is small (≤ ``cfg.canon_driver_max_norms``) the LSH/verify/cluster
+    phase runs on the driver via the serial spec
+    (``canonical.canonicalize_surfaces`` — identical output by
+    definition), skipping 3+ entity-scale shuffle executions whose fixed
+    orchestration latency otherwise dominates the stage. Above the
+    threshold the fully distributed path below takes over."""
+    probe_limit = cfg.canon_driver_max_norms
+    probe = (
+        distinct_unk_norms(mentions_resolved).limit(probe_limit + 1).take_all()
+        if probe_limit > 0
+        else []
+    )
+    if probe_limit > 0 and len(probe) <= probe_limit:
+        from ..canonical import canonicalize_surfaces
+
+        canon = canonicalize_surfaces({r["norm"] for r in probe}, known_norm_to_name, cfg)
+        out = {"norm": [], "name": [], "etype": [], "is_new": []}
+        for n in sorted(canon):
+            nm, t, new = canon[n]
+            out["norm"].append(n)
+            out["name"].append(nm)
+            out["etype"].append(t)
+            out["is_new"].append(new)
+        return pa.Table.from_pydict(
+            out,
+            schema=pa.schema(
+                [("norm", pa.string()), ("name", pa.string()),
+                 ("etype", pa.string()), ("is_new", pa.bool_())]
+            ),
+        )
+
     unks = (
         distinct_unk_norms(mentions_resolved)
         .map_batches(
@@ -313,7 +347,13 @@ def build_canonical_map(
             out["name"].append(c)  # min member = component label
             out["etype"].append("UNK")
             out["is_new"].append(True)
-    return pa.Table.from_pydict(out)
+    return pa.Table.from_pydict(
+        out,
+        schema=pa.schema(
+            [("norm", pa.string()), ("name", pa.string()),
+             ("etype", pa.string()), ("is_new", pa.bool_())]
+        ),
+    )
 
 
 class _rev:

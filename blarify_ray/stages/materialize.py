@@ -1,10 +1,20 @@
 """S6 — materialize the graph: canonical entities + weighted edges as
-sorted, hash-partitioned Parquet.
+sorted, hash-partitioned Parquet, computed in ONE fused pass.
 
 Analog of the reference's idempotent MERGE sink
 (``blarify/repositories/graph_db_manager/neo4j_manager.py:83-197``):
 deterministic md5 ids (ids.py) + atomic partition replace give the same
-re-run-converges property without a database.
+re-run-converges property without a database. Edge rows carry the
+evidence snippet of their first (url, sent_id) occurrence as
+``scope_text`` (``blarify/graph/relationship/relationship.py:8-33``).
+
+Fusion (scaling): entity and edge aggregation share their expensive
+input — one corpus-scale scan of mentions_resolved produces BOTH partial
+streams, which ride the SAME ``groupby(gkey)`` exchange (rows are
+kind-tagged 'E'/'R'); the merged output is entity-scale and is split
+into the two sorted parquet layouts afterwards. Halves the per-build
+scan+shuffle count vs separate S6a/S6b stages — fixed orchestration
+latency was the measured scaling-efficiency bottleneck (BASELINE.md).
 
 Skew handling (north_rule): both aggregations use the partial/combiner
 pattern — a vectorized per-batch pre-aggregation emits ≤1 row per key
@@ -19,12 +29,40 @@ from __future__ import annotations
 
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 from ..config import DEFAULT_CONFIG, PipelineConfig
 from ..ids import entity_id, id_bucket
 from ..schemas import EDGES, ENTITIES
 from ..util import get_broadcast
+
+# union row schema of the fused aggregation output (kind 'E' → entity
+# columns populated, 'R' → edge columns populated)
+GRAPH_ROWS = pa.schema(
+    [
+        ("kind", pa.string()),
+        ("entity_id", pa.string()),
+        ("name", pa.string()),
+        ("type", pa.string()),
+        ("aliases", pa.list_(pa.string())),
+        ("n_mentions", pa.int64()),
+        ("src_id", pa.string()),
+        ("dst_id", pa.string()),
+        ("pred", pa.string()),
+        ("scope_text", pa.string()),
+        ("url", pa.string()),
+        ("sent_id", pa.int32()),
+        ("weight", pa.int64()),
+        ("bucket", pa.int32()),
+    ]
+)
+
+# columns of mentions_resolved the fused pass needs (pruned read)
+GRAPH_INPUT_COLUMNS = [
+    "url", "sent_id", "key", "etype", "resolved", "surface",
+    "pred", "obj_key", "obj_type", "obj_resolved", "sent_text",
+]
 
 
 def _resolve_df(df: pd.DataFrame, kc: str, tc: str, rc: str, canon: dict):
@@ -47,13 +85,10 @@ def _gkey(joined: pd.Series, parts: int) -> pd.Series:
     return pd.Series(pd.util.hash_array(joined.to_numpy(dtype=object)) % parts).astype("int32")
 
 
-def entity_partials(batch: pd.DataFrame, canon_ref, agg_partitions: int) -> pd.DataFrame:
+def entity_partials(batch: pd.DataFrame, canon, agg_partitions: int) -> pd.DataFrame:
     """Per-batch partial aggregation: (name, type) → n, distinct
-    surfaces. A stateless TASK (not an actor pool — the only state is
-    the broadcast canonical map, cached per worker by get_broadcast).
-    Dict-loop aggregation: faster than pandas lambda-agg because the
-    surface-set union has no vectorized form."""
-    canon = get_broadcast(canon_ref)
+    surfaces. Dict-loop aggregation: faster than pandas lambda-agg
+    because the surface-set union has no vectorized form."""
     names, types = _resolve_df(batch, "key", "etype", "resolved", canon)
     agg: dict[tuple[str, str], tuple[int, set]] = {}
     for name, typ, surf in zip(names, types, batch["surface"]):
@@ -73,72 +108,32 @@ def entity_partials(batch: pd.DataFrame, canon_ref, agg_partitions: int) -> pd.D
         }
     )
     g["gkey"] = _gkey(g["name"] + "\x00" + g["type"], agg_partitions).to_numpy()
-    return g[["gkey", "name", "type", "n", "surfaces"]]
+    return g
 
 
-def build_entities(
-    mentions_resolved: ray.data.Dataset,
-    canon_ref,
-    cfg: PipelineConfig = DEFAULT_CONFIG,
-) -> ray.data.Dataset:
-    partials = mentions_resolved.map_batches(
-        lambda b, _r=canon_ref, _p=cfg.agg_partitions: entity_partials(b, _r, _p),
-        batch_format="pandas",
-        # large partial batches: the pre-aggregation ratio depends on
-        # mentions-per-batch vs vocabulary size — small batches barely
-        # dedup before the shuffle and the list-typed surfaces column
-        # makes every shuffled row expensive
-        batch_size=65536,
-    )
-
-    def merge_partition(group: pd.DataFrame) -> pa.Table:
-        agg: dict[tuple[str, str], tuple[int, set]] = {}
-        for name, typ, n, surfs in zip(
-            group["name"], group["type"], group["n"], group["surfaces"]
-        ):
-            cur = agg.get((name, typ))
-            if cur is None:
-                agg[(name, typ)] = (int(n), set(surfs))
-            else:
-                cur[1].update(surfs)
-                agg[(name, typ)] = (cur[0] + int(n), cur[1])
-        ks = sorted(agg)
-        eids = [entity_id(cfg.env, t, n) for n, t in ks]
-        return pa.Table.from_pydict(
-            {
-                "entity_id": eids,
-                "name": [k[0] for k in ks],
-                "type": [k[1] for k in ks],
-                "aliases": [sorted(agg[k][1]) for k in ks],
-                "n_mentions": [agg[k][0] for k in ks],
-                "bucket": [id_bucket(e, cfg.num_buckets) for e in eids],
-            },
-            schema=ENTITIES,
-        )
-
-    return partials.groupby("gkey").map_groups(merge_partition, batch_format="pandas")
-
-
-def edge_partials(batch: pd.DataFrame, canon_ref, agg_partitions: int) -> pd.DataFrame:
+def edge_partials(tri: pd.DataFrame, canon, agg_partitions: int) -> pd.DataFrame:
     """Per-batch partial aggregation of triples:
-    (subj, st, pred, obj, ot) → weight, min-(url, sent_id) provenance.
-    Stateless task; fully vectorized pandas groupby (stable sort by
-    (url, sent_id) + first = lexicographic tuple-min)."""
-    canon = get_broadcast(canon_ref)
-    sn, st = _resolve_df(batch, "subj_key", "subj_type", "subj_resolved", canon)
-    on, ot = _resolve_df(batch, "obj_key", "obj_type", "obj_resolved", canon)
+    (subj, st, pred, obj, ot) → weight, min-(url, sent_id) provenance +
+    that occurrence's evidence snippet. Fully vectorized pandas groupby
+    (stable sort by (url, sent_id) + first = lexicographic tuple-min)."""
+    sn, st = _resolve_df(tri, "subj_key", "subj_type", "subj_resolved", canon)
+    on, ot = _resolve_df(tri, "obj_key", "obj_type", "obj_resolved", canon)
     df = pd.DataFrame(
         {
-            "subj": sn, "subj_type": st, "pred": batch["pred"],
+            "subj": sn, "subj_type": st, "pred": tri["pred"],
             "obj": on, "obj_type": ot,
-            "url": batch["url"], "sent_id": batch["sent_id"],
+            "url": tri["url"], "sent_id": tri["sent_id"],
+            "sent_text": tri["sent_text"],
         }
     )
     keys = ["subj", "subj_type", "pred", "obj", "obj_type"]
     df = df.sort_values(["url", "sent_id"], kind="mergesort")
     g = (
         df.groupby(keys, sort=True)
-        .agg(weight=("url", "size"), url=("url", "first"), sent_id=("sent_id", "first"))
+        .agg(
+            weight=("url", "size"), url=("url", "first"),
+            sent_id=("sent_id", "first"), sent_text=("sent_text", "first"),
+        )
         .reset_index()
     )
     g["gkey"] = _gkey(
@@ -148,13 +143,103 @@ def edge_partials(batch: pd.DataFrame, canon_ref, agg_partitions: int) -> pd.Dat
     return g
 
 
-def build_edges(
-    triples_linked: ray.data.Dataset,
+def graph_partials(batch: pd.DataFrame, canon_ref, agg_partitions: int) -> pd.DataFrame:
+    """Fused per-batch partials: ONE pass over a mentions_resolved batch
+    emits kind-tagged entity AND edge partial rows. Stateless TASK (the
+    only state is the broadcast canonical map, cached per worker)."""
+    canon = get_broadcast(canon_ref)
+    ent = entity_partials(batch, canon, agg_partitions)
+    ent.insert(0, "kind", "E")
+    tri = batch[batch["pred"].notna()].rename(
+        columns={"key": "subj_key", "etype": "subj_type", "resolved": "subj_resolved"}
+    )
+    if len(tri):
+        edg = edge_partials(tri, canon, agg_partitions)
+        edg.insert(0, "kind", "R")
+        return pd.concat([ent, edg], ignore_index=True)
+    return ent
+
+
+def merge_graph_partition(group: pd.DataFrame, cfg: PipelineConfig) -> pa.Table:
+    """Merge one hash partition of kind-tagged partials into final
+    entity/edge rows (union GRAPH_ROWS schema)."""
+    n_rows = 0
+    cols: dict[str, list] = {f.name: [] for f in GRAPH_ROWS}
+
+    ge = group[group["kind"] == "E"]
+    if len(ge):
+        agg: dict[tuple[str, str], tuple[int, set]] = {}
+        for name, typ, n, surfs in zip(ge["name"], ge["type"], ge["n"], ge["surfaces"]):
+            cur = agg.get((name, typ))
+            if cur is None:
+                agg[(name, typ)] = (int(n), set(surfs))
+            else:
+                cur[1].update(surfs)
+                agg[(name, typ)] = (cur[0] + int(n), cur[1])
+        for name, typ in sorted(agg):
+            eid = entity_id(cfg.env, typ, name)
+            cols["kind"].append("E")
+            cols["entity_id"].append(eid)
+            cols["name"].append(name)
+            cols["type"].append(typ)
+            cols["aliases"].append(sorted(agg[(name, typ)][1]))
+            cols["n_mentions"].append(agg[(name, typ)][0])
+            cols["src_id"].append(None)
+            cols["dst_id"].append(None)
+            cols["pred"].append(None)
+            cols["scope_text"].append(None)
+            cols["url"].append(None)
+            cols["sent_id"].append(None)
+            cols["weight"].append(None)
+            cols["bucket"].append(id_bucket(eid, cfg.num_buckets))
+            n_rows += 1
+
+    gr = group[group["kind"] == "R"]
+    if len(gr):
+        keys = ["subj", "subj_type", "pred", "obj", "obj_type"]
+        gr = gr.sort_values(["url", "sent_id"], kind="mergesort")
+        g = (
+            gr.groupby(keys, sort=True)
+            .agg(
+                weight=("weight", "sum"), url=("url", "first"),
+                sent_id=("sent_id", "first"), sent_text=("sent_text", "first"),
+            )
+            .reset_index()
+        )
+        for subj, stype, pred, obj, otype, weight, url, sent_id, sent_text in zip(
+            g["subj"], g["subj_type"], g["pred"], g["obj"], g["obj_type"],
+            g["weight"], g["url"], g["sent_id"], g["sent_text"],
+        ):
+            src = entity_id(cfg.env, stype, subj)
+            cols["kind"].append("R")
+            cols["entity_id"].append(None)
+            cols["name"].append(None)
+            cols["type"].append(None)
+            cols["aliases"].append(None)
+            cols["n_mentions"].append(None)
+            cols["src_id"].append(src)
+            cols["dst_id"].append(entity_id(cfg.env, otype, obj))
+            cols["pred"].append(pred)
+            cols["scope_text"].append(sent_text)
+            cols["url"].append(url)
+            cols["sent_id"].append(int(sent_id))
+            cols["weight"].append(int(weight))
+            cols["bucket"].append(id_bucket(src, cfg.num_buckets))
+            n_rows += 1
+
+    return pa.Table.from_pydict(cols, schema=GRAPH_ROWS)
+
+
+def build_graph(
+    mentions_resolved: ray.data.Dataset,
     canon_ref,
     cfg: PipelineConfig = DEFAULT_CONFIG,
 ) -> ray.data.Dataset:
-    partials = triples_linked.map_batches(
-        lambda b, _r=canon_ref, _p=cfg.agg_partitions: edge_partials(b, _r, _p),
+    """mentions_resolved → kind-tagged union dataset of final entity and
+    edge rows: one scan, one shuffle, entity-scale output. Split with
+    ``split_entities`` / ``split_edges``."""
+    partials = mentions_resolved.map_batches(
+        lambda b, _r=canon_ref, _p=cfg.agg_partitions: graph_partials(b, _r, _p),
         batch_format="pandas",
         # large partial batches: the pre-aggregation ratio depends on
         # mentions-per-batch vs vocabulary size — small batches barely
@@ -162,29 +247,20 @@ def build_edges(
         # makes every shuffled row expensive
         batch_size=65536,
     )
+    return partials.groupby("gkey").map_groups(
+        lambda g, _c=cfg: merge_graph_partition(g, _c), batch_format="pandas"
+    )
 
-    def merge_partition(group: pd.DataFrame) -> pa.Table:
-        keys = ["subj", "subj_type", "pred", "obj", "obj_type"]
-        group = group.sort_values(["url", "sent_id"], kind="mergesort")
-        g = (
-            group.groupby(keys, sort=True)
-            .agg(weight=("weight", "sum"), url=("url", "first"), sent_id=("sent_id", "first"))
-            .reset_index()
-        )
-        srcs = [entity_id(cfg.env, t, n) for n, t in zip(g["subj"], g["subj_type"])]
-        dsts = [entity_id(cfg.env, t, n) for n, t in zip(g["obj"], g["obj_type"])]
-        return pa.Table.from_pydict(
-            {
-                "src_id": srcs,
-                "dst_id": dsts,
-                "pred": g["pred"].tolist(),
-                "scope_text": [""] * len(g),
-                "url": g["url"].tolist(),
-                "sent_id": g["sent_id"].astype("int32").tolist(),
-                "weight": g["weight"].astype("int64").tolist(),
-                "bucket": [id_bucket(s, cfg.num_buckets) for s in srcs],
-            },
-            schema=EDGES,
-        )
 
-    return partials.groupby("gkey").map_groups(merge_partition, batch_format="pandas")
+def split_entities(graph: ray.data.Dataset) -> ray.data.Dataset:
+    return graph.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "E")).select(ENTITIES.names).cast(ENTITIES),
+        batch_format="pyarrow",
+    )
+
+
+def split_edges(graph: ray.data.Dataset) -> ray.data.Dataset:
+    return graph.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "R")).select(EDGES.names).cast(EDGES),
+        batch_format="pyarrow",
+    )

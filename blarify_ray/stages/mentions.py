@@ -25,7 +25,7 @@ from ..config import DEFAULT_CONFIG, PipelineConfig
 from ..linking import resolve_mention_keys
 from ..rules import Gazetteer, extract_triples_from_sentence
 from ..schemas import MENTIONS_RESOLVED, TRIPLES_LINKED
-from ..text import split_sentences
+from ..text import scope_snippet, split_sentences
 
 
 class MentionLinker:
@@ -85,6 +85,7 @@ class MentionLinker:
                         cols["obj_type"].append(None)
                         cols["obj_resolved"].append(None)
                         cols["obj_start"].append(None)
+                        cols["sent_text"].append(None)
                     else:
                         pred, b = tr
                         ok, ot, ores = key_by_span[(sid, b.start)]
@@ -93,6 +94,7 @@ class MentionLinker:
                         cols["obj_type"].append(ot)
                         cols["obj_resolved"].append(ores)
                         cols["obj_start"].append(b.start)
+                        cols["sent_text"].append(scope_snippet(sent))
         return pa.Table.from_pydict(cols, schema=MENTIONS_RESOLVED)
 
 

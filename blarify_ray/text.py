@@ -104,6 +104,19 @@ def jaccard(a: set[str], b: set[str]) -> float:
     return inter / (len(a) + len(b) - inter)
 
 
+# --- edge evidence snippet -------------------------------------------------
+
+SCOPE_SNIPPET_MAX = 200
+
+
+def scope_snippet(sentence: str, max_len: int = SCOPE_SNIPPET_MAX) -> str:
+    """Capped evidence snippet carried on edges (Relationship.scope_text
+    analog, ``blarify/graph/relationship/relationship.py:8-33``).
+    Deterministic truncation — applied identically by the serial spec and
+    the Ray stages at capture time."""
+    return sentence if len(sentence) <= max_len else sentence[:max_len]
+
+
 # --- tokenization (text-analysis ops) --------------------------------------
 
 _RE_WS = re.compile(r"\s+")

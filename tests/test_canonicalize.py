@@ -59,6 +59,11 @@ def test_distributed_cc_loop():
 
 
 def test_distributed_matches_serial_spec():
+    """Both execution tiers of build_canonical_map must reproduce the
+    serial spec: the driver fast-path (default config) AND the fully
+    distributed LSH/verify/cluster path (threshold forced to 0)."""
+    import dataclasses
+
     import pyarrow as pa
     import ray.data as rd
 
@@ -78,14 +83,16 @@ def test_distributed_matches_serial_spec():
             "resolved": [False] * len(unks) + [True],
         }
     )
-    got_tbl = build_canonical_map(rd.from_arrow(tbl), KNOWN, DEFAULT_CONFIG)
-    got = {
-        n: (nm, t, bool(new))
-        for n, nm, t, new in zip(
-            got_tbl["norm"].to_pylist(),
-            got_tbl["name"].to_pylist(),
-            got_tbl["etype"].to_pylist(),
-            got_tbl["is_new"].to_pylist(),
-        )
-    }
-    assert got == want
+    forced_distributed = dataclasses.replace(DEFAULT_CONFIG, canon_driver_max_norms=0)
+    for cfg in (DEFAULT_CONFIG, forced_distributed):
+        got_tbl = build_canonical_map(rd.from_arrow(tbl), KNOWN, cfg)
+        got = {
+            n: (nm, t, bool(new))
+            for n, nm, t, new in zip(
+                got_tbl["norm"].to_pylist(),
+                got_tbl["name"].to_pylist(),
+                got_tbl["etype"].to_pylist(),
+                got_tbl["is_new"].to_pylist(),
+            )
+        }
+        assert got == want

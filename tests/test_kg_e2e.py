@@ -76,14 +76,16 @@ def test_edges_match_serial_and_no_dangling(built):
     paths, serial = built
     edges = _stage_rows(paths["edges"])
     got = {
-        (e["src_id"], e["dst_id"], e["pred"], e["url"], e["sent_id"], e["weight"])
+        (e["src_id"], e["dst_id"], e["pred"], e["url"], e["sent_id"], e["weight"], e["scope_text"])
         for e in edges
     }
     want = {
-        (e["src_id"], e["dst_id"], e["pred"], e["url"], e["sent_id"], e["weight"])
+        (e["src_id"], e["dst_id"], e["pred"], e["url"], e["sent_id"], e["weight"], e["scope_text"])
         for e in serial["edges"]
     }
     assert got == want
+    # scope_text provenance must actually be populated (evidence snippet)
+    assert edges and all(e["scope_text"] for e in edges)
     eids = {e["entity_id"] for e in _stage_rows(paths["entities"])}
     assert all(e["src_id"] in eids and e["dst_id"] in eids for e in edges)
 
