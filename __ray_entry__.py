@@ -120,6 +120,15 @@ def _q_kg_doc_search(sf_dir: str):
     return doc_search(paths, f"information about {top}", k=10)
 
 
+def _q_kg_doc_search_hybrid(sf_dir: str):
+    from blarify_ray.pipelines.doc_layer import doc_search_hybrid
+    from blarify_ray.pipelines.graph_queries import top_entities
+
+    paths = _kg_paths(sf_dir)
+    top = top_entities(paths, k=1).take_all()[0]["name"]
+    return doc_search_hybrid(paths, f"information about {top}", k=10)
+
+
 def _q_kg_domain_rollup(sf_dir: str):
     from blarify_ray.pipelines.hierarchy import bottom_up_rollup
 
@@ -152,6 +161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_find": _q_kg_find,
         "kg_workflows": _q_kg_workflows,
         "kg_doc_search": _q_kg_doc_search,
+        "kg_doc_search_hybrid": _q_kg_doc_search_hybrid,
         "kg_domain_rollup": _q_kg_domain_rollup,
         "kg_mermaid": _q_kg_mermaid,
     }

@@ -33,6 +33,16 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--name", required=True, choices=["top", "entry-points", "skeleton", "rollup"])
     q.add_argument("--num-cpus", type=int, default=None)
 
+    t = sub.add_parser("tools", help="list or call agent tools over a built graph")
+    t.add_argument("--out", required=True)
+    t.add_argument("--call", default=None, help="tool name (omit to list the registry)")
+    t.add_argument("--args", default="{}", help="JSON arguments for --call")
+    t.add_argument("--num-cpus", type=int, default=None)
+
+    m = sub.add_parser("serve-mcp", help="MCP-style JSON-RPC loop over stdio")
+    m.add_argument("--out", required=True)
+    m.add_argument("--num-cpus", type=int, default=None)
+
     args = p.parse_args(argv)
 
     import ray
@@ -58,6 +68,20 @@ def main(argv: list[str] | None = None) -> int:
             idx = [int(x) for x in args.indices.split(",") if x]
             paths = incremental_update(args.out, args.pages, idx)
             print(json.dumps({"status": "ok", "stages": paths}))
+        elif args.cmd in ("tools", "serve-mcp"):
+            from . import tools as toolmod
+
+            paths = {
+                k: f"{args.out}/{k}"
+                for k in ("docs", "mentions", "canonical", "entities", "edges")
+            }
+            if args.cmd == "serve-mcp":
+                toolmod.serve_mcp_stdio(paths)
+            elif args.call:
+                out = toolmod.call_tool(paths, args.call, json.loads(args.args))
+                print(json.dumps(out, default=str))
+            else:
+                print(json.dumps(toolmod.list_tools(), indent=1))
         else:
             from .pipelines import graph_queries as gq
             from .pipelines.hierarchy import bottom_up_rollup

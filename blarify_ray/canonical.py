@@ -25,7 +25,7 @@ reference's bottom-up batch processor loop with its stuck-round guard
 from __future__ import annotations
 
 from .config import PipelineConfig
-from .minhash import band_hashes, make_perms, signature_for
+from .minhash import band_hashes_batch, make_perms, signatures_batch
 from .text import char_shingles, jaccard
 
 
@@ -51,13 +51,17 @@ class UnionFind:
 
 
 def lsh_buckets(keys: list[str], cfg: PipelineConfig) -> dict[tuple[int, int], list[str]]:
-    """(band_id, band_hash) → member keys. Shared blocking primitive."""
+    """(band_id, band_hash) → member keys. Shared blocking primitive
+    (batch-vectorized signature + banding — one numpy pass over all
+    keys, bit-identical to the per-key formulation)."""
     a, b = make_perms(cfg.minhash_perms)
+    sigs = signatures_batch(keys, cfg.shingle_k, a, b)
+    bands = band_hashes_batch(sigs, cfg.lsh_bands)
     buckets: dict[tuple[int, int], list[str]] = {}
-    for k in keys:
-        sig = signature_for(k, cfg.shingle_k, a, b)
-        for band_id, bh in enumerate(band_hashes(sig, cfg.lsh_bands)):
-            buckets.setdefault((band_id, bh), []).append(k)
+    for i, k in enumerate(keys):
+        row = bands[i]
+        for band_id in range(bands.shape[1]):
+            buckets.setdefault((band_id, int(row[band_id])), []).append(k)
     return buckets
 
 
@@ -68,25 +72,34 @@ def verified_pairs(
     x < y lexicographically."""
     keys = sorted(unk_norms | known_norms)
     sh = {k: char_shingles(k, cfg.shingle_k) for k in keys}
-    seen: set[tuple[str, str]] = set()
+    # int encoding of keys → pair-dedup set of packed int64s (an order of
+    # magnitude cheaper than hashing string tuples across the ~10^7
+    # bucket-pair slots the 32 bands generate)
+    idx = {k: i for i, k in enumerate(keys)}
+    n = len(keys)
+    is_unk = [k in unk_norms for k in keys]
+    seen: set[int] = set()
     out: list[tuple[str, str, float]] = []
     for members in lsh_buckets(keys, cfg).values():
         if len(members) < 2 or len(members) > cfg.max_lsh_bucket:
             continue
-        unks = [m for m in members if m in unk_norms]
-        if not unks:
+        mi = [idx[m] for m in members]
+        unks_i = [i for i in mi if is_unk[i]]
+        if not unks_i:
             continue
-        for u in unks:
-            for v in members:
+        for u in unks_i:
+            for v in mi:
                 if v == u:
                     continue
                 x, y = (u, v) if u < v else (v, u)
-                if (x, y) in seen:
+                code = x * n + y
+                if code in seen:
                     continue
-                seen.add((x, y))
-                j = jaccard(sh[x], sh[y])
+                seen.add(code)
+                kx, ky = keys[x], keys[y]
+                j = jaccard(sh[kx], sh[ky])
                 if j >= cfg.jaccard_threshold:
-                    out.append((x, y, j))
+                    out.append((kx, ky, j))
     return sorted(out)
 
 

@@ -63,12 +63,15 @@ class PipelineConfig:
     cc_driver_max_pairs: int = 5_000_000
     # below this many DISTINCT unresolved norms the whole canonicalization
     # runs on the driver via the serial spec (identical output by
-    # definition — canonical.canonicalize_surfaces IS the spec); above it
-    # the distributed LSH/verify/cluster stages take over. Entity-scale
-    # input (distinct surfaces), so the driver path covers real corpora
-    # up to hundreds of thousands of distinct unknown surfaces while
-    # skipping 3+ entity-scale shuffle executions per build.
-    canon_driver_max_norms: int = 200_000
+    # definition — canonical.canonicalize_surfaces IS the spec), skipping
+    # 3+ entity-scale shuffle executions per build; above it the
+    # distributed LSH/verify/cluster stages take over. The threshold is
+    # where the driver's single-threaded pair verification (~0.5 ms/norm)
+    # stops being cheaper than the distributed path's fixed orchestration
+    # latency — pair enumeration is quadratic-ish in norms-per-bucket, so
+    # large sets MUST parallelize (Amdahl: serial driver seconds depress
+    # the measured N-vs-4N scaling efficiency directly).
+    canon_driver_max_norms: int = 8_192
     # hot-bucket guard (skew handling): an LSH bucket with more members
     # than this is skipped entirely — deterministic, applied identically
     # by the serial spec and the distributed stage. A near-dup pair
@@ -76,8 +79,12 @@ class PipelineConfig:
     # loses the pair; it only bounds the quadratic enumeration.
     max_lsh_bucket: int = 100
 
-    # Salting for hot keys (north_rule skew requirement).
-    salt_buckets: int = 16
+    # Skew/hot-key handling has no separate salting knob: it is delivered
+    # by (a) per-batch partial aggregation — the hot entity reaches the
+    # shuffle as ≤1 row per upstream batch, not one row per mention
+    # (stages/materialize.py), and (b) the max_lsh_bucket hot-bucket cap
+    # above. An explicit salt column would only re-split what the
+    # partials already collapsed.
 
     # Output layout: hash partitions by entity-id bucket.
     num_buckets: int = 16

@@ -66,6 +66,32 @@ def minhash_signature(shingles: set[str], a: np.ndarray, b: np.ndarray) -> np.nd
     return m.min(axis=1)
 
 
+def signatures_batch(keys: list[str], k: int, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """MinHash signatures for a BATCH of normalized strings in one numpy
+    pass — bit-identical to calling ``signature_for`` per key, but the
+    (a·x+b) mod p sweep and the per-key min run over the concatenated
+    shingle-code array (``np.minimum.reduceat``) instead of one small
+    matrix per key. → (n_keys, n_perms) uint64."""
+    if not keys:
+        return np.zeros((0, len(a)), dtype=np.uint64)
+    # chunked so the (n_perms × total_shingles) sweep stays cache-sized
+    # instead of allocating multi-hundred-MB intermediates
+    chunk = 2048
+    outs = []
+    for lo in range(0, len(keys), chunk):
+        part = keys[lo : lo + chunk]
+        codes = [shingle_codes(s, k) for s in part]
+        lens = np.fromiter((len(c) for c in codes), dtype=np.int64, count=len(codes))
+        flat = np.concatenate(codes)
+        starts = np.zeros(len(codes), dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        # (n_perms, total_shingles) — a_i·x + b_i < 2^62, no overflow
+        m = (a[:, None] * flat[None, :] + b[:, None]) % _P
+        # per-key min along the flat axis for every perm
+        outs.append(np.minimum.reduceat(m, starts, axis=1).T)
+    return np.ascontiguousarray(np.concatenate(outs, axis=0))
+
+
 _FNV_OFFSET = np.uint64(1469598103934665603)
 _FNV_PRIME = np.uint64(1099511628211)
 _BAND_SALT = np.uint64(0x9E3779B97F4A7C15)
@@ -83,3 +109,16 @@ def band_hashes(sig: np.ndarray, n_bands: int) -> list[int]:
         acc = (acc ^ m[:, c]) * _FNV_PRIME
     acc = acc ^ (np.arange(n_bands, dtype=np.uint64) * _BAND_SALT)
     return (acc >> np.uint64(1)).tolist()
+
+
+def band_hashes_batch(sigs: np.ndarray, n_bands: int) -> np.ndarray:
+    """``band_hashes`` for a (n_keys, n_perms) signature matrix in one
+    numpy pass — bit-identical per row. → (n_keys, n_bands) uint64."""
+    n_keys, n_perms = sigs.shape
+    rows = n_perms // n_bands
+    m = np.ascontiguousarray(sigs[:, : n_bands * rows]).reshape(n_keys, n_bands, rows)
+    acc = np.full((n_keys, n_bands), _FNV_OFFSET, dtype=np.uint64)
+    for c in range(rows):
+        acc = (acc ^ m[:, :, c]) * _FNV_PRIME
+    acc = acc ^ (np.arange(n_bands, dtype=np.uint64) * _BAND_SALT)[None, :]
+    return acc >> np.uint64(1)

@@ -194,6 +194,70 @@ def copartition_attach(
     return lt.union(rt).groupby("_pkey").map_groups(merge, batch_format="pandas")
 
 
+def most_specific_join(
+    points: ray.data.Dataset,
+    intervals: ray.data.Dataset,
+    key: str,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    payload_cols: list[str],
+    tie_cols: list[str] | None = None,
+    partitions: int = 32,
+) -> ray.data.Dataset:
+    """Attach, per key, the MOST SPECIFIC containing interval to each
+    point: among intervals with ``start ≤ point < end`` for the same key,
+    pick the one with the smallest width (end-start), ties broken by
+    (start, *tie_cols) ascending. The blame-attribution shape — the
+    reference keeps the match with the minimum specificity level
+    (``blarify/graph/relationship_creator.py:320-378``); intervals here
+    MAY overlap/nest arbitrarily, unlike ``interval_join``.
+
+    One co-partitioning shuffle; inside each partition a vectorized
+    pandas merge enumerates (point × same-key interval) candidates —
+    bounded by intervals-per-key, the usual blame fan-out."""
+    tie_cols = tie_cols or []
+
+    def tag(side: str):
+        def f(t: pa.Table) -> pa.Table:
+            pk = [stable_u64(str(k)) % partitions for k in t[key].to_pylist()]
+            t = t.append_column("_pkey", pa.array(pk, pa.int32()))
+            return t.append_column("_side", pa.array([side] * t.num_rows, pa.string()))
+
+        return f
+
+    pcols = list(points.schema().names)
+    icols = list(intervals.schema().names)
+    allcols = sorted(set(pcols) | set(icols) | {"_pkey", "_side"})
+
+    def widen(t: pa.Table) -> pa.Table:
+        for c in allcols:
+            if c not in t.column_names:
+                t = t.append_column(c, pa.nulls(t.num_rows))
+        return t.select(allcols)
+
+    pt = points.map_batches(tag("P"), batch_format="pyarrow").map_batches(widen, batch_format="pyarrow")
+    it = intervals.map_batches(tag("I"), batch_format="pyarrow").map_batches(widen, batch_format="pyarrow")
+
+    def match(g: pd.DataFrame) -> pd.DataFrame:
+        pg = g[g["_side"] == "P"][pcols].copy()
+        ig = g[g["_side"] == "I"][icols].copy()
+        if pg.empty or ig.empty:
+            return pd.DataFrame(columns=[*pcols, start_col, end_col, *payload_cols]).iloc[0:0]
+        pg["_rowid"] = np.arange(len(pg))
+        cand = pg.merge(ig, on=key, how="inner")
+        cand = cand[(cand[start_col] <= cand[point_col]) & (cand[point_col] < cand[end_col])]
+        if cand.empty:
+            return pd.DataFrame(columns=[*pcols, start_col, end_col, *payload_cols]).iloc[0:0]
+        cand["_width"] = cand[end_col] - cand[start_col]
+        cand = cand.sort_values(
+            ["_rowid", "_width", start_col, *tie_cols], kind="mergesort"
+        ).drop_duplicates("_rowid")
+        return cand[[*pcols, start_col, end_col, *payload_cols]].reset_index(drop=True)
+
+    return pt.union(it).groupby("_pkey").map_groups(match, batch_format="pandas")
+
+
 def interval_join(
     points: ray.data.Dataset,
     intervals: ray.data.Dataset,

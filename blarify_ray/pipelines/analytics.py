@@ -634,6 +634,91 @@ FROM events ASOF JOIN (
 ) daily ON events.user_id = daily.user_id AND daily.o_orderdate <= events.ts
 """
 
+# --- events_order_window (most-specific containing range) ------------------
+
+_PRIORITY_WIDTH_DAYS = {
+    "1-URGENT": 7, "2-HIGH": 14, "3-MEDIUM": 21, "4-NOT SPECIFIED": 28, "5-LOW": 35,
+}
+
+
+def q_orders_blame_window(sf_dir: str):
+    """Most-specific-range attribution (blame-join shape,
+    ``relationship_creator.py:320-378``): each order attaches to the
+    NARROWEST same-customer order window [o_orderdate, o_orderdate +
+    width) containing its own date — window width varies by order
+    priority (urgent orders cast tighter windows), ties broken by
+    (start, o_orderkey). Windows overlap/nest arbitrarily, which is
+    exactly what ``interval_join`` (innermost, non-overlapping) cannot
+    express."""
+    import datetime
+
+    from ..ops.joins import most_specific_join
+
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"])
+
+    def windows(t: pa.Table) -> pa.Table:
+        starts = t["o_orderdate"].to_pylist()
+        widths = [_PRIORITY_WIDTH_DAYS.get(p, 35) for p in t["o_orderpriority"].to_pylist()]
+        ends = [s + datetime.timedelta(days=w) for s, w in zip(starts, widths)]
+        return pa.Table.from_pydict(
+            {
+                "user_id": t["o_custkey"],
+                "win_start": pa.array(starts, pa.timestamp("us")),
+                "win_end": pa.array(ends, pa.timestamp("us")),
+                "o_orderkey": t["o_orderkey"],
+                "width_days": pa.array(widths, pa.int64()),
+            }
+        )
+
+    def points(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "user_id": t["o_custkey"],
+                "point_key": t["o_orderkey"],
+                "pdate": pc.cast(t["o_orderdate"], pa.timestamp("us")),
+            }
+        )
+
+    intervals = orders.map_batches(windows, batch_format="pyarrow")
+    pts = orders.map_batches(points, batch_format="pyarrow")
+    joined = most_specific_join(
+        pts, intervals, key="user_id", point_col="pdate",
+        start_col="win_start", end_col="win_end",
+        payload_cols=["o_orderkey", "width_days"], tie_cols=["o_orderkey"],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "point_key": pc.cast(t["point_key"], pa.int64()),
+                "user_id": pc.cast(t["user_id"], pa.int64()),
+                "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+                "width_days": pc.cast(t["width_days"], pa.int64()),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_ORDER_WINDOW = """
+WITH w AS (
+  SELECT o_orderkey, o_custkey, o_orderdate,
+         CAST(CASE o_orderpriority
+              WHEN '1-URGENT' THEN 7 WHEN '2-HIGH' THEN 14
+              WHEN '3-MEDIUM' THEN 21 WHEN '4-NOT SPECIFIED' THEN 28
+              ELSE 35 END AS BIGINT) AS width_days
+  FROM orders)
+SELECT point_key, user_id, o_orderkey, width_days FROM (
+  SELECT p.o_orderkey AS point_key, p.o_custkey AS user_id,
+         w.o_orderkey, w.width_days,
+         row_number() OVER (PARTITION BY p.o_orderkey
+                            ORDER BY w.width_days, w.o_orderdate, w.o_orderkey) AS rn
+  FROM orders p JOIN w ON p.o_custkey = w.o_custkey
+   AND w.o_orderdate <= p.o_orderdate
+   AND p.o_orderdate < w.o_orderdate + w.width_days * INTERVAL 1 DAY
+) WHERE rn = 1
+"""
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -654,6 +739,7 @@ QUERIES = {
     "topk_docs_per_source": q_topk_docs_per_source,
     "distinct_users_per_type": q_distinct_users_per_type,
     "nation_rollup": q_nation_rollup,
+    "orders_blame_window": q_orders_blame_window,
 }
 
 ORACLE_SQL = {
@@ -674,4 +760,5 @@ ORACLE_SQL = {
     "topk_docs_per_source": SQL_TOPK_PER_SOURCE,
     "distinct_users_per_type": SQL_DISTINCT_USERS,
     "nation_rollup": SQL_NATION_ROLLUP,
+    "orders_blame_window": SQL_ORDER_WINDOW,
 }

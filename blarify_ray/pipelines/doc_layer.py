@@ -118,3 +118,57 @@ def doc_search(
     return layer.map_batches(score, batch_format="pyarrow").sort(
         ["score", "entity_id"], descending=[True, False]
     ).limit(k)
+
+
+def doc_search_hybrid(
+    paths: dict[str, str], query_text: str, k: int = 10,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    w_vector: float = 0.7, w_keyword: float = 0.3,
+) -> ray.data.Dataset:
+    """Hybrid vector+keyword search over the documentation layer:
+    ``score = 0.7·cosine + 0.3·keyword`` with a name/title boost —
+    the reference's combined scoring
+    (``blarify/repositories/graph_db_manager/queries.py:2322-2356``:
+    vector similarity blended with keyword hits, title matches boosted
+    over content matches).
+
+    Keyword score per entity = (2·name_hits + content_hits) / (3·terms),
+    clipped to 1 — a term matching the entity NAME counts double
+    (title boost), a term matching only the summary content counts once.
+    """
+    from ..text import normalize_surface
+
+    q = hash_embed(query_text).astype(np.float64)
+    terms = [t for t in normalize_surface(query_text).split() if len(t) >= 3]
+    layer = build_doc_layer(paths, cfg)
+
+    def score(t: pa.Table) -> pa.Table:
+        m = np.array(t["content_embedding"].to_pylist(), dtype=np.float64)
+        cos = m @ q if len(m) else np.zeros(0)
+        kws = []
+        for name, content in zip(t["name"].to_pylist(), t["content"].to_pylist()):
+            if not terms:
+                kws.append(0.0)
+                continue
+            nl, cl = normalize_surface(name), normalize_surface(content)
+            hits = 0
+            for term in terms:
+                if term in nl:
+                    hits += 2  # title/name boost
+                elif term in cl:
+                    hits += 1
+            kws.append(min(1.0, hits / (3.0 * len(terms)) * 3.0 / 2.0))
+        hybrid = w_vector * cos + w_keyword * np.asarray(kws)
+        return pa.Table.from_pydict(
+            {
+                "entity_id": t["entity_id"],
+                "name": t["name"],
+                "score": pa.array(np.round(hybrid, 6)),
+                "vector_score": pa.array(np.round(cos, 6)),
+                "keyword_score": pa.array(np.round(np.asarray(kws), 6)),
+            }
+        )
+
+    return layer.map_batches(score, batch_format="pyarrow").sort(
+        ["score", "entity_id"], descending=[True, False]
+    ).limit(k)

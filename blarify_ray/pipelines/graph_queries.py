@@ -88,6 +88,8 @@ def k_hop(
     seed_ids: list[str],
     max_depth: int = 3,
     preds: list[str] | None = None,
+    offset: int = 0,
+    limit: int | None = None,
 ) -> ray.data.Dataset:
     """Iterative frontier expansion over the edges table: each round is a
     broadcast-semi-join (frontier id set) + vectorized filter, the Ray
@@ -115,31 +117,58 @@ def k_hop(
             break
         for n in frontier:
             seen[n] = depth
+    rows = sorted(seen.items(), key=lambda kv: (kv[1], kv[0]))  # (depth, id)
+    if offset or limit is not None:
+        # skip/limit batching over the deterministic ordering, matching
+        # the reference's paged traversal queries (queries.py:1293-1422):
+        # paged calls concatenate exactly to the unpaged result
+        rows = rows[offset : (offset + limit) if limit is not None else None]
     tbl = pa.Table.from_pydict(
         {
-            "entity_id": list(seen),
-            "depth": pa.array([seen[k] for k in seen], pa.int32()),
+            "entity_id": pa.array([k for k, _ in rows], pa.string()),
+            "depth": pa.array([d for _, d in rows], pa.int32()),
         }
     )
     return ray.data.from_arrow(tbl)
 
 
-def entry_points(paths: dict[str, str]) -> ray.data.Dataset:
-    """Entities with outgoing edges but NO incoming edges — the
-    workflow-entry-point anti-join."""
+def entry_points(paths: dict[str, str], partitions: int = 64) -> ray.data.Dataset:
+    """Entities with outgoing edges but NO incoming edges — a fully
+    distributed anti-join: every edge contributes (id, is_src) count
+    rows, pre-aggregated per batch, hash-routed by id into
+    ``partitions`` Ray-level groups, and resolved with one vectorized
+    pandas pivot per group. No driver-side id set — the node set never
+    leaves the workers (scale-safe for open-vocabulary graphs)."""
+    import pandas as pd
+
     edges = read_stage(paths["edges"], columns=["src_id", "dst_id"])
-    dst = set(r["dst_id"] for r in edges.select_columns(["dst_id"]).take_all())
 
-    def anti(t: pa.Table) -> pa.Table:
-        mask = pa.array([s not in dst for s in t["src_id"].to_pylist()])
-        return t.filter(mask).select(["src_id"])
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        s = pd.concat(
+            [
+                pd.DataFrame({"id": df["src_id"], "is_src": 1}),
+                pd.DataFrame({"id": df["dst_id"], "is_src": 0}),
+            ],
+            ignore_index=True,
+        )
+        g = s.groupby(["id", "is_src"], sort=True).size().reset_index(name="n")
+        g["_pkey"] = (
+            pd.util.hash_array(g["id"].to_numpy(dtype=object)) % partitions
+        ).astype("int32")
+        return g
 
-    from ray.data.aggregate import Count
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        p = g.groupby(["id", "is_src"])["n"].sum().unstack(fill_value=0)
+        n_out = p[1] if 1 in p.columns else pd.Series(0, index=p.index)
+        n_in = p[0] if 0 in p.columns else pd.Series(0, index=p.index)
+        keep = p.index[(n_out > 0) & (n_in == 0)]
+        out = pd.DataFrame({"src_id": keep.astype(str), "n_out": n_out.loc[keep].astype("int64")})
+        return out.reset_index(drop=True)
 
     return (
-        edges.map_batches(anti, batch_format="pyarrow")
-        .groupby("src_id")
-        .aggregate(Count(alias_name="n_out"))
+        edges.map_batches(partial, batch_format="pandas")
+        .groupby("_pkey")
+        .map_groups(merge, batch_format="pandas")
     )
 
 
@@ -185,6 +214,8 @@ def workflows(
     max_depth: int = 6,
     max_paths_per_entry: int = 50,
     preds: list[str] | None = None,
+    offset: int = 0,
+    limit: int | None = None,
 ) -> ray.data.Dataset:
     """DFS execution traces from entry points — the workflow-discovery
     analog (``blarify/documentation/workflow_creator.py:27-135``,
@@ -194,6 +225,12 @@ def workflows(
     longest-common-prefix dedup between consecutive paths — a step
     already emitted under the same prefix is not re-emitted
     (``queries.py:1340-1374``).
+
+    ``offset``/``limit`` page over whole (entry_id, path_id) units in
+    the deterministic global ordering — the reference's skip/limit
+    batching on traversal queries (``queries.py:1293-1422``). LCP dedup
+    is computed on the FULL ordering before paging, so concatenating
+    consecutive pages reproduces the unpaged rows exactly.
 
     The edge list is entity-scale (aggregated triples), so the adjacency
     lives on the driver; at 10^12-corpus scale this becomes the
@@ -252,6 +289,17 @@ def workflows(
                 out["dst_id"].append(d)
             prev = trail
 
+    if offset or limit is not None:
+        # page over whole (entry_id, path_id) units AFTER LCP dedup
+        unit_ids: list[tuple[str, int]] = []
+        for e, p in zip(out["entry_id"], out["path_id"]):
+            if not unit_ids or unit_ids[-1] != (e, p):
+                unit_ids.append((e, p))
+        end = (offset + limit) if limit is not None else len(unit_ids)
+        keep = set(unit_ids[offset:end])
+        mask = [(e, p) in keep for e, p in zip(out["entry_id"], out["path_id"])]
+        out = {k: [v for v, m in zip(vals, mask) if m] for k, vals in out.items()}
+
     tbl = pa.Table.from_pydict(
         {
             "entry_id": pa.array(out["entry_id"], pa.string()),
@@ -271,7 +319,22 @@ def render_mermaid(paths: dict[str, str], seed_id: str, cfg: PipelineConfig = DE
     d = node_detail(paths, seed_id, cfg)
     if d["entity"] is None:
         return ["graph TD", f'  missing["{seed_id} (not found)"]']
-    ents = {r["entity_id"]: r for r in read_stage(paths["entities"], columns=["entity_id", "name"]).take_all()}
+    # label fetch pruned to the NEIGHBORHOOD ids only (never the full
+    # entity table — neighborhood-scale, not corpus-scale)
+    need = {seed_id}
+    for e in d["outbound"] + d["inbound"]:
+        need.add(e["src_id"])
+        need.add(e["dst_id"])
+    need_arr = pa.array(sorted(need), pa.string())
+    ents = {
+        r["entity_id"]: r
+        for r in read_stage(paths["entities"], columns=["entity_id", "name"])
+        .map_batches(
+            lambda t: t.filter(pc.is_in(t["entity_id"], value_set=need_arr)),
+            batch_format="pyarrow",
+        )
+        .take_all()
+    }
 
     def label(eid: str) -> str:
         return ents.get(eid, {}).get("name", eid[:8])
@@ -297,25 +360,37 @@ def render_mermaid(paths: dict[str, str], seed_id: str, cfg: PipelineConfig = DE
 
 def skeleton(paths: dict[str, str]) -> ray.data.Dataset:
     """Graph skeleton: (subj_type, pred, obj_type) → edge count + total
-    weight. The rendered-hierarchy analog, as a typed adjacency rollup."""
-    edges = read_stage(paths["edges"], columns=["src_id", "dst_id", "pred", "weight"])
-    ents = read_stage(paths["entities"], columns=["entity_id", "type"]).take_all()
-    typ = {r["entity_id"]: r["type"] for r in ents}
+    weight. The rendered-hierarchy analog, as a typed adjacency rollup.
 
-    def label(t: pa.Table) -> pa.Table:
+    The type labels are attached by two co-partitioned lookup joins
+    against the entities table (one hash shuffle each) — no driver-side
+    type dict, so an open-vocabulary entity table never has to fit on
+    one machine."""
+    from ..ops.joins import copartition_attach
+
+    edges = read_stage(paths["edges"], columns=["src_id", "dst_id", "pred", "weight"])
+    ents = read_stage(paths["entities"], columns=["entity_id", "type"])
+    with_subj = copartition_attach(
+        edges, ents, "src_id", "entity_id", {"type": "subj_type"}
+    )
+    with_both = copartition_attach(
+        with_subj, ents, "dst_id", "entity_id", {"type": "obj_type"}
+    )
+
+    def project(t: pa.Table) -> pa.Table:
         return pa.Table.from_pydict(
             {
-                "subj_type": pa.array([typ[s] for s in t["src_id"].to_pylist()], pa.string()),
-                "pred": t["pred"],
-                "obj_type": pa.array([typ[d] for d in t["dst_id"].to_pylist()], pa.string()),
-                "weight": t["weight"],
+                "subj_type": pc.cast(t["subj_type"], pa.string()),
+                "pred": pc.cast(t["pred"], pa.string()),
+                "obj_type": pc.cast(t["obj_type"], pa.string()),
+                "weight": pc.cast(t["weight"], pa.int64()),
             }
         )
 
     from ray.data.aggregate import Count, Sum
 
     return (
-        edges.map_batches(label, batch_format="pyarrow")
+        with_both.map_batches(project, batch_format="pyarrow")
         .groupby(["subj_type", "pred", "obj_type"])
         .aggregate(Count(alias_name="n_edges"), Sum("weight", alias_name="total_weight"))
     )

@@ -116,9 +116,19 @@ def build_kg(
 
     graph = None
     if _stale("entities", ent_lin) or _stale("edges", edge_lin):
+        import time
+
+        from ..state.manifest import _append_metrics
+
+        t0 = time.monotonic()
         canon_ref = ray.put(canon)
         mr = read_stage(men_path, columns=GRAPH_INPUT_COLUMNS)
         graph = build_graph(mr, canon_ref, cfg).materialize()
+        _append_metrics(
+            out_dir,
+            {"stage": "graph_fused", "lineage": ent_lin,
+             "rows": graph.count(), "wall_s": round(time.monotonic() - t0, 3)},
+        )
 
     def produce_entities(tmp: str) -> None:
         split_entities(graph).sort(["bucket", "entity_id"]).write_parquet(

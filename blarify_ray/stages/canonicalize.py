@@ -32,7 +32,7 @@ import pyarrow.compute as pc
 import ray.data
 
 from ..config import DEFAULT_CONFIG, PipelineConfig
-from ..minhash import band_hashes, make_perms, signature_for
+from ..minhash import band_hashes_batch, make_perms, signatures_batch
 from ..text import char_shingles, jaccard
 
 
@@ -56,21 +56,30 @@ def distinct_unk_norms(mentions_resolved: ray.data.Dataset) -> ray.data.Dataset:
 
 
 def _band_rows(t: pa.Table, cfg: PipelineConfig, perms) -> pa.Table:
+    import numpy as np
+
     a, b = perms
     norms, knowns = t["norm"].to_pylist(), t["is_known"].to_pylist()
-    out = {"pkey": [], "band_id": [], "band_hash": [], "norm": [], "is_known": []}
-    for norm, k in zip(norms, knowns):
-        sig = signature_for(norm, cfg.shingle_k, a, b)
-        for band_id, bh in enumerate(band_hashes(sig, cfg.lsh_bands)):
+    # batch-vectorized signatures + banding: one numpy pass per batch,
+    # bit-identical to the serial per-key spec
+    sigs = signatures_batch(norms, cfg.shingle_k, a, b)
+    bands = band_hashes_batch(sigs, cfg.lsh_bands)  # (n, n_bands)
+    n, nb = bands.shape
+    bh_flat = bands.reshape(-1)
+    band_ids = np.tile(np.arange(nb, dtype=np.int64), n)
+    rep = np.repeat(np.arange(n), nb)
+    return pa.Table.from_pydict(
+        {
             # pkey routes WHOLE buckets to Ray-level partitions: the
             # shuffle groups ~agg_partitions partitions, not one Ray
             # group per LSH bucket (500k tiny map_groups calls → ~64).
-            out["pkey"].append(bh % cfg.agg_partitions)
-            out["band_id"].append(band_id)
-            out["band_hash"].append(bh)
-            out["norm"].append(norm)
-            out["is_known"].append(k)
-    return pa.Table.from_pydict(out)
+            "pkey": pa.array((bh_flat % np.uint64(cfg.agg_partitions)).astype(np.int64)),
+            "band_id": pa.array(band_ids),
+            "band_hash": pa.array(bh_flat),
+            "norm": pa.array([norms[i] for i in rep], pa.string()),
+            "is_known": pa.array([bool(knowns[i]) for i in rep]),
+        }
+    )
 
 
 def _partition_pairs(group: pa.Table, cfg: PipelineConfig) -> pa.Table:

@@ -30,19 +30,18 @@ from ..schemas import DOCS
 DOCS_PRE_DEDUP = DOCS.append(pa.field("_oversize", pa.bool_()))
 
 
-def _extract_batch(batch: pa.Table, cfg: PipelineConfig) -> pa.Table:
+def _rows_to_docs(part: pa.Table, cfg: PipelineConfig, oversize: bool, out: dict) -> None:
     from ..text import html_to_text, split_sentences, text_sha256
 
-    urls = batch["url"].to_pylist()
-    tss = batch["warc_ts"].to_pylist()
-    htmls = batch["html"].to_pylist()
-    pretexts = batch["text"].to_pylist()
-    langs = batch["lang"].to_pylist()
-    out = {k: [] for k in ("url", "warc_ts", "lang", "text", "text_sha", "raw", "n_sents", "_oversize")}
+    urls = part["url"].to_pylist()
+    tss = part["warc_ts"].to_pylist()
+    # oversize rows are never parsed: they participate in the dedup
+    # (their timestamp decides the url's fate) but contribute no text —
+    # and their multi-hundred-KB html NEVER crosses into Python objects
+    htmls = [None] * part.num_rows if oversize else part["html"].to_pylist()
+    pretexts = part["text"].to_pylist()
+    langs = part["lang"].to_pylist()
     for url, ts, html, pre, lang in zip(urls, tss, htmls, pretexts, langs):
-        oversize = len(html or b"") > cfg.max_html_bytes
-        # oversize rows are never parsed: they participate in the dedup
-        # (their timestamp decides the url's fate) but contribute no text
         text = "" if oversize else (pre or html_to_text(html or b""))
         raw = lang not in cfg.supported_langs
         n_sents = 0 if raw else len(split_sentences(text))
@@ -54,6 +53,16 @@ def _extract_batch(batch: pa.Table, cfg: PipelineConfig) -> pa.Table:
         out["raw"].append(raw)
         out["n_sents"].append(n_sents)
         out["_oversize"].append(oversize)
+
+
+def _extract_batch(batch: pa.Table, cfg: PipelineConfig) -> pa.Table:
+    lens = pc.binary_length(pc.coalesce(batch["html"], pa.scalar(b"", pa.binary())))
+    big = pc.greater(lens, cfg.max_html_bytes)
+    out: dict[str, list] = {
+        k: [] for k in ("url", "warc_ts", "lang", "text", "text_sha", "raw", "n_sents", "_oversize")
+    }
+    _rows_to_docs(batch.filter(pc.invert(big)), cfg, False, out)
+    _rows_to_docs(batch.filter(big), cfg, True, out)
     return pa.Table.from_pydict(out, schema=DOCS_PRE_DEDUP)
 
 

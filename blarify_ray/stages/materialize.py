@@ -143,21 +143,55 @@ def edge_partials(tri: pd.DataFrame, canon, agg_partitions: int) -> pd.DataFrame
     return g
 
 
-def graph_partials(batch: pd.DataFrame, canon_ref, agg_partitions: int) -> pd.DataFrame:
+# fixed Arrow schema for the kind-tagged partial rows riding the fused
+# shuffle — typed nulls instead of pandas NaN-widening, so every block
+# has the identical schema and the exchange stays zero-copy Arrow
+GRAPH_PARTIALS = pa.schema(
+    [
+        ("kind", pa.string()),
+        ("gkey", pa.int32()),
+        ("name", pa.string()),
+        ("type", pa.string()),
+        ("n", pa.int64()),
+        ("surfaces", pa.list_(pa.string())),
+        ("subj", pa.string()),
+        ("subj_type", pa.string()),
+        ("pred", pa.string()),
+        ("obj", pa.string()),
+        ("obj_type", pa.string()),
+        ("weight", pa.int64()),
+        ("url", pa.string()),
+        ("sent_id", pa.int32()),
+        ("sent_text", pa.string()),
+    ]
+)
+
+_ENT_COLS = ("name", "type", "n", "surfaces")
+_EDGE_COLS = ("subj", "subj_type", "pred", "obj", "obj_type", "weight", "url", "sent_id", "sent_text")
+
+
+def graph_partials(batch: pd.DataFrame, canon_ref, agg_partitions: int) -> pa.Table:
     """Fused per-batch partials: ONE pass over a mentions_resolved batch
-    emits kind-tagged entity AND edge partial rows. Stateless TASK (the
-    only state is the broadcast canonical map, cached per worker)."""
+    emits kind-tagged entity AND edge partial rows on the fixed
+    GRAPH_PARTIALS Arrow schema. Stateless TASK (the only state is the
+    broadcast canonical map, cached per worker)."""
     canon = get_broadcast(canon_ref)
     ent = entity_partials(batch, canon, agg_partitions)
-    ent.insert(0, "kind", "E")
     tri = batch[batch["pred"].notna()].rename(
         columns={"key": "subj_key", "etype": "subj_type", "resolved": "subj_resolved"}
     )
-    if len(tri):
-        edg = edge_partials(tri, canon, agg_partitions)
-        edg.insert(0, "kind", "R")
-        return pd.concat([ent, edg], ignore_index=True)
-    return ent
+    edg = edge_partials(tri, canon, agg_partitions) if len(tri) else None
+    ne = len(ent)
+    nr = 0 if edg is None else len(edg)
+    cols: dict[str, list] = {
+        "kind": ["E"] * ne + ["R"] * nr,
+        "gkey": ent["gkey"].tolist() + ([] if edg is None else edg["gkey"].tolist()),
+    }
+    for c in _ENT_COLS:
+        cols[c] = ent[c].tolist() + [None] * nr
+    for c in _EDGE_COLS:
+        cols[c] = [None] * ne + ([] if edg is None else edg[c].tolist())
+    return pa.Table.from_pydict(cols, schema=GRAPH_PARTIALS)
 
 
 def merge_graph_partition(group: pd.DataFrame, cfg: PipelineConfig) -> pa.Table:

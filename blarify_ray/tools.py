@@ -1,0 +1,223 @@
+"""Agent-tool surface over a built KG — the analog of the reference's
+tool registry + MCP server (``blarify/tools/__init__.py:1-29``,
+``blarify/mcp_server/server.py:37-120``): a declarative registry of
+named tools (JSON-schema'd inputs, JSON rows out) over the materialized
+graph, plus a dependency-free MCP-style JSON-RPC stdio loop
+(``serve_mcp_stdio``) so an agent host can call them without any
+network service.
+
+Every handler takes the stage-paths dict of a completed ``build_kg`` run
+and returns JSON-serializable data; Ray must already be initialized by
+the caller (library code never owns the session)."""
+
+from __future__ import annotations
+
+import json
+import sys
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class Tool:
+    name: str
+    description: str
+    handler: Callable
+    params: dict = field(default_factory=dict)  # name → JSON-schema fragment
+    required: tuple[str, ...] = ()
+
+    def input_schema(self) -> dict:
+        return {
+            "type": "object",
+            "properties": dict(self.params),
+            "required": list(self.required),
+        }
+
+
+def _rows(ds) -> list[dict]:
+    return ds.take_all() if hasattr(ds, "take_all") else list(ds)
+
+
+def _t_entity_details(paths: dict[str, str], entity_id: str) -> dict:
+    from .pipelines.graph_queries import node_detail
+
+    return node_detail(paths, entity_id)
+
+
+def _t_find_by_name(paths: dict[str, str], name: str) -> list[dict]:
+    from .pipelines.graph_queries import find_entities
+
+    return _rows(find_entities(paths, name))
+
+
+def _t_doc_context(paths: dict[str, str], url: str) -> dict:
+    from .pipelines.graph_queries import doc_context
+
+    return doc_context(paths, url)
+
+
+def _t_k_hop(paths: dict[str, str], seed_ids: list[str], max_depth: int = 3,
+             offset: int = 0, limit: int | None = None) -> list[dict]:
+    from .pipelines.graph_queries import k_hop
+
+    return _rows(k_hop(paths, seed_ids, max_depth=max_depth, offset=offset, limit=limit))
+
+
+def _t_workflows(paths: dict[str, str], max_depth: int = 6,
+                 offset: int = 0, limit: int | None = None) -> list[dict]:
+    from .pipelines.graph_queries import workflows
+
+    return _rows(workflows(paths, max_depth=max_depth, offset=offset, limit=limit))
+
+
+def _t_entry_points(paths: dict[str, str]) -> list[dict]:
+    from .pipelines.graph_queries import entry_points
+
+    return _rows(entry_points(paths))
+
+
+def _t_skeleton(paths: dict[str, str]) -> list[dict]:
+    from .pipelines.graph_queries import skeleton
+
+    return _rows(skeleton(paths))
+
+
+def _t_top_entities(paths: dict[str, str], k: int = 20) -> list[dict]:
+    from .pipelines.graph_queries import top_entities
+
+    return _rows(top_entities(paths, k=k))
+
+
+def _t_mermaid(paths: dict[str, str], entity_id: str) -> str:
+    from .pipelines.graph_queries import render_mermaid
+
+    return "\n".join(render_mermaid(paths, entity_id))
+
+
+def _t_vector_search(paths: dict[str, str], query: str, k: int = 10) -> list[dict]:
+    from .pipelines.doc_layer import doc_search
+
+    return _rows(doc_search(paths, query, k=k))
+
+
+def _t_hybrid_search(paths: dict[str, str], query: str, k: int = 10) -> list[dict]:
+    from .pipelines.doc_layer import doc_search_hybrid
+
+    return _rows(doc_search_hybrid(paths, query, k=k))
+
+
+def _t_domain_rollup(paths: dict[str, str]) -> list[dict]:
+    from .pipelines.hierarchy import bottom_up_rollup
+
+    return _rows(bottom_up_rollup(paths))
+
+
+_ID = {"type": "string", "description": "entity_id (md5 hex)"}
+_K = {"type": "integer", "default": 10}
+_PAGE = {
+    "offset": {"type": "integer", "default": 0},
+    "limit": {"type": ["integer", "null"], "default": None},
+}
+
+TOOLS: dict[str, Tool] = {
+    t.name: t
+    for t in [
+        Tool("get_entity_details",
+             "Entity row plus inbound/outbound edges (partition-pruned point lookup)",
+             _t_entity_details, {"entity_id": _ID}, ("entity_id",)),
+        Tool("find_entities_by_name",
+             "Substring search over entity names and aliases",
+             _t_find_by_name, {"name": {"type": "string"}}, ("name",)),
+        Tool("get_document_context",
+             "Doc row for a url plus its mentions and triples",
+             _t_doc_context, {"url": {"type": "string"}}, ("url",)),
+        Tool("k_hop_neighborhood",
+             "Entities within k hops of seed ids (minimal depth), paged",
+             _t_k_hop,
+             {"seed_ids": {"type": "array", "items": {"type": "string"}},
+              "max_depth": {"type": "integer", "default": 3}, **_PAGE},
+             ("seed_ids",)),
+        Tool("workflow_traces",
+             "DFS execution traces from entry points (depth-capped, LCP-deduped), paged",
+             _t_workflows, {"max_depth": {"type": "integer", "default": 6}, **_PAGE}),
+        Tool("entry_points",
+             "Entities with outgoing but no incoming edges",
+             _t_entry_points),
+        Tool("graph_skeleton",
+             "Typed adjacency rollup: (subj_type, pred, obj_type) edge stats",
+             _t_skeleton),
+        Tool("top_entities",
+             "Top-k entities by mention count",
+             _t_top_entities, {"k": _K}),
+        Tool("render_mermaid",
+             "Mermaid flowchart of a node's 1-hop neighborhood",
+             _t_mermaid, {"entity_id": _ID}, ("entity_id",)),
+        Tool("vector_search",
+             "Cosine top-k over the documentation layer",
+             _t_vector_search, {"query": {"type": "string"}, "k": _K}, ("query",)),
+        Tool("hybrid_search",
+             "0.7*vector + 0.3*keyword search with name/title boost",
+             _t_hybrid_search, {"query": {"type": "string"}, "k": _K}, ("query",)),
+        Tool("domain_rollup",
+             "Bottom-up hierarchical aggregation over url domains",
+             _t_domain_rollup),
+    ]
+}
+
+
+def call_tool(paths: dict[str, str], name: str, arguments: dict | None = None):
+    tool = TOOLS.get(name)
+    if tool is None:
+        raise KeyError(f"unknown tool: {name}")
+    return tool.handler(paths, **(arguments or {}))
+
+
+def list_tools() -> list[dict]:
+    return [
+        {"name": t.name, "description": t.description, "inputSchema": t.input_schema()}
+        for t in TOOLS.values()
+    ]
+
+
+def serve_mcp_stdio(paths: dict[str, str], stdin=None, stdout=None) -> None:
+    """Minimal MCP-shaped JSON-RPC loop over stdio (one JSON object per
+    line): handles ``initialize``, ``tools/list`` and ``tools/call`` —
+    the surface the reference's MCP server exposes
+    (``mcp_server/server.py:37-120``) — without any network dependency.
+    Runs until EOF."""
+    stdin = stdin or sys.stdin
+    stdout = stdout or sys.stdout
+    for line in stdin:
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            req = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        rid = req.get("id")
+        method = req.get("method", "")
+        try:
+            if method == "initialize":
+                result = {
+                    "protocolVersion": "2024-11-05",
+                    "serverInfo": {"name": "blarify_ray", "version": "0.2"},
+                    "capabilities": {"tools": {}},
+                }
+            elif method == "tools/list":
+                result = {"tools": list_tools()}
+            elif method == "tools/call":
+                params = req.get("params", {})
+                out = call_tool(paths, params.get("name", ""), params.get("arguments"))
+                result = {
+                    "content": [{"type": "text", "text": json.dumps(out, default=str)}]
+                }
+            elif method.startswith("notifications/"):
+                continue  # notifications carry no response
+            else:
+                raise KeyError(f"unknown method: {method}")
+            resp = {"jsonrpc": "2.0", "id": rid, "result": result}
+        except Exception as e:  # tool errors surface as JSON-RPC errors
+            resp = {"jsonrpc": "2.0", "id": rid, "error": {"code": -32000, "message": str(e)}}
+        stdout.write(json.dumps(resp, default=str) + "\n")
+        stdout.flush()

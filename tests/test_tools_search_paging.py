@@ -1,0 +1,147 @@
+"""Hybrid search ranking, traversal pagination, the agent-tool registry
+(+ MCP stdio loop) and the most-specific-range join."""
+
+import io
+import json
+import shutil
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from blarify_ray.pipelines.doc_layer import doc_search_hybrid
+from blarify_ray.pipelines.graph_queries import k_hop, top_entities, workflows
+from blarify_ray.pipelines.kg_build import build_kg
+
+N = 60
+OUT = "/tmp/blarify_ray_test_tools"
+
+
+@pytest.fixture(scope="module")
+def built():
+    shutil.rmtree(OUT, ignore_errors=True)
+    return build_kg(OUT, N)
+
+
+def test_hybrid_keyword_outranks_weak_vector(built):
+    """A query made of an entity's NAME tokens must rank that entity
+    first via the keyword component — the stub hash embedding gives
+    near-random cosine, so a vector-only ranking would not guarantee
+    it (queries.py:2322-2356 blended-scoring behavior)."""
+    target = top_entities(built, k=5).take_all()[0]["name"]
+    hits = doc_search_hybrid(built, target, k=10_000).take_all()
+    assert {"score", "vector_score", "keyword_score"} <= set(hits[0])
+    (trow,) = [h for h in hits if h["name"] == target]
+    assert trow["keyword_score"] == 1.0  # every query term hits the name
+
+    hyb_rank = sorted(hits, key=lambda h: (-h["score"], h["entity_id"])).index(trow)
+    vec_rank = sorted(hits, key=lambda h: (-h["vector_score"], h["entity_id"])).index(trow)
+    # the stub hash embedding gives the target a near-random cosine, so
+    # vector-only ranking buries it; the keyword component must lift it
+    # past rows with strictly higher vector score (blended scoring,
+    # queries.py:2322-2356)
+    assert hyb_rank < vec_rank
+    outranked = [
+        h for h in hits
+        if h["vector_score"] > trow["vector_score"] and h["score"] < trow["score"]
+    ]
+    assert outranked  # a keyword-only match beat at least one stronger vector match
+
+
+def test_workflows_pagination_concatenates_to_unpaged(built):
+    full = workflows(built, max_depth=4).take_all()
+    paged = []
+    page, off = 7, 0
+    while True:
+        rows = workflows(built, max_depth=4, offset=off, limit=page).take_all()
+        if not rows:
+            break
+        paged.extend(rows)
+        off += page
+    assert paged == full
+
+
+def test_k_hop_pagination_concatenates_to_unpaged(built):
+    seed = top_entities(built, k=1).take_all()[0]["entity_id"]
+    full = k_hop(built, [seed], max_depth=3).take_all()
+    paged = []
+    off = 0
+    while True:
+        rows = k_hop(built, [seed], max_depth=3, offset=off, limit=5).take_all()
+        if not rows:
+            break
+        paged.extend(rows)
+        off += 5
+    assert paged == full
+
+
+def test_tool_registry_and_calls(built):
+    from blarify_ray.tools import TOOLS, call_tool, list_tools
+
+    specs = list_tools()
+    assert len(specs) >= 11  # the reference exposes 11 tools
+    assert all({"name", "description", "inputSchema"} <= set(s) for s in specs)
+
+    top = call_tool(built, "top_entities", {"k": 3})
+    assert len(top) == 3
+    detail = call_tool(built, "get_entity_details", {"entity_id": top[0]["entity_id"]})
+    assert detail["entity"]["entity_id"] == top[0]["entity_id"]
+    mer = call_tool(built, "render_mermaid", {"entity_id": top[0]["entity_id"]})
+    assert mer.startswith("graph TD")
+    with pytest.raises(KeyError):
+        call_tool(built, "no_such_tool")
+    assert set(TOOLS) == {s["name"] for s in specs}
+
+
+def test_mcp_stdio_loop(built):
+    from blarify_ray.tools import serve_mcp_stdio
+
+    reqs = "\n".join(
+        json.dumps(r)
+        for r in [
+            {"jsonrpc": "2.0", "id": 1, "method": "initialize", "params": {}},
+            {"jsonrpc": "2.0", "method": "notifications/initialized"},
+            {"jsonrpc": "2.0", "id": 2, "method": "tools/list"},
+            {"jsonrpc": "2.0", "id": 3, "method": "tools/call",
+             "params": {"name": "top_entities", "arguments": {"k": 2}}},
+            {"jsonrpc": "2.0", "id": 4, "method": "tools/call",
+             "params": {"name": "no_such_tool"}},
+        ]
+    )
+    out = io.StringIO()
+    serve_mcp_stdio(built, stdin=io.StringIO(reqs), stdout=out)
+    resps = [json.loads(line) for line in out.getvalue().splitlines()]
+    byid = {r["id"]: r for r in resps}
+    assert byid[1]["result"]["serverInfo"]["name"] == "blarify_ray"
+    assert len(byid[2]["result"]["tools"]) >= 11
+    rows = json.loads(byid[3]["result"]["content"][0]["text"])
+    assert len(rows) == 2
+    assert "error" in byid[4]
+
+
+def test_most_specific_join_prefers_narrowest():
+    from blarify_ray.ops.joins import most_specific_join
+
+    points = rd.from_arrow(
+        pa.table({"k": [1, 1, 2], "pid": [10, 11, 12], "x": [5, 50, 5]})
+    )
+    intervals = rd.from_arrow(
+        pa.table(
+            {
+                "k": [1, 1, 2],
+                "s": [0, 4, 100],
+                "e": [100, 8, 200],  # wide [0,100) vs narrow [4,8)
+                "tag": ["wide", "narrow", "far"],
+            }
+        )
+    )
+    got = most_specific_join(
+        points, intervals, key="k", point_col="x", start_col="s", end_col="e",
+        payload_cols=["tag"], tie_cols=["tag"],
+    ).take_all()
+    df = pd.DataFrame(got).sort_values("pid").reset_index(drop=True)
+    # point (1,10,x=5): inside both → narrow wins; (1,11,x=50): only wide;
+    # (2,12,x=5): no containing interval → dropped
+    assert df["pid"].tolist() == [10, 11]
+    assert df["tag"].tolist() == ["narrow", "wide"]
