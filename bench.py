@@ -43,6 +43,10 @@ def run_bench() -> dict:
     ctx.enable_progress_bars = False
     ctx.execution_options.verbose_progress = False
 
+    from blarify_ray.util import tune_data_context
+
+    tune_data_context()
+
     import pyarrow.compute as pc
     import pyarrow.dataset as pads
 

@@ -55,6 +55,9 @@ def main(argv: list[str] | None = None) -> int:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    from .util import tune_data_context
+
+    tune_data_context()
 
     try:
         if args.cmd == "build":

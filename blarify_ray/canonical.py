@@ -65,13 +65,30 @@ def lsh_buckets(keys: list[str], cfg: PipelineConfig) -> dict[tuple[int, int], l
     return buckets
 
 
+def pair_scorer(keys: list[str], cfg: PipelineConfig):
+    """(score_fn, threshold) for the configured ResolverMode — JACCARD:
+    exact char-shingle Jaccard; EMBEDDING: cosine over deterministic
+    feature-hashed shingle embeddings (the model-based linker path for
+    unresolved surfaces, swappable for a learned encoder). Shared by the
+    serial spec and the distributed stage so both score identically."""
+    from .config import ResolverMode
+
+    if cfg.resolver_mode == ResolverMode.EMBEDDING:
+        from .text import embed_cosine, shingle_embed
+
+        emb = {k: shingle_embed(k, cfg.shingle_k) for k in keys}
+        return (lambda x, y: round(embed_cosine(emb[x], emb[y]), 9)), cfg.embed_link_threshold
+    sh = {k: char_shingles(k, cfg.shingle_k) for k in keys}
+    return (lambda x, y: jaccard(sh[x], sh[y])), cfg.jaccard_threshold
+
+
 def verified_pairs(
     unk_norms: set[str], known_norms: set[str], cfg: PipelineConfig
 ) -> list[tuple[str, str, float]]:
     """Jaccard-verified candidate pairs (x, y, j) with ≥1 unknown side;
     x < y lexicographically."""
     keys = sorted(unk_norms | known_norms)
-    sh = {k: char_shingles(k, cfg.shingle_k) for k in keys}
+    score, threshold = pair_scorer(keys, cfg)
     # int encoding of keys → pair-dedup set of packed int64s (an order of
     # magnitude cheaper than hashing string tuples across the ~10^7
     # bucket-pair slots the 32 bands generate)
@@ -97,8 +114,8 @@ def verified_pairs(
                     continue
                 seen.add(code)
                 kx, ky = keys[x], keys[y]
-                j = jaccard(sh[kx], sh[ky])
-                if j >= cfg.jaccard_threshold:
+                j = score(kx, ky)
+                if j >= threshold:
                     out.append((kx, ky, j))
     return sorted(out)
 

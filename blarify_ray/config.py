@@ -11,7 +11,23 @@ parameters.
 
 from __future__ import annotations
 
+import enum
 from dataclasses import dataclass, field
+
+
+class ResolverMode(str, enum.Enum):
+    """How unresolved-surface candidate pairs are scored during
+    canonicalization (the reference's resolver-mode switch between the
+    alias dictionary and the embedding-based linker):
+
+    - JACCARD: exact char-shingle Jaccard (the default spec scorer)
+    - EMBEDDING: cosine over deterministic feature-hashed shingle
+      embeddings (the offline stand-in for a learned embedding scorer —
+      same interface, swappable model)
+    """
+
+    JACCARD = "jaccard"
+    EMBEDDING = "embedding"
 
 
 @dataclass(frozen=True)
@@ -50,6 +66,10 @@ class PipelineConfig:
     # into this many Ray-level groups; vectorized aggregation inside)
     agg_partitions: int = 64
 
+    # Canonicalization pair scorer (ResolverMode) + per-mode thresholds.
+    resolver_mode: ResolverMode = ResolverMode.JACCARD
+    embed_link_threshold: float = 0.6  # cosine cut for EMBEDDING mode
+
     # MinHash-LSH canonicalization.
     minhash_perms: int = 64
     lsh_bands: int = 32  # 32 bands x 2 rows → P(candidate) ≈ 0.999 at J=0.45
@@ -72,6 +92,12 @@ class PipelineConfig:
     # large sets MUST parallelize (Amdahl: serial driver seconds depress
     # the measured N-vs-4N scaling efficiency directly).
     canon_driver_max_norms: int = 8_192
+    # above this many canonical-map entries the S6 resolve stops
+    # broadcasting a driver dict (which every worker would hold) and
+    # switches to a hash-co-partitioned lookup join against the
+    # canonical table — the open-vocabulary path where the map itself is
+    # sharded and never materializes on one machine.
+    canon_broadcast_max: int = 2_000_000
     # hot-bucket guard (skew handling): an LSH bucket with more members
     # than this is skipped entirely — deterministic, applied identically
     # by the serial spec and the distributed stage. A near-dup pair

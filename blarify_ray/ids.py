@@ -28,8 +28,21 @@ def hashed_id(logical_id: str) -> str:
     return hashlib.md5(logical_id.encode("utf-8")).hexdigest()
 
 
+_EID_CACHE: dict[tuple[str, str, str], str] = {}
+
+
 def entity_id(env: GraphEnvironment, etype: str, canonical_name: str) -> str:
-    return hashed_id(entity_logical_id(env, etype, canonical_name))
+    # memoized: the distinct-entity vocabulary is orders of magnitude
+    # smaller than the number of edge endpoints that ask for an id (the
+    # S6 merge calls this per edge row — a hot entity's id would
+    # otherwise be re-md5'd millions of times)
+    k = (env.prefix, etype, canonical_name)
+    v = _EID_CACHE.get(k)
+    if v is None:
+        if len(_EID_CACHE) > 1_000_000:  # worker-lifetime bound
+            _EID_CACHE.clear()
+        v = _EID_CACHE[k] = hashed_id(entity_logical_id(env, etype, canonical_name))
+    return v
 
 
 def id_bucket(eid_hex: str, num_buckets: int) -> int:

@@ -87,7 +87,7 @@ def incremental_update(
             mask = pa.array([u not in urls for u in t["url"].to_pylist()])
             return t.filter(mask)
 
-        delta_docs = read_stage(docs_path, columns=["url", "text", "raw"]).map_batches(
+        delta_docs = read_stage(docs_path, columns=["url", "text", "raw", "lang"]).map_batches(
             only_updated, batch_format="pyarrow"
         )
         delta_mentions = detect_and_link(delta_docs, ents_ref, cfg)

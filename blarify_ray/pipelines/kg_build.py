@@ -73,7 +73,7 @@ def build_kg(
 
     def produce_mentions(tmp: str) -> None:
         ents_ref = ray.put(entities)
-        docs = read_stage(docs_path, columns=["url", "text", "raw"])
+        docs = read_stage(docs_path, columns=["url", "text", "raw", "lang"])
         detect_and_link(docs, ents_ref, cfg).write_parquet(tmp)
 
     men_path, _ = run_stage(out_dir, "mentions", men_lin, produce_mentions)
@@ -82,6 +82,7 @@ def build_kg(
     can_lin = lineage_hash(
         "canonical", men_lin, gaz_fp, cfg.minhash_perms, cfg.lsh_bands,
         cfg.shingle_k, cfg.jaccard_threshold, cfg.cc_max_rounds,
+        cfg.resolver_mode.value, cfg.embed_link_threshold,
     )
 
     def produce_canonical(tmp: str) -> None:
@@ -92,14 +93,21 @@ def build_kg(
 
     can_path, _ = run_stage(out_dir, "canonical", can_lin, produce_canonical)
 
-    canon_tbl = pq.read_table(os.path.join(can_path, "canonical.parquet"))
-    canon = {
-        n: (nm, t, bool(new))
-        for n, nm, t, new in zip(
-            canon_tbl["norm"].to_pylist(), canon_tbl["name"].to_pylist(),
-            canon_tbl["etype"].to_pylist(), canon_tbl["is_new"].to_pylist(),
-        )
-    }
+    canon_file = os.path.join(can_path, "canonical.parquet")
+    # the canonical map is broadcast as a driver dict only while it fits
+    # (canon_broadcast_max); above that it stays a sharded TABLE and the
+    # S6 resolve becomes a hash-co-partitioned lookup join — the map
+    # never materializes on one machine (open-vocabulary path).
+    canon: dict | None = None
+    if pq.read_metadata(canon_file).num_rows <= cfg.canon_broadcast_max:
+        canon_tbl = pq.read_table(canon_file)
+        canon = {
+            n: (nm, t, bool(new))
+            for n, nm, t, new in zip(
+                canon_tbl["norm"].to_pylist(), canon_tbl["name"].to_pylist(),
+                canon_tbl["etype"].to_pylist(), canon_tbl["is_new"].to_pylist(),
+            )
+        }
 
     # S6 — entities + edges, FUSED: one corpus-scale scan of
     # mentions_resolved feeds both aggregations through a single
@@ -121,8 +129,15 @@ def build_kg(
         from ..state.manifest import _append_metrics
 
         t0 = time.monotonic()
-        canon_ref = ray.put(canon)
         mr = read_stage(men_path, columns=GRAPH_INPUT_COLUMNS)
+        if canon is None:  # sharded-map path: co-partitioned resolve
+            from ..stages.materialize import resolve_via_copartition
+
+            canon_ds = ray.data.read_parquet(canon_file, columns=["norm", "name", "etype"])
+            mr = resolve_via_copartition(mr, canon_ds, cfg.agg_partitions)
+            canon_ref = ray.put({})
+        else:
+            canon_ref = ray.put(canon)
         graph = build_graph(mr, canon_ref, cfg).materialize()
         _append_metrics(
             out_dir,

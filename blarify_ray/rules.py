@@ -22,23 +22,21 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass
 
-from .corpus import PREDICATES, Entity
+from .corpus import Entity
+from .langs import EN, LanguageDefinitions
 from .text import normalize_surface
 
-# connector phrase (stripped text strictly between two mentions) → predicate
-CONNECTOR_TO_PRED: dict[str, str] = {phrase: pred for pred, _s, _o, phrase in PREDICATES}
+# backwards-compatible alias: the English connector table now lives in
+# the language registry (langs.py)
+CONNECTOR_TO_PRED: dict[str, str] = EN.connector_to_pred
 
 # Capitalized-token sequences (>=2 tokens, allowing initials like "A.") or
 # ALLCAPS acronyms — the open-world mention detector for surfaces missing
-# from the gazetteer (typos, novel entities).
+# from the gazetteer (typos, novel entities). Language-neutral; the
+# per-language boilerplate exclusion comes from the registry.
 _RE_PROPER = re.compile(
     r"\b[A-Z][a-zA-Z0-9]*\.?(?:[ ][A-Z][a-zA-Z0-9]*\.?)+|\b[A-Z]{2,}\b"
 )
-
-# Boilerplate sentences (copyright footers, nav chrome) must not feed the
-# open-world mention detector — they otherwise mint spurious UNK entities
-# from site chrome on every page. Gazetteer matches still apply.
-_RE_BOILERPLATE = re.compile(r"©|\(c\)\s*\d{4}|all rights reserved", re.I)
 
 
 @dataclass(frozen=True)
@@ -95,9 +93,12 @@ class Gazetteer:
     def candidates(self, surface: str) -> tuple[int, ...]:
         return self.alias_map.get(normalize_surface(surface), ())
 
-    def find_mentions(self, sentence: str) -> list[Mention]:
+    def find_mentions(self, sentence: str, defs: LanguageDefinitions = EN) -> list[Mention]:
         """Gazetteer matches (leftmost-longest, non-overlapping), then
-        heuristic proper-noun spans on the uncovered remainder."""
+        heuristic proper-noun spans on the uncovered remainder.
+        Boilerplate sentences (copyright footers, nav chrome — per-lang
+        pattern) never feed the open-world detector: they otherwise mint
+        spurious UNK entities from site chrome on every page."""
         toks = [(m.start(), m.end(), m.group(0).rstrip(".").lower()) for m in _RE_TOKEN.finditer(sentence)]
         out: list[Mention] = []
         covered: list[tuple[int, int]] = []
@@ -129,7 +130,7 @@ class Gazetteer:
                 i = j
             else:
                 i += 1
-        if not _RE_BOILERPLATE.search(sentence):
+        if not defs.boilerplate_re.search(sentence):
             for m in _RE_PROPER.finditer(sentence):
                 s, e = m.start(), m.end()
                 if any(not (e <= cs or s >= ce) for cs, ce in covered):
@@ -139,15 +140,18 @@ class Gazetteer:
         return out
 
 
-def classify_connector(connector: str) -> str | None:
+def classify_connector(connector: str, defs: LanguageDefinitions = EN) -> str | None:
     """Predicate for the text strictly between two adjacent mentions;
     None when no rule matches (≅ default-USES fallback is deliberately
-    NOT emitted — unmatched pairs produce no triple)."""
-    return CONNECTOR_TO_PRED.get(connector.strip())
+    NOT emitted — unmatched pairs produce no triple). The phrase table
+    comes from the language registry (``langs.py``), the
+    {node_type → RelationshipType} map analog
+    (``python_definitions.py:61-76``)."""
+    return defs.connector_to_pred.get(connector.strip())
 
 
 def extract_triples_from_sentence(
-    sentence: str, mentions: list[Mention]
+    sentence: str, mentions: list[Mention], defs: LanguageDefinitions = EN
 ) -> list[tuple[Mention, str, Mention]]:
     """Adjacent-mention-pair rule: for consecutive mentions (no mention in
     between), classify the connector. Ordering is positional (start
@@ -155,7 +159,7 @@ def extract_triples_from_sentence(
     ordering (``queries.py:1329-1334``)."""
     out = []
     for a, b in zip(mentions, mentions[1:]):
-        pred = classify_connector(sentence[a.end : b.start])
+        pred = classify_connector(sentence[a.end : b.start], defs)
         if pred is not None:
             out.append((a, pred, b))
     return out

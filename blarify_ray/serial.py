@@ -18,6 +18,7 @@ from .canonical import canonicalize_surfaces
 from .config import DEFAULT_CONFIG, PipelineConfig
 from .corpus import entity_universe
 from .ids import entity_id
+from .langs import for_lang
 from .linking import known_alias_norms, resolve_mention_keys
 from .rules import Gazetteer, extract_triples_from_sentence
 from .text import html_to_text, scope_snippet, split_sentences, text_sha256
@@ -45,7 +46,8 @@ def run_serial(rows: list[dict], n_pages: int, cfg: PipelineConfig = DEFAULT_CON
             dropped_oversize += 1
             continue
         text = r["text"] or html_to_text(r["html"])
-        raw = r["lang"] not in cfg.supported_langs
+        defs = for_lang(r["lang"])
+        raw = r["lang"] not in cfg.supported_langs or defs is None
         sents = [] if raw else split_sentences(text)
         docs.append(
             {
@@ -64,7 +66,7 @@ def run_serial(rows: list[dict], n_pages: int, cfg: PipelineConfig = DEFAULT_CON
         page_mentions = []  # (sent_id, Mention)
         per_sent = []
         for sid, sent in enumerate(sents):
-            ms = gaz.find_mentions(sent)
+            ms = gaz.find_mentions(sent, defs)
             per_sent.append((sid, sent, ms))
             page_mentions.extend(ms)
         keys = resolve_mention_keys(gaz, page_mentions)
@@ -87,7 +89,7 @@ def run_serial(rows: list[dict], n_pages: int, cfg: PipelineConfig = DEFAULT_CON
                     unk_norms.add(keys[ki][0])
                 ki += 1
         for sid, sent, ms in per_sent:
-            for a, pred, b in extract_triples_from_sentence(sent, ms):
+            for a, pred, b in extract_triples_from_sentence(sent, ms, defs):
                 sk, st, sres = key_by_span[(sid, a.start)]
                 ok, ot, ores = key_by_span[(sid, b.start)]
                 triples_linked.append(

@@ -33,7 +33,6 @@ import ray.data
 
 from ..config import DEFAULT_CONFIG, PipelineConfig
 from ..minhash import band_hashes_batch, make_perms, signatures_batch
-from ..text import char_shingles, jaccard
 
 
 def distinct_unk_norms(mentions_resolved: ray.data.Dataset) -> ray.data.Dataset:
@@ -87,21 +86,20 @@ def _partition_pairs(group: pa.Table, cfg: PipelineConfig) -> pa.Table:
     ≥1 unk side; x<y. Buckets are reconstructed locally with a dict —
     same pairs as per-bucket processing, two orders of magnitude fewer
     Ray-level groups."""
+    from ..canonical import pair_scorer
+
     out = {"x": [], "y": [], "j": [], "x_known": [], "y_known": []}
     buckets: dict[tuple[int, int], list[tuple[str, bool]]] = {}
+    part_norms: set[str] = set()
     for band_id, bh, norm, k in zip(
         group["band_id"].to_pylist(), group["band_hash"].to_pylist(),
         group["norm"].to_pylist(), group["is_known"].to_pylist(),
     ):
         buckets.setdefault((band_id, bh), []).append((norm, k))
-    sh_cache: dict[str, set] = {}
+        part_norms.add(norm)
+    # same scorer as the serial spec (ResolverMode-aware)
+    score, threshold = pair_scorer(sorted(part_norms), cfg)
     seen: set[tuple[str, str]] = set()
-
-    def sh(m: str):
-        s = sh_cache.get(m)
-        if s is None:
-            s = sh_cache[m] = char_shingles(m, cfg.shingle_k)
-        return s
 
     for members0 in buckets.values():
         if len(members0) < 2 or len(members0) > cfg.max_lsh_bucket:
@@ -119,8 +117,8 @@ def _partition_pairs(group: pa.Table, cfg: PipelineConfig) -> pa.Table:
                 if (x, y) in seen:
                     continue
                 seen.add((x, y))
-                j = jaccard(sh(x), sh(y))
-                if j >= cfg.jaccard_threshold:
+                j = score(x, y)
+                if j >= threshold:
                     out["x"].append(x)
                     out["y"].append(y)
                     out["j"].append(j)
@@ -223,16 +221,15 @@ def build_canonical_map(
     definition), skipping 3+ entity-scale shuffle executions whose fixed
     orchestration latency otherwise dominates the stage. Above the
     threshold the fully distributed path below takes over."""
-    probe_limit = cfg.canon_driver_max_norms
-    probe = (
-        distinct_unk_norms(mentions_resolved).limit(probe_limit + 1).take_all()
-        if probe_limit > 0
-        else []
-    )
-    if probe_limit > 0 and len(probe) <= probe_limit:
+    # ONE corpus-scale scan produces the distinct norm set; both tiers
+    # reuse it (the tier probe must not pay a second scan)
+    distinct = distinct_unk_norms(mentions_resolved).materialize()
+    n_norms = distinct.count()
+    if cfg.canon_driver_max_norms > 0 and n_norms <= cfg.canon_driver_max_norms:
         from ..canonical import canonicalize_surfaces
 
-        canon = canonicalize_surfaces({r["norm"] for r in probe}, known_norm_to_name, cfg)
+        norms = {r["norm"] for r in distinct.take_all()}
+        canon = canonicalize_surfaces(norms, known_norm_to_name, cfg)
         out = {"norm": [], "name": [], "etype": [], "is_new": []}
         for n in sorted(canon):
             nm, t, new = canon[n]
@@ -248,14 +245,10 @@ def build_canonical_map(
             ),
         )
 
-    unks = (
-        distinct_unk_norms(mentions_resolved)
-        .map_batches(
-            lambda t: t.append_column("is_known", pa.array([False] * t.num_rows)),
-            batch_format="pyarrow",
-        )
-        .materialize()  # reused for band generation AND the final unk list
-    )
+    unks = distinct.map_batches(
+        lambda t: t.append_column("is_known", pa.array([False] * t.num_rows)),
+        batch_format="pyarrow",
+    ).materialize()  # reused for band generation AND the final unk list
     known_tbl = pa.Table.from_pydict(
         {
             "norm": list(known_norm_to_name),

@@ -41,9 +41,13 @@ def _rows_to_docs(part: pa.Table, cfg: PipelineConfig, oversize: bool, out: dict
     htmls = [None] * part.num_rows if oversize else part["html"].to_pylist()
     pretexts = part["text"].to_pylist()
     langs = part["lang"].to_pylist()
+    from ..langs import for_lang
+
     for url, ts, html, pre, lang in zip(urls, tss, htmls, pretexts, langs):
         text = "" if oversize else (pre or html_to_text(html or b""))
-        raw = lang not in cfg.supported_langs
+        # RAW when the lang is not enabled OR has no registered
+        # definitions (FallbackDefinitions semantics)
+        raw = lang not in cfg.supported_langs or for_lang(lang) is None
         n_sents = 0 if raw else len(split_sentences(text))
         out["url"].append(url)
         out["warc_ts"].append(ts)

@@ -264,6 +264,43 @@ def merge_graph_partition(group: pd.DataFrame, cfg: PipelineConfig) -> pa.Table:
     return pa.Table.from_pydict(cols, schema=GRAPH_ROWS)
 
 
+def resolve_via_copartition(
+    mentions_resolved: ray.data.Dataset,
+    canon_ds: ray.data.Dataset,
+    partitions: int = 64,
+) -> ray.data.Dataset:
+    """Resolve unresolved (key, etype) columns through the canonical
+    TABLE with hash-co-partitioned lookup joins instead of a broadcast
+    driver dict — the open-vocabulary path (cfg.canon_broadcast_max):
+    the canonical map is sharded across workers by hash(norm) and never
+    materializes on one machine. Two joins (subject side, object side);
+    after this every row is resolved and the fused aggregation runs with
+    an empty canon map."""
+    from ..ops.joins import copartition_attach
+
+    mr = copartition_attach(
+        mentions_resolved, canon_ds, "key", "norm",
+        {"name": "_rn", "etype": "_rt"}, partitions=partitions, how="left",
+    )
+    mr = copartition_attach(
+        mr, canon_ds, "obj_key", "norm",
+        {"name": "_on", "etype": "_ot"}, partitions=partitions, how="left",
+    )
+
+    def patch(df: pd.DataFrame) -> pd.DataFrame:
+        sub = df["resolved"].eq(False)
+        df.loc[sub, "key"] = df.loc[sub, "_rn"]
+        df.loc[sub, "etype"] = df.loc[sub, "_rt"]
+        df.loc[sub, "resolved"] = True
+        osub = df["obj_resolved"].eq(False)  # null (non-triple rows) stays null
+        df.loc[osub, "obj_key"] = df.loc[osub, "_on"]
+        df.loc[osub, "obj_type"] = df.loc[osub, "_ot"]
+        df.loc[osub, "obj_resolved"] = True
+        return df.drop(columns=["_rn", "_rt", "_on", "_ot"])
+
+    return mr.map_batches(patch, batch_format="pandas")
+
+
 def build_graph(
     mentions_resolved: ray.data.Dataset,
     canon_ref,

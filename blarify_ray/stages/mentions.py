@@ -36,20 +36,28 @@ class MentionLinker:
         self.gaz = Gazetteer(tuple(entities))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..langs import EN, for_lang
+
         gaz = self.gaz
         cols: dict[str, list] = {name: [] for name in MENTIONS_RESOLVED.names}
 
         urls = batch["url"].to_pylist()
         texts = batch["text"].to_pylist()
         raws = batch["raw"].to_pylist()
-        for url, text, raw in zip(urls, texts, raws):
+        langs = (
+            batch["lang"].to_pylist()
+            if "lang" in batch.column_names
+            else ["en"] * batch.num_rows
+        )
+        for url, text, raw, lang in zip(urls, texts, raws, langs):
             if raw or not text:
                 continue
+            defs = for_lang(lang) or EN
             sents = split_sentences(text)
             per_sent = []
             page_mentions = []
             for sid, sent in enumerate(sents):
-                ms = gaz.find_mentions(sent)
+                ms = gaz.find_mentions(sent, defs)
                 if ms:
                     per_sent.append((sid, sent, ms))
                     page_mentions.extend(ms)
@@ -65,7 +73,7 @@ class MentionLinker:
             for sid, sent, ms in per_sent:
                 triple_by_subj = {
                     a.start: (pred, b)
-                    for a, pred, b in extract_triples_from_sentence(sent, ms)
+                    for a, pred, b in extract_triples_from_sentence(sent, ms, defs)
                 }
                 for m in ms:
                     k, t, res = key_by_span[(sid, m.start)]

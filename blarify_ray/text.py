@@ -104,6 +104,29 @@ def jaccard(a: set[str], b: set[str]) -> float:
     return inter / (len(a) + len(b) - inter)
 
 
+def shingle_embed(s: str, k: int = 3, dim: int = 64):
+    """Deterministic feature-hashed shingle embedding (L2-normalized) —
+    the offline stand-in for a learned surface-form encoder in
+    ``ResolverMode.EMBEDDING``: each char-k-shingle hashes to a signed
+    dimension, so edit-near strings land at high cosine (unlike a
+    content-hash embedding, which is orthogonal under any edit)."""
+    import hashlib as _h
+
+    import numpy as np
+
+    v = np.zeros(dim, dtype=np.float64)
+    for sh in char_shingles(s, k):
+        d = _h.md5(sh.encode("utf-8")).digest()
+        idx = d[0] % dim
+        v[idx] += 1.0 if d[1] & 1 else -1.0
+    n = np.linalg.norm(v)
+    return v / n if n else v
+
+
+def embed_cosine(a, b) -> float:
+    return float(a @ b)
+
+
 # --- edge evidence snippet -------------------------------------------------
 
 SCOPE_SNIPPET_MAX = 200

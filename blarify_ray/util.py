@@ -34,6 +34,33 @@ def get_broadcast(ref):
     return v
 
 
+def tune_data_context() -> None:
+    """Execution-context tuning applied by the session OWNERS (bench,
+    CLI, test fixture — never library code): hash-partitioned shuffle
+    for groupby/repartition exchanges. The sort-based default pays a
+    global range-partition latency that dominates entity-scale
+    aggregations; hash shuffle routes blocks directly to reducers
+    (measured ~25% faster on the fused S6 exchange at 800k pages)."""
+    from ray.data import DataContext
+    from ray.data.context import ShuffleStrategy
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    ctx = DataContext.get_current()
+    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    # aggregator actors must never reserve whole CPU slots: alongside an
+    # actor-pool map stage on a small cluster that livelocks the
+    # streaming executor (the documented pool_size gotcha, but for the
+    # shuffle's own actors). Cap their count to the cluster and make
+    # their CPU reservation nominal.
+    ctx.max_hash_shuffle_aggregators = max(2, cpus // 2)
+    ctx.default_hash_shuffle_parallelism = max(4, cpus * 2)
+    ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.01
+    ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = 0.01
+
+
 def pool_size(requested: int) -> int:
     """Actor-pool size capped at half the cluster CPUs so map pools never
     starve shuffle aggregators / read / write tasks (a full-CPU pool

@@ -16,5 +16,8 @@ def ray_session():
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     ctx.execution_options.verbose_progress = False
+    from blarify_ray.util import tune_data_context
+
+    tune_data_context()  # tests run the production execution context
     yield
     ray.shutdown()

@@ -38,6 +38,38 @@ def test_unk_cluster_merges_and_shares_attachment():
         assert canon[u][0] == "Global Data Systems"
 
 
+def test_embedding_resolver_mode():
+    """ResolverMode.EMBEDDING scores pairs by cosine over feature-hashed
+    shingle embeddings — a typo'd surface must still attach to its known
+    entity, and serial == distributed under the mode."""
+    import dataclasses
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from blarify_ray.config import ResolverMode
+    from blarify_ray.stages.canonicalize import build_canonical_map
+
+    cfg = dataclasses.replace(
+        DEFAULT_CONFIG, resolver_mode=ResolverMode.EMBEDDING, canon_driver_max_norms=0
+    )
+    unks = {"nrodic foods", "golbal data systems", "zzz qqq vvv"}
+    want = canonicalize_surfaces(unks, KNOWN, cfg)
+    assert want["nrodic foods"] == ("Nordic Foods Industries", "ORG", False)
+    assert want["zzz qqq vvv"][2] is True  # unrelated stays new
+
+    tbl = pa.table({"key": sorted(unks), "resolved": [False] * len(unks)})
+    got_tbl = build_canonical_map(rd.from_arrow(tbl), KNOWN, cfg)
+    got = {
+        n: (nm, t, bool(new))
+        for n, nm, t, new in zip(
+            got_tbl["norm"].to_pylist(), got_tbl["name"].to_pylist(),
+            got_tbl["etype"].to_pylist(), got_tbl["is_new"].to_pylist(),
+        )
+    }
+    assert got == want
+
+
 def test_distributed_cc_loop():
     """Exercise the distributed min-label-propagation path directly (the
     driver fallback handles small pair sets in build_canonical_map)."""

@@ -140,6 +140,40 @@ def test_oversize_latest_vs_older_crawl_order():
     assert got == want
 
 
+def test_canonical_map_copartition_path(built):
+    """Open-vocabulary tier: with canon_broadcast_max forced to 0 the S6
+    resolve uses the hash-co-partitioned lookup join against the sharded
+    canonical table instead of a broadcast driver dict — output must be
+    EXACTLY the broadcast path's (== serial golden)."""
+    import dataclasses
+
+    from blarify_ray.config import DEFAULT_CONFIG
+
+    _, serial = built
+    cfg = dataclasses.replace(DEFAULT_CONFIG, canon_broadcast_max=0)
+    out2 = "/tmp/blarify_ray_test_e2e_coparT"
+    shutil.rmtree(out2, ignore_errors=True)
+    paths2 = build_kg(out2, N, cfg)
+    got_ents = {
+        (e["entity_id"], e["name"], e["type"], tuple(e["aliases"]), e["n_mentions"])
+        for e in _stage_rows(paths2["entities"])
+    }
+    want_ents = {
+        (e["entity_id"], e["name"], e["type"], tuple(e["aliases"]), e["n_mentions"])
+        for e in serial["entities"]
+    }
+    assert got_ents == want_ents
+    got_edges = {
+        (e["src_id"], e["dst_id"], e["pred"], e["url"], e["sent_id"], e["weight"], e["scope_text"])
+        for e in _stage_rows(paths2["edges"])
+    }
+    want_edges = {
+        (e["src_id"], e["dst_id"], e["pred"], e["url"], e["sent_id"], e["weight"], e["scope_text"])
+        for e in serial["edges"]
+    }
+    assert got_edges == want_edges
+
+
 def test_partitioned_sorted_output(built):
     paths, _ = built
     buckets = [d for d in os.listdir(paths["entities"]) if d.startswith("bucket=")]

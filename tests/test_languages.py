@@ -1,0 +1,91 @@
+"""Pluggable per-language extraction rules: a second registered language
+(German) must route through its own connector table — and the serial and
+Ray paths must stay exactly equal on a mixed-language corpus
+(LanguageDefinitions extension point, language_definitions.py:21-109)."""
+
+import dataclasses
+import shutil
+
+import pyarrow as pa
+import ray.data as rd
+
+from blarify_ray.config import DEFAULT_CONFIG
+from blarify_ray.corpus import entity_universe
+from blarify_ray.pipelines.kg_build import build_kg, triples_table
+from blarify_ray.schemas import PAGES
+from blarify_ray.serial import run_serial
+
+N = 40  # entity universe size driver
+OUT = "/tmp/blarify_ray_test_langs"
+BASE_TS = 1_735_689_600_000_000
+
+
+def _mixed_rows():
+    ents = entity_universe(N)
+    org = next(e for e in ents if e.etype == "ORG")
+    person = next(e for e in ents if e.etype == "PERSON")
+    place = next(e for e in ents if e.etype == "PLACE")
+    rows = []
+
+    def page(i, text, lang):
+        rows.append(
+            {
+                "url": f"https://test.example.org/{lang}/{i:04d}",
+                "warc_ts": BASE_TS + i * 1_000_000,
+                "html": b"",
+                "text": text,
+                "lang": lang,
+            }
+        )
+
+    page(0, f"{org.name} wurde gegründet von {person.name}. "
+            f"{org.name} hat ihren Sitz in {place.name}.", "de")
+    page(1, f"{org.name} was founded by {person.name}. "
+            f"{person.name} works for {org.name}.", "en")
+    # the ENGLISH connector inside a German page must NOT fire (wrong
+    # language table), and vice versa
+    page(2, f"{org.name} was founded by {person.name}.", "de")
+    page(3, f"{org.name} wurde gegründet von {person.name}.", "en")
+    # unregistered language → RAW passthrough
+    page(4, f"{org.name} wurde gegründet von {person.name}.", "fr")
+    return rows, org, person, place
+
+
+def test_mixed_language_serial_equals_ray():
+    cfg = dataclasses.replace(DEFAULT_CONFIG, supported_langs=("en", "de"))
+    rows, org, person, place = _mixed_rows()
+    serial = run_serial(rows, N, cfg)
+
+    shutil.rmtree(OUT, ignore_errors=True)
+    pages = rd.from_arrow(pa.Table.from_pylist(rows, schema=PAGES))
+    paths = build_kg(OUT, N, cfg, pages=pages, source_fingerprint="langs-test")
+
+    got = {
+        (r["url"], r["sent_id"], r["subj"], r["pred"], r["obj"])
+        for r in triples_table(paths, cfg).take_all()
+    }
+    want = {
+        (t["url"], t["sent_id"], t["subj"], t["pred"], t["obj"])
+        for t in serial["triples"]
+    }
+    assert got == want
+
+    # the German page produced German-rule triples…
+    de_preds = {(t["pred"]) for t in serial["triples"] if "/de/" in t["url"]}
+    assert {"FOUNDED_BY", "LOCATED_IN"} <= de_preds
+    # …the English connector did NOT fire on a German page and vice versa
+    assert not any(
+        t["url"].endswith("/de/0002") or t["url"].endswith("/en/0003")
+        for t in serial["triples"]
+    )
+    # unregistered lang stays RAW on both paths
+    raw_urls_serial = {d["url"] for d in serial["docs"] if d["raw"]}
+    from blarify_ray.state.manifest import read_stage
+
+    raw_urls_ray = {
+        r["url"]
+        for r in read_stage(paths["docs"], columns=["url", "raw"]).take_all()
+        if r["raw"]
+    }
+    assert raw_urls_serial == raw_urls_ray
+    assert any(u.endswith("/fr/0004") for u in raw_urls_serial)
