@@ -138,24 +138,31 @@ def build_kg(
             canon_ref = ray.put({})
         else:
             canon_ref = ray.put(canon)
-        graph = build_graph(mr, canon_ref, cfg).materialize()
+        from ..util import hash_shuffle_scope
+
+        with hash_shuffle_scope():
+            graph = build_graph(mr, canon_ref, cfg).materialize()
         _append_metrics(
             out_dir,
             {"stage": "graph_fused", "lineage": ent_lin,
              "rows": graph.count(), "wall_s": round(time.monotonic() - t0, 3)},
         )
 
+    from ..util import hash_shuffle_scope as _hss
+
     def produce_entities(tmp: str) -> None:
-        split_entities(graph).sort(["bucket", "entity_id"]).write_parquet(
-            tmp, partition_cols=["bucket"]
-        )
+        with _hss():
+            split_entities(graph).sort(["bucket", "entity_id"]).write_parquet(
+                tmp, partition_cols=["bucket"]
+            )
 
     ent_path, _ = run_stage(out_dir, "entities", ent_lin, produce_entities)
 
     def produce_edges(tmp: str) -> None:
-        split_edges(graph).sort(["bucket", "src_id", "pred", "dst_id"]).write_parquet(
-            tmp, partition_cols=["bucket"]
-        )
+        with _hss():
+            split_edges(graph).sort(["bucket", "src_id", "pred", "dst_id"]).write_parquet(
+                tmp, partition_cols=["bucket"]
+            )
 
     edge_path, _ = run_stage(out_dir, "edges", edge_lin, produce_edges)
 

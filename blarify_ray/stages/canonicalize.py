@@ -282,7 +282,10 @@ def build_canonical_map(
     elif n_pairs <= cfg.cc_driver_max_pairs:
         import numpy as np
 
-        pdf = pairs.to_pandas()
+        # cross-partition duplicates (same pair via bands routed to
+        # different partitions) can multiply the row count several-fold —
+        # one vectorized dedup beats feeding them all to the union-find
+        pdf = pairs.to_pandas().drop_duplicates(["x", "y"])
         xk = pdf["x_known"].to_numpy()
         yk = pdf["y_known"].to_numpy()
         # unk→known attachments, vectorized: sort by (unk, -j, known) and

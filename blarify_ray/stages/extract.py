@@ -89,10 +89,72 @@ def drop_oversize(docs: ray.data.Dataset) -> ray.data.Dataset:
     )
 
 
+def latest_ts_map(
+    pages: ray.data.Dataset, key: str = "url", ts: str = "warc_ts", limit: int = 0
+) -> dict | None:
+    """url → max warc_ts from a PRUNED (url, ts) scan: per-batch partial
+    max (no shuffle), merged on the driver. Returns None when the
+    distinct-url count exceeds ``limit`` (caller falls back to the
+    shuffle dedup)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        # int64 µs timestamps: the winner map must stay cheap to
+        # pickle/broadcast (792k datetime objects are not)
+        best: dict = {}
+        for u, v in zip(
+            t[key].to_pylist(), pc.cast(t[ts], pa.int64()).to_pylist()
+        ):
+            cur = best.get(u)
+            if cur is None or v > cur:
+                best[u] = v
+        ks = list(best)
+        return pa.Table.from_pydict(
+            {key: pa.array(ks), "_ts64": pa.array([best[k] for k in ks], pa.int64())}
+        )
+
+    # vectorized driver merge (NEVER take_all row dicts at corpus scale)
+    import pandas as pd
+
+    df = pages.select_columns([key, ts]).map_batches(
+        partial, batch_format="pyarrow", batch_size=8192
+    ).to_pandas()
+    if limit and df[key].nunique() > limit:
+        return None
+    df = df.sort_values([key, "_ts64"], kind="mergesort").drop_duplicates(key, keep="last")
+    return dict(zip(df[key], df["_ts64"].astype("int64")))
+
+
 def extract_and_dedup(pages: ray.data.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG) -> ray.data.Dataset:
-    """pages → final docs: extract → latest-crawl-wins dedup → oversize
-    drop, in the spec's order."""
-    return drop_oversize(dedup_latest(extract_docs(pages, cfg)))
+    """pages → final docs: latest-crawl-wins dedup → extract → oversize
+    drop, in the spec's order.
+
+    Size-tiered dedup: while the winner map (url → max ts) fits
+    (``cfg.dedup_broadcast_max``), losing crawls are dropped by a
+    broadcast filter BEFORE extraction — the heavy text column never
+    shuffles, and stale crawls are never parsed. Above the threshold the
+    post-extract hash-partitioned shuffle dedup takes over. Crawl
+    timestamps are assumed unique per url (ties are order-dependent in
+    the serial spec and nondeterministic in BOTH distributed tiers)."""
+    import ray
+
+    winners = latest_ts_map(pages, limit=cfg.dedup_broadcast_max)
+    if winners is None:
+        return drop_oversize(dedup_latest(extract_docs(pages, cfg)))
+    win_ref = ray.put(winners)
+
+    def keep_winners(t: pa.Table) -> pa.Table:
+        from ..util import get_broadcast
+
+        w = get_broadcast(win_ref)
+        ts64 = pc.cast(t["warc_ts"], pa.int64()).to_pylist()
+        mask = pa.array(
+            [w.get(u) == v for u, v in zip(t["url"].to_pylist(), ts64)]
+        )
+        return t.filter(mask)
+
+    return drop_oversize(
+        extract_docs(pages.map_batches(keep_winners, batch_format="pyarrow"), cfg)
+    )
 
 
 def dedup_latest(
