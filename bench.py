@@ -23,7 +23,15 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-BENCH_ROOT = "/tmp/blarify_ray_bench"
+# Corpus + stage checkpoints live on tmpfs when available: on a real
+# cluster every node contributes its own disk bandwidth, so IO scales
+# with nodes — this VM's single ~450 MB/s disk does not, and letting it
+# serialize the checkpoint writes would measure the disk, not the
+# engine, in the N-vs-4N scaling protocol.
+BENCH_ROOT = os.environ.get(
+    "GRAFT_BENCH_ROOT",
+    "/dev/shm/blarify_ray_bench" if os.access("/dev/shm", os.W_OK) else "/tmp/blarify_ray_bench",
+)
 # --scaling uses a corpus multiplier (FIXTURES.md bench tier ~200k pages)
 # so the measured ratio reflects compute+shuffle, not fixed per-run
 # orchestration overhead that a real 100 TB run amortizes away.

@@ -61,6 +61,14 @@ class PipelineConfig:
     ner_batch_size: int = 256
     ner_concurrency: int = 16  # actor-pool size for the mention detector
     # (util.pool_size caps it at half the cluster CPUs at runtime)
+    # The NER stage's only state (the Gazetteer) is read-only broadcast
+    # data, so by default it runs as stateless TASKS with a per-worker
+    # cache: every CPU participates (an actor pool is capped at half the
+    # cluster to avoid the streaming-executor livelock) and pre-warmed
+    # workers skip the per-build pool spin-up. The actor-pool tier
+    # (ner_stateless=False) remains for genuinely mutable/heavy state and
+    # is forced-tier tested to produce identical output.
+    ner_stateless: bool = True
 
     # partition count for partition-level groupby fns (hash the group key
     # into this many Ray-level groups; vectorized aggregation inside)

@@ -150,9 +150,21 @@ def build_kg(
 
     from ..util import hash_shuffle_scope as _hss
 
+    def _bucket_sorted(ds: ray.data.Dataset, sort_cols: list[str]) -> ray.data.Dataset:
+        # Within-bucket total order is the layout contract (point reads
+        # prune by bucket). A hash exchange on `bucket` + one in-memory
+        # sort per bucket group replaces the global sample-sort — no
+        # global range partitioning step, and each bucket lands in one
+        # block so the hive-partitioned write emits one sorted file per
+        # bucket.
+        def srt(g: pa.Table) -> pa.Table:
+            return g.sort_by([(c, "ascending") for c in sort_cols])
+
+        return ds.groupby("bucket").map_groups(srt, batch_format="pyarrow")
+
     def produce_entities(tmp: str) -> None:
         with _hss():
-            split_entities(graph).sort(["bucket", "entity_id"]).write_parquet(
+            _bucket_sorted(split_entities(graph), ["entity_id"]).write_parquet(
                 tmp, partition_cols=["bucket"]
             )
 
@@ -160,9 +172,9 @@ def build_kg(
 
     def produce_edges(tmp: str) -> None:
         with _hss():
-            split_edges(graph).sort(["bucket", "src_id", "pred", "dst_id"]).write_parquet(
-                tmp, partition_cols=["bucket"]
-            )
+            _bucket_sorted(
+                split_edges(graph), ["src_id", "pred", "dst_id"]
+            ).write_parquet(tmp, partition_cols=["bucket"])
 
     edge_path, _ = run_stage(out_dir, "edges", edge_lin, produce_edges)
 

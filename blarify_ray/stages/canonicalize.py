@@ -42,9 +42,10 @@ def distinct_unk_norms(mentions_resolved: ray.data.Dataset) -> ray.data.Dataset:
     mention-scale rows."""
 
     def local_distinct(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.invert(t["resolved"]))
-        uniq = sorted(set(t["key"].to_pylist()))
-        return pa.Table.from_pydict({"norm": pa.array(uniq, pa.string())})
+        keys = t.filter(pc.invert(t["resolved"]))["key"]
+        return pa.Table.from_pydict(
+            {"norm": pc.unique(pc.cast(keys, pa.string()))}
+        )
 
     return (
         mentions_resolved.map_batches(local_distinct, batch_format="pyarrow", batch_size=8192)
@@ -54,11 +55,20 @@ def distinct_unk_norms(mentions_resolved: ray.data.Dataset) -> ray.data.Dataset:
     )
 
 
-def _band_rows(t: pa.Table, cfg: PipelineConfig, perms) -> pa.Table:
+def _band_rows_idx(t: pa.Table, cfg: PipelineConfig, perms, norms_ref) -> pa.Table:
+    """LSH band rows for a batch of key INDICES (``id`` from
+    ``ray.data.range``): the exchange carries only fixed-width ints —
+    (pkey, band_id, band_hash, idx) — never the norm strings, which every
+    worker reads once from the broadcast sorted key list. ~3× fewer
+    shuffle bytes than string rows and no per-row Python."""
     import numpy as np
 
+    from ..util import get_broadcast
+
     a, b = perms
-    norms, knowns = t["norm"].to_pylist(), t["is_known"].to_pylist()
+    keys = get_broadcast(norms_ref)
+    ids = t["id"].to_numpy()
+    norms = [keys[i] for i in ids]
     # batch-vectorized signatures + banding: one numpy pass per batch,
     # bit-identical to the serial per-key spec
     sigs = signatures_batch(norms, cfg.shingle_k, a, b)
@@ -66,7 +76,6 @@ def _band_rows(t: pa.Table, cfg: PipelineConfig, perms) -> pa.Table:
     n, nb = bands.shape
     bh_flat = bands.reshape(-1)
     band_ids = np.tile(np.arange(nb, dtype=np.int64), n)
-    rep = np.repeat(np.arange(n), nb)
     return pa.Table.from_pydict(
         {
             # pkey routes WHOLE buckets to Ray-level partitions: the
@@ -74,71 +83,109 @@ def _band_rows(t: pa.Table, cfg: PipelineConfig, perms) -> pa.Table:
             # group per LSH bucket (500k tiny map_groups calls → ~64).
             "pkey": pa.array((bh_flat % np.uint64(cfg.agg_partitions)).astype(np.int64)),
             "band_id": pa.array(band_ids),
-            "band_hash": pa.array(bh_flat),
-            "norm": pa.array([norms[i] for i in rep], pa.string()),
-            "is_known": pa.array([bool(knowns[i]) for i in rep]),
+            "band_hash": pa.array(bh_flat.view(np.int64)),
+            "idx": pa.array(np.repeat(ids, nb).astype(np.int32)),
         }
     )
 
 
-def _partition_pairs(group: pa.Table, cfg: PipelineConfig) -> pa.Table:
-    """Verified pairs for every LSH bucket routed to this partition;
-    ≥1 unk side; x<y. Buckets are reconstructed locally with a dict —
-    same pairs as per-bucket processing, two orders of magnitude fewer
-    Ray-level groups."""
-    from ..canonical import pair_scorer
+def _idx_scorer(keys: list[str], cfg: PipelineConfig):
+    """(score(xi, yi), threshold) over indices into the sorted key list,
+    with LAZY per-key feature memoization — a partition only pays for the
+    keys it actually scores. Kernels and rounding identical to the serial
+    ``canonical.pair_scorer``."""
+    from ..config import ResolverMode
 
-    out = {"x": [], "y": [], "j": [], "x_known": [], "y_known": []}
-    buckets: dict[tuple[int, int], list[tuple[str, bool]]] = {}
-    part_norms: set[str] = set()
-    for band_id, bh, norm, k in zip(
-        group["band_id"].to_pylist(), group["band_hash"].to_pylist(),
-        group["norm"].to_pylist(), group["is_known"].to_pylist(),
-    ):
-        buckets.setdefault((band_id, bh), []).append((norm, k))
-        part_norms.add(norm)
-    # same scorer as the serial spec (ResolverMode-aware)
-    score, threshold = pair_scorer(sorted(part_norms), cfg)
-    seen: set[tuple[str, str]] = set()
+    if cfg.resolver_mode == ResolverMode.EMBEDDING:
+        from ..text import embed_cosine, shingle_embed
 
-    for members0 in buckets.values():
-        if len(members0) < 2 or len(members0) > cfg.max_lsh_bucket:
+        emb: dict[int, object] = {}
+
+        def escore(xi: int, yi: int) -> float:
+            ex = emb.get(xi)
+            if ex is None:
+                ex = emb[xi] = shingle_embed(keys[xi], cfg.shingle_k)
+            ey = emb.get(yi)
+            if ey is None:
+                ey = emb[yi] = shingle_embed(keys[yi], cfg.shingle_k)
+            return round(embed_cosine(ex, ey), 9)
+
+        return escore, cfg.embed_link_threshold
+
+    from ..text import char_shingles, jaccard
+
+    sh: dict[int, object] = {}
+
+    def jscore(xi: int, yi: int) -> float:
+        sx = sh.get(xi)
+        if sx is None:
+            sx = sh[xi] = char_shingles(keys[xi], cfg.shingle_k)
+        sy = sh.get(yi)
+        if sy is None:
+            sy = sh[yi] = char_shingles(keys[yi], cfg.shingle_k)
+        return jaccard(sx, sy)
+
+    return jscore, cfg.jaccard_threshold
+
+
+def _partition_pairs_idx(
+    group: pa.Table, cfg: PipelineConfig, norms_ref, unk_ref
+) -> pa.Table:
+    """Verified pairs (as index pairs) for every LSH bucket routed to
+    this partition; ≥1 unk side; x<y. The key list is sorted, so index
+    order IS lexicographic order — bucket reconstruction and pair
+    enumeration run on numpy int arrays; strings are touched only inside
+    the lazy scorer."""
+    import numpy as np
+
+    from ..util import get_broadcast
+
+    keys = get_broadcast(norms_ref)
+    is_unk = get_broadcast(unk_ref)  # numpy bool array aligned with keys
+    bh = group["band_hash"].to_numpy()
+    bid = group["band_id"].to_numpy()
+    idxs = group["idx"].to_numpy()
+    order = np.lexsort((idxs, bid, bh))
+    bh, bid, idxs = bh[order], bid[order], idxs[order]
+    # bucket boundaries where (band_hash, band_id) changes
+    if len(bh) == 0:
+        starts = np.array([], dtype=np.int64)
+    else:
+        change = np.flatnonzero((bh[1:] != bh[:-1]) | (bid[1:] != bid[:-1])) + 1
+        starts = np.concatenate(([0], change, [len(bh)]))
+    score, threshold = _idx_scorer(keys, cfg)
+    seen: set[int] = set()
+    n_keys = len(keys)
+    xs: list[int] = []
+    ys: list[int] = []
+    js: list[float] = []
+    for si in range(len(starts) - 1):
+        m = idxs[starts[si] : starts[si + 1]]
+        if m.size < 2 or m.size > cfg.max_lsh_bucket:
             continue
-        members = sorted(set(members0))
-        unks = [m for m, k in members if not k]
-        if not unks:
+        unks = m[is_unk[m]]
+        if unks.size == 0:
             continue
-        known_of = dict(members)
         for u in unks:
-            for v, _vk in members:
+            for v in m:
                 if v == u:
                     continue
                 x, y = (u, v) if u < v else (v, u)
-                if (x, y) in seen:
+                packed = int(x) * n_keys + int(y)
+                if packed in seen:
                     continue
-                seen.add((x, y))
-                j = score(x, y)
+                seen.add(packed)
+                j = score(int(x), int(y))
                 if j >= threshold:
-                    out["x"].append(x)
-                    out["y"].append(y)
-                    out["j"].append(j)
-                    out["x_known"].append(known_of[x])
-                    out["y_known"].append(known_of[y])
+                    xs.append(int(x))
+                    ys.append(int(y))
+                    js.append(j)
     return pa.Table.from_pydict(
-        out,
+        {"x": xs, "y": ys, "j": js},
         schema=pa.schema(
-            [("x", pa.string()), ("y", pa.string()), ("j", pa.float64()),
-             ("x_known", pa.bool_()), ("y_known", pa.bool_())]
+            [("x", pa.int32()), ("y", pa.int32()), ("j", pa.float64())]
         ),
     )
-
-
-def _dedup_pairs(t: pa.Table) -> pa.Table:
-    """A pair can surface from several bands — keep one copy."""
-    import pandas as pd  # noqa: F401
-
-    df = t.to_pandas().drop_duplicates(subset=["x", "y"])
-    return pa.Table.from_pandas(df, preserve_index=False)
 
 
 def connected_components(pairs: ray.data.Dataset, cfg: PipelineConfig) -> dict[str, str]:
@@ -228,7 +275,9 @@ def build_canonical_map(
     if cfg.canon_driver_max_norms > 0 and n_norms <= cfg.canon_driver_max_norms:
         from ..canonical import canonicalize_surfaces
 
-        norms = {r["norm"] for r in distinct.take_all()}
+        # empty datasets to_pandas() without columns — guard the lookup
+        _pdf = distinct.to_pandas()
+        norms = set(_pdf["norm"]) if "norm" in _pdf.columns else set()
         canon = canonicalize_surfaces(norms, known_norm_to_name, cfg)
         out = {"norm": [], "name": [], "etype": [], "is_new": []}
         for n in sorted(canon):
@@ -245,30 +294,40 @@ def build_canonical_map(
             ),
         )
 
-    unks = distinct.map_batches(
-        lambda t: t.append_column("is_known", pa.array([False] * t.num_rows)),
-        batch_format="pyarrow",
-    ).materialize()  # reused for band generation AND the final unk list
-    known_tbl = pa.Table.from_pydict(
-        {
-            "norm": list(known_norm_to_name),
-            "is_known": [True] * len(known_norm_to_name),
-        }
-    )
-    nodes = unks.union(ray.data.from_arrow(known_tbl))
+    import numpy as np
+
+    # Sorted global key list — index order IS lexicographic order,
+    # mirroring the serial spec's ``keys = sorted(unk | known)``
+    # (canonical.verified_pairs). The list is broadcast once; every
+    # exchange below carries only fixed-width int rows.
+    _updf = distinct.to_pandas()
+    unk_list = _updf["norm"].tolist() if "norm" in _updf.columns else []
+    unk_set = set(unk_list)
+    keys = sorted(unk_set | set(known_norm_to_name))
+    is_unk = np.fromiter((k in unk_set for k in keys), dtype=bool, count=len(keys))
+    norms_ref = ray.put(keys)
+    unk_ref = ray.put(is_unk)
 
     perms = make_perms(cfg.minhash_perms)
-    bands = nodes.map_batches(
-        lambda t: _band_rows(t, cfg, perms), batch_format="pyarrow", batch_size=2048
-    )
-    pairs = (
-        bands.groupby("pkey")
-        .map_groups(lambda g: _partition_pairs(g, cfg), batch_format="pyarrow")
-        .map_batches(_dedup_pairs, batch_format="pyarrow")
-        .materialize()
-    )
-    # cross-partition duplicate pairs are possible — harmless: argmax and
-    # union-find are idempotent over duplicates.
+    from ..util import hash_shuffle_scope
+
+    with hash_shuffle_scope():
+        pairs = (
+            ray.data.range(len(keys))
+            .map_batches(
+                lambda t: _band_rows_idx(t, cfg, perms, norms_ref),
+                batch_format="pyarrow", batch_size=2048,
+            )
+            .groupby("pkey")
+            .map_groups(
+                lambda g: _partition_pairs_idx(g, cfg, norms_ref, unk_ref),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+    # cross-partition duplicate pairs are possible (same pair surfacing
+    # via bands routed to different partitions) — deduped below on the
+    # driver path; the distributed fallbacks are idempotent over them.
 
     # The verified pair set is entity-scale by construction (distinct
     # surfaces, not corpus rows) — pull it to the driver ONCE and do the
@@ -280,32 +339,59 @@ def build_canonical_map(
     if n_pairs == 0:
         pass
     elif n_pairs <= cfg.cc_driver_max_pairs:
-        import numpy as np
+        import pandas as pd
 
-        # cross-partition duplicates (same pair via bands routed to
-        # different partitions) can multiply the row count several-fold —
-        # one vectorized dedup beats feeding them all to the union-find
         pdf = pairs.to_pandas().drop_duplicates(["x", "y"])
-        xk = pdf["x_known"].to_numpy()
-        yk = pdf["y_known"].to_numpy()
+        xi = pdf["x"].to_numpy()
+        yi = pdf["y"].to_numpy()
+        jv = pdf["j"].to_numpy()
+        xu = is_unk[xi]
+        yu = is_unk[yi]
         # unk→known attachments, vectorized: sort by (unk, -j, known) and
         # keep the first row per unk = argmax j with min-known tie-break
-        att = pdf[xk ^ yk].copy()
-        if len(att):
-            att["unk"] = np.where(att["x_known"], att["y"], att["x"])
-            att["known"] = np.where(att["x_known"], att["x"], att["y"])
-            att = att.sort_values(
-                ["unk", "j", "known"], ascending=[True, False, True], kind="mergesort"
+        # (index order == lex order, so int sort IS the spec's tie-break)
+        mixed = xu ^ yu
+        if mixed.any():
+            att = pd.DataFrame(
+                {
+                    "unk": np.where(xu[mixed], xi[mixed], yi[mixed]),
+                    "kn": np.where(xu[mixed], yi[mixed], xi[mixed]),
+                    "j": jv[mixed],
+                }
+            ).sort_values(
+                ["unk", "j", "kn"], ascending=[True, False, True], kind="mergesort"
             ).drop_duplicates("unk")
-            att_map = {u: (j, k) for u, j, k in zip(att["unk"], att["j"], att["known"])}
+            att_map = {
+                keys[u]: (j, keys[k])
+                for u, j, k in zip(att["unk"], att["j"], att["kn"])
+            }
         from ..canonical import UnionFind
 
         uf = UnionFind()
-        uu = pdf[~xk & ~yk]
-        for x, y in zip(uu["x"], uu["y"]):
-            uf.union(x, y)
+        both = xu & yu
+        for x, y in zip(xi[both], yi[both]):
+            uf.union(keys[x], keys[y])
         comp_map = {k: uf.find(k) for k in list(uf.parent)}
     else:
+
+        def to_str(t: pa.Table) -> pa.Table:
+            from ..util import get_broadcast
+
+            kl = get_broadcast(norms_ref)
+            iu = get_broadcast(unk_ref)
+            xi = t["x"].to_numpy()
+            yi = t["y"].to_numpy()
+            return pa.Table.from_pydict(
+                {
+                    "x": pa.array([kl[i] for i in xi], pa.string()),
+                    "y": pa.array([kl[i] for i in yi], pa.string()),
+                    "j": t["j"],
+                    "x_known": pa.array(~iu[xi]),
+                    "y_known": pa.array(~iu[yi]),
+                }
+            )
+
+        spairs = pairs.map_batches(to_str, batch_format="pyarrow")
 
         def att_rows(t: pa.Table) -> pa.Table:
             mask = pc.xor(t["x_known"], t["y_known"])
@@ -314,19 +400,18 @@ def build_canonical_map(
             kn = pc.if_else(t["x_known"], t["x"], t["y"])
             return pa.Table.from_pydict({"unk": unk, "known": kn, "j": t["j"]})
 
-        for r in pairs.map_batches(att_rows, batch_format="pyarrow").take_all():
+        for r in spairs.map_batches(att_rows, batch_format="pyarrow").take_all():
             cur = att_map.get(r["unk"])
             cand = (r["j"], r["known"])
             if cur is None or (cand[0], _rev(cand[1])) > (cur[0], _rev(cur[1])):
                 att_map[r["unk"]] = cand
-        uu = pairs.map_batches(
+        uu = spairs.map_batches(
             lambda t: t.filter(pc.invert(pc.or_(t["x_known"], t["y_known"]))),
             batch_format="pyarrow",
         ).materialize()
         comp_map = connected_components(uu, cfg)
 
     # Assemble on the driver — every table here is entity-scale.
-    unk_list = [r["norm"] for r in unks.select_columns(["norm"]).take_all()]
 
     # per-component best attachment
     comp_best: dict[str, tuple[float, str]] = {}

@@ -23,6 +23,7 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
+from ray.data.aggregate import Max, Sum
 
 from ..config import DEFAULT_CONFIG, PipelineConfig
 from ..schemas import DOCS
@@ -92,36 +93,46 @@ def drop_oversize(docs: ray.data.Dataset) -> ray.data.Dataset:
 def latest_ts_map(
     pages: ray.data.Dataset, key: str = "url", ts: str = "warc_ts", limit: int = 0
 ) -> dict | None:
-    """url → max warc_ts from a PRUNED (url, ts) scan: per-batch partial
-    max (no shuffle), merged on the driver. Returns None when the
-    distinct-url count exceeds ``limit`` (caller falls back to the
-    shuffle dedup)."""
+    """{url: max warc_ts} for urls with MORE THAN ONE crawl, from a
+    PRUNED (url, ts) scan: vectorized per-batch partial (max + crawl
+    count per url, no shuffle), merged vectorized on the driver. Keeping
+    only contested urls makes the broadcast map duplicate-scale (a few k
+    entries), not corpus-scale. Returns None when the distinct-url count
+    exceeds ``limit`` (caller falls back to the shuffle dedup)."""
 
     def partial(t: pa.Table) -> pa.Table:
-        # int64 µs timestamps: the winner map must stay cheap to
-        # pickle/broadcast (792k datetime objects are not)
-        best: dict = {}
-        for u, v in zip(
-            t[key].to_pylist(), pc.cast(t[ts], pa.int64()).to_pylist()
-        ):
-            cur = best.get(u)
-            if cur is None or v > cur:
-                best[u] = v
-        ks = list(best)
-        return pa.Table.from_pydict(
-            {key: pa.array(ks), "_ts64": pa.array([best[k] for k in ks], pa.int64())}
+        # int64 µs timestamps: the winner map must stay cheap to pickle
+        # and broadcast (datetime objects are not)
+        g = (
+            pa.table({key: t[key], "_ts64": pc.cast(t[ts], pa.int64())})
+            .group_by(key)
+            .aggregate([("_ts64", "max"), ("_ts64", "count")])
         )
+        return g.rename_columns([key, "_ts64", "_n"])
 
-    # vectorized driver merge (NEVER take_all row dicts at corpus scale)
-    import pandas as pd
+    def contested(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t["sum(_n)"], 2))
 
-    df = pages.select_columns([key, ts]).map_batches(
-        partial, batch_format="pyarrow", batch_size=8192
-    ).to_pandas()
-    if limit and df[key].nunique() > limit:
+    # distributed merge: the exchange carries only the narrow per-batch
+    # partials (url, max_ts, count); the driver pulls just the CONTESTED
+    # urls (duplicate-scale) plus the distinct-url count for the tier
+    # decision — never a corpus-scale row set.
+    from ..util import hash_shuffle_scope
+
+    with hash_shuffle_scope():
+        agg = (
+            pages.select_columns([key, ts])
+            .map_batches(partial, batch_format="pyarrow", batch_size=8192)
+            .groupby(key)
+            .aggregate(Max("_ts64"), Sum("_n"))
+            .materialize()
+        )
+    if limit and agg.count() > limit:
         return None
-    df = df.sort_values([key, "_ts64"], kind="mergesort").drop_duplicates(key, keep="last")
-    return dict(zip(df[key], df["_ts64"].astype("int64")))
+    dups = agg.map_batches(contested, batch_format="pyarrow").to_pandas()
+    if "max(_ts64)" not in dups.columns:  # empty → no columns
+        return {}
+    return dict(zip(dups[key], dups["max(_ts64)"].astype("int64")))
 
 
 def extract_and_dedup(pages: ray.data.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG) -> ray.data.Dataset:
@@ -140,17 +151,27 @@ def extract_and_dedup(pages: ray.data.Dataset, cfg: PipelineConfig = DEFAULT_CON
     winners = latest_ts_map(pages, limit=cfg.dedup_broadcast_max)
     if winners is None:
         return drop_oversize(dedup_latest(extract_docs(pages, cfg)))
+    if not winners:  # every url has exactly one crawl — nothing to drop
+        return drop_oversize(extract_docs(pages, cfg))
     win_ref = ray.put(winners)
 
     def keep_winners(t: pa.Table) -> pa.Table:
+        import numpy as np
+
         from ..util import get_broadcast
 
         w = get_broadcast(win_ref)
-        ts64 = pc.cast(t["warc_ts"], pa.int64()).to_pylist()
-        mask = pa.array(
-            [w.get(u) == v for u, v in zip(t["url"].to_pylist(), ts64)]
-        )
-        return t.filter(mask)
+        # the map covers only CONTESTED urls — vectorized membership test
+        # first, then a Python check over just those few rows
+        contested = pc.is_in(t["url"], value_set=pa.array(list(w), pa.string()))
+        idx = np.flatnonzero(contested.to_numpy(zero_copy_only=False))
+        if idx.size == 0:
+            return t
+        mask = np.ones(t.num_rows, dtype=bool)
+        urls, ts64 = t["url"], pc.cast(t["warc_ts"], pa.int64())
+        for i in idx:
+            mask[i] = w[urls[i].as_py()] == ts64[i].as_py()
+        return t.filter(pa.array(mask))
 
     return drop_oversize(
         extract_docs(pages.map_batches(keep_winners, batch_format="pyarrow"), cfg)

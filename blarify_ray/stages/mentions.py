@@ -28,82 +28,112 @@ from ..schemas import MENTIONS_RESOLVED, TRIPLES_LINKED
 from ..text import scope_snippet, split_sentences
 
 
+_GAZ_CACHE: dict[str, Gazetteer] = {}
+
+
+def _gazetteer_for(entities_ref) -> Gazetteer:
+    """Worker-local cache: deserialize the broadcast entity list and build
+    the pair-token index ONCE per worker process (the stateless-task
+    analog of actor ``__init__`` state — tasks reuse pre-warmed workers
+    instead of spinning a fresh actor pool per build). One generation is
+    kept: a new entity universe evicts the old index."""
+    key = entities_ref.hex() if hasattr(entities_ref, "hex") else str(id(entities_ref))
+    g = _GAZ_CACHE.get(key)
+    if g is None:
+        entities = (
+            entities_ref
+            if isinstance(entities_ref, (list, tuple))
+            else ray.get(entities_ref)
+        )
+        _GAZ_CACHE.clear()
+        g = _GAZ_CACHE[key] = Gazetteer(tuple(entities))
+    return g
+
+
 class MentionLinker:
-    """Callable actor class for ``map_batches(..., concurrency=N)``."""
+    """Callable actor class for ``map_batches(..., concurrency=N)`` — the
+    stateful-pool tier (cfg.ner_stateless=False), mirroring the
+    reference's LSP server pool (``lsp_helper.py:205-244``)."""
 
     def __init__(self, entities_ref):
         entities = ray.get(entities_ref) if not isinstance(entities_ref, (list, tuple)) else entities_ref
         self.gaz = Gazetteer(tuple(entities))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from ..langs import EN, for_lang
+        return link_batch(self.gaz, batch)
 
-        gaz = self.gaz
-        cols: dict[str, list] = {name: [] for name in MENTIONS_RESOLVED.names}
 
-        urls = batch["url"].to_pylist()
-        texts = batch["text"].to_pylist()
-        raws = batch["raw"].to_pylist()
-        langs = (
-            batch["lang"].to_pylist()
-            if "lang" in batch.column_names
-            else ["en"] * batch.num_rows
-        )
-        for url, text, raw, lang in zip(urls, texts, raws, langs):
-            if raw or not text:
-                continue
-            defs = for_lang(lang) or EN
-            sents = split_sentences(text)
-            per_sent = []
-            page_mentions = []
-            for sid, sent in enumerate(sents):
-                ms = gaz.find_mentions(sent, defs)
-                if ms:
-                    per_sent.append((sid, sent, ms))
-                    page_mentions.extend(ms)
-            if not page_mentions:
-                continue
-            keys = resolve_mention_keys(gaz, page_mentions)
-            key_by_span: dict[tuple[int, int], tuple[str, str, bool]] = {}
-            ki = 0
-            for sid, _sent, ms in per_sent:
-                for m in ms:
-                    key_by_span[(sid, m.start)] = keys[ki]
-                    ki += 1
-            for sid, sent, ms in per_sent:
-                triple_by_subj = {
-                    a.start: (pred, b)
-                    for a, pred, b in extract_triples_from_sentence(sent, ms, defs)
-                }
-                for m in ms:
-                    k, t, res = key_by_span[(sid, m.start)]
-                    tr = triple_by_subj.get(m.start)
-                    cols["url"].append(url)
-                    cols["sent_id"].append(sid)
-                    cols["start"].append(m.start)
-                    cols["end"].append(m.end)
-                    cols["surface"].append(m.surface)
-                    cols["ner_type"].append(m.ner_type)
-                    cols["key"].append(k)
-                    cols["etype"].append(t)
-                    cols["resolved"].append(res)
-                    if tr is None:
-                        cols["pred"].append(None)
-                        cols["obj_key"].append(None)
-                        cols["obj_type"].append(None)
-                        cols["obj_resolved"].append(None)
-                        cols["obj_start"].append(None)
-                        cols["sent_text"].append(None)
-                    else:
-                        pred, b = tr
-                        ok, ot, ores = key_by_span[(sid, b.start)]
-                        cols["pred"].append(pred)
-                        cols["obj_key"].append(ok)
-                        cols["obj_type"].append(ot)
-                        cols["obj_resolved"].append(ores)
-                        cols["obj_start"].append(b.start)
-                        cols["sent_text"].append(scope_snippet(sent))
-        return pa.Table.from_pydict(cols, schema=MENTIONS_RESOLVED)
+def link_batch(gaz: Gazetteer, batch: pa.Table) -> pa.Table:
+    """The S2–S4 per-batch kernel: NER + triples + linking over one
+    Arrow batch of docs. Pure function of (gazetteer, batch) — shared by
+    the stateless-task and actor-pool tiers."""
+    from ..langs import EN, for_lang
+
+    cols: dict[str, list] = {name: [] for name in MENTIONS_RESOLVED.names}
+
+    urls = batch["url"].to_pylist()
+    texts = batch["text"].to_pylist()
+    raws = batch["raw"].to_pylist()
+    langs = (
+        batch["lang"].to_pylist()
+        if "lang" in batch.column_names
+        else ["en"] * batch.num_rows
+    )
+    for url, text, raw, lang in zip(urls, texts, raws, langs):
+        if raw or not text:
+            continue
+        defs = for_lang(lang) or EN
+        sents = split_sentences(text)
+        per_sent = []
+        page_mentions = []
+        for sid, sent in enumerate(sents):
+            ms = gaz.find_mentions(sent, defs)
+            if ms:
+                per_sent.append((sid, sent, ms))
+                page_mentions.extend(ms)
+        if not page_mentions:
+            continue
+        keys = resolve_mention_keys(gaz, page_mentions)
+        key_by_span: dict[tuple[int, int], tuple[str, str, bool]] = {}
+        ki = 0
+        for sid, _sent, ms in per_sent:
+            for m in ms:
+                key_by_span[(sid, m.start)] = keys[ki]
+                ki += 1
+        for sid, sent, ms in per_sent:
+            triple_by_subj = {
+                a.start: (pred, b)
+                for a, pred, b in extract_triples_from_sentence(sent, ms, defs)
+            }
+            for m in ms:
+                k, t, res = key_by_span[(sid, m.start)]
+                tr = triple_by_subj.get(m.start)
+                cols["url"].append(url)
+                cols["sent_id"].append(sid)
+                cols["start"].append(m.start)
+                cols["end"].append(m.end)
+                cols["surface"].append(m.surface)
+                cols["ner_type"].append(m.ner_type)
+                cols["key"].append(k)
+                cols["etype"].append(t)
+                cols["resolved"].append(res)
+                if tr is None:
+                    cols["pred"].append(None)
+                    cols["obj_key"].append(None)
+                    cols["obj_type"].append(None)
+                    cols["obj_resolved"].append(None)
+                    cols["obj_start"].append(None)
+                    cols["sent_text"].append(None)
+                else:
+                    pred, b = tr
+                    ok, ot, ores = key_by_span[(sid, b.start)]
+                    cols["pred"].append(pred)
+                    cols["obj_key"].append(ok)
+                    cols["obj_type"].append(ot)
+                    cols["obj_resolved"].append(ores)
+                    cols["obj_start"].append(b.start)
+                    cols["sent_text"].append(scope_snippet(sent))
+    return pa.Table.from_pydict(cols, schema=MENTIONS_RESOLVED)
 
 
 def detect_and_link(
@@ -111,7 +141,22 @@ def detect_and_link(
     entities_ref,
     cfg: PipelineConfig = DEFAULT_CONFIG,
 ) -> ray.data.Dataset:
-    """docs → MENTIONS_RESOLVED via an actor pool sized by cfg."""
+    """docs → MENTIONS_RESOLVED.
+
+    Default tier: stateless tasks + worker-cached Gazetteer — every CPU
+    participates and pre-warmed workers skip pool spin-up (the broadcast
+    state is read-only, so tasks and actors are semantically identical).
+    ``cfg.ner_stateless=False`` selects the actor-pool tier sized by
+    ``util.pool_size``."""
+    if cfg.ner_stateless:
+
+        def fn(batch: pa.Table, _ref=entities_ref) -> pa.Table:
+            return link_batch(_gazetteer_for(_ref), batch)
+
+        return docs.map_batches(
+            fn, batch_format="pyarrow", batch_size=cfg.ner_batch_size
+        )
+
     from ..util import pool_size
 
     return docs.map_batches(

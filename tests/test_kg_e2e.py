@@ -174,6 +174,36 @@ def test_canonical_map_copartition_path(built):
     assert got_edges == want_edges
 
 
+def test_forced_tiers_ner_actor_and_shuffle_dedup(built):
+    """Non-default tiers must reproduce the default tiers exactly:
+    ner_stateless=False runs S2–S4 as the actor pool instead of
+    stateless tasks; dedup_broadcast_max=0 forces the post-extract
+    hash-partitioned shuffle dedup instead of the broadcast winner
+    filter."""
+    import dataclasses
+
+    from blarify_ray.config import DEFAULT_CONFIG
+
+    _, serial = built
+    cfg = dataclasses.replace(
+        DEFAULT_CONFIG, ner_stateless=False, dedup_broadcast_max=0
+    )
+    out2 = "/tmp/blarify_ray_test_e2e_forcedtier"
+    shutil.rmtree(out2, ignore_errors=True)
+    paths2 = build_kg(out2, N, cfg)
+    ray_sha = {r["url"]: r["text_sha"] for r in _stage_rows(paths2["docs"])}
+    assert ray_sha == {d["url"]: d["text_sha"] for d in serial["docs"]}
+    got = {
+        (r["url"], r["sent_id"], r["subj"], r["pred"], r["obj"])
+        for r in triples_table(paths2, cfg).take_all()
+    }
+    want = {
+        (t["url"], t["sent_id"], t["subj"], t["pred"], t["obj"])
+        for t in serial["triples"]
+    }
+    assert got == want
+
+
 def test_partitioned_sorted_output(built):
     paths, _ = built
     buckets = [d for d in os.listdir(paths["entities"]) if d.startswith("bucket=")]
