@@ -129,6 +129,28 @@ def _q_kg_doc_search_hybrid(sf_dir: str):
     return doc_search_hybrid(paths, f"information about {top}", k=10)
 
 
+def _q_kg_external(sf_dir: str):
+    """External-enrichment connector (GitHub-integration analog): attach
+    synthetic change/review records to KG entities as MODIFIED_BY edges."""
+    from blarify_ray.corpus import entity_universe
+    from blarify_ray.linking import known_alias_norms
+    from blarify_ray.pipelines.enrich import (
+        attach_external,
+        external_edges_view,
+        synth_external_records,
+    )
+    from blarify_ray.rules import Gazetteer
+    from blarify_ray.sources.pages import pages_count_for_sf
+
+    n_pages = pages_count_for_sf(sf_dir)
+    _kg_paths(sf_dir)  # ensure the KG exists (shared checkpoint)
+    out_dir = os.path.join(CACHE_ROOT, f"kg_n{n_pages}")
+    known = known_alias_norms(Gazetteer(entity_universe(n_pages)))
+    records = synth_external_records(max(200, n_pages // 25), n_pages)
+    path = attach_external(out_dir, records, known, source_fingerprint=f"ext-{n_pages}")
+    return external_edges_view(path)
+
+
 def _q_kg_domain_rollup(sf_dir: str):
     from blarify_ray.pipelines.hierarchy import bottom_up_rollup
 
@@ -163,6 +185,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_doc_search": _q_kg_doc_search,
         "kg_doc_search_hybrid": _q_kg_doc_search_hybrid,
         "kg_domain_rollup": _q_kg_domain_rollup,
+        "kg_external": _q_kg_external,
         "kg_mermaid": _q_kg_mermaid,
     }
     q.update(analytics.QUERIES)

@@ -141,19 +141,32 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> None:
+    """N-vs-4N protocol: the same job in fresh processes at 8 and 32
+    CPUs. Each level runs ``GRAFT_SCALING_REPS`` times (default 3) and
+    the BEST run per level is kept: this sandbox is a shared-host VM
+    whose available CPU swings up to 2× run-to-run (steal time), and the
+    minimum measures the engine rather than the neighbor — both levels
+    get the same treatment, so the ratio is unbiased."""
+    reps = int(os.environ.get("GRAFT_SCALING_REPS", "3"))
+
     def one(ncpu: int) -> dict:
         env = dict(
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_BENCH_PAGES_MULT=os.environ.get("GRAFT_BENCH_PAGES_MULT", "16"),
         )
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)], env=env,
-            capture_output=True, text=True, check=True,
-        ).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        runs = []
+        for _ in range(reps):
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)], env=env,
+                capture_output=True, text=True, check=True,
+            ).stdout
+            runs.append(json.loads(out.strip().splitlines()[-1]))
+        return min(runs, key=lambda r: r["queries"]["kg_build"]), [
+            r["queries"]["kg_build"] for r in runs
+        ]
 
-    lo, hi = one(8), one(32)
+    (lo, lo_runs), (hi, hi_runs) = one(8), one(32)
     t_lo = lo["queries"]["kg_build"]
     t_hi = hi["queries"]["kg_build"]
     eff = (t_lo / t_hi) / (32 / 8)
@@ -165,6 +178,8 @@ def run_scaling() -> None:
                 "unit": "ratio",
                 "kg_build_sec_8cpu": t_lo,
                 "kg_build_sec_32cpu": t_hi,
+                "runs_8cpu": lo_runs,
+                "runs_32cpu": hi_runs,
                 "triples_per_sec_8cpu": lo["triples_per_sec"],
                 "triples_per_sec_32cpu": hi["triples_per_sec"],
                 "pages": lo["pages"],

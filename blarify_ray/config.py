@@ -92,10 +92,12 @@ class PipelineConfig:
     jaccard_threshold: float = 0.45  # adjacent-letter typos land at J≈0.5
     cc_max_rounds: int = 12  # convergence guard, cf. the reference's
     # stuck-round cycle breaker (bottom_up_batch_processor.py:224-238)
-    # below this many unk–unk pairs, union-find runs on the driver (the
-    # guide's "provably small" case); above it, the distributed
-    # min-label-propagation loop takes over
-    cc_driver_max_pairs: int = 5_000_000
+    # below this many EMITTED verified pairs (int32 triples — includes
+    # cross-partition duplicates, so the distinct set is several× smaller),
+    # the argmax attachment + union-find run on the driver (the guide's
+    # "provably small" case: 20M int rows ≈ 320 MB pandas); above it, the
+    # distributed partial-argmax + min-label-propagation path takes over
+    cc_driver_max_pairs: int = 20_000_000
     # below this many DISTINCT unresolved norms the whole canonicalization
     # runs on the driver via the serial spec (identical output by
     # definition — canonical.canonicalize_surfaces IS the spec), skipping

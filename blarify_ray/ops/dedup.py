@@ -121,7 +121,7 @@ def minhash_band_rows(
 def candidate_pairs(bands: ray.data.Dataset, cfg: PipelineConfig) -> ray.data.Dataset:
     """Band rows → globally-distinct candidate id pairs (a < b).
     Whole buckets are reconstructed inside each routed partition
-    (``stages/canonicalize._partition_pairs`` pattern); buckets above
+    (``stages/canonicalize._partition_pairs_idx`` pattern); buckets above
     ``cfg.max_lsh_bucket`` are skipped (hot-bucket cap)."""
 
     def bucket_pairs(g: pa.Table) -> pa.Table:

@@ -485,9 +485,58 @@ WHERE contains(text, '{GREP_PATTERN}') GROUP BY source
 
 # --- order_priority_revenue (large-large hash join) ------------------------
 
+# below this many dim rows the join side is broadcast (sorted key array +
+# int8 codes, a few MB per million rows) and the fact scan does a
+# map-side join + per-batch partial aggregate — the fact table never
+# shuffles. Above it, the hash-partitioned Dataset.join takes over with
+# partitions scaled to the cluster.
+JOIN_BROADCAST_MAX = 5_000_000
+
+
 def q_order_priority_revenue(sf_dir: str):
     li = _t(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
     orders = _t(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    from ray.data.aggregate import Count, Sum
+
+    n_orders = orders.count()  # parquet metadata count — no scan
+    if n_orders <= JOIN_BROADCAST_MAX:
+        import ray as _ray
+
+        from ..util import get_broadcast
+
+        ot = orders.to_pandas()
+        okeys = ot["o_orderkey"].to_numpy(np.int64)
+        cats, codes = np.unique(ot["o_orderpriority"].to_numpy(), return_inverse=True)
+        srt = np.argsort(okeys, kind="mergesort")
+        dim_ref = _ray.put((okeys[srt], codes[srt].astype(np.int16), list(cats)))
+
+        def attach_partial(t: pa.Table) -> pa.Table:
+            ks, cs, cat_names = get_broadcast(dim_ref)
+            lk = np.asarray(t["l_orderkey"].combine_chunks(), dtype=np.int64)
+            pos = np.searchsorted(ks, lk)
+            pos_c = np.clip(pos, 0, len(ks) - 1)
+            hit = ks[pos_c] == lk  # inner-join semantics
+            ext = np.asarray(t["l_extendedprice"].combine_chunks(), dtype=np.float64)[hit]
+            disc = np.asarray(t["l_discount"].combine_chunks(), dtype=np.float64)[hit]
+            code = cs[pos_c[hit]]
+            rev = _round_half_away(ext * (1 - disc) * 100)
+            nb = len(cat_names)
+            return pa.Table.from_pydict(
+                {
+                    "o_orderpriority": pa.array(cat_names, pa.string()),
+                    "revenue_cents": pa.array(
+                        np.bincount(code, weights=rev, minlength=nb).astype(np.int64)
+                    ),
+                    "n_items": pa.array(np.bincount(code, minlength=nb).astype(np.int64)),
+                }
+            )
+
+        return li.map_batches(attach_partial, batch_format="pyarrow").groupby(
+            "o_orderpriority"
+        ).aggregate(
+            Sum("revenue_cents", alias_name="revenue_cents"),
+            Sum("n_items", alias_name="n_items"),
+        )
 
     def derive(t: pa.Table) -> pa.Table:
         ext = np.asarray(t["l_extendedprice"].combine_chunks(), dtype=np.float64)
@@ -499,12 +548,18 @@ def q_order_priority_revenue(sf_dir: str):
             }
         )
 
+    import ray as _ray
+
+    try:
+        cpus = int(_ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
     li2 = li.map_batches(derive, batch_format="pyarrow")
     joined = li2.join(
-        orders, join_type="inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",)
+        orders, join_type="inner",
+        num_partitions=max(8, cpus * 2),
+        on=("l_orderkey",), right_on=("o_orderkey",),
     )
-    from ray.data.aggregate import Count, Sum
-
     return joined.groupby("o_orderpriority").aggregate(
         Sum("rev_cents", alias_name="revenue_cents"), Count(alias_name="n_items")
     )

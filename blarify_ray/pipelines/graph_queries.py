@@ -102,8 +102,9 @@ def k_hop(
         fr = frontier  # captured per round
 
         def step(t: pa.Table, _fr=fr) -> pa.Table:
-            mask = pa.array([s in _fr for s in t["src_id"].to_pylist()])
-            t = t.filter(mask)
+            t = t.filter(
+                pc.is_in(t["src_id"], value_set=pa.array(sorted(_fr), pa.string()))
+            )
             if preds is not None:
                 t = t.filter(pc.is_in(t["pred"], value_set=pa.array(preds)))
             return t.select(["dst_id"])

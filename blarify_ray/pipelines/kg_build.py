@@ -59,24 +59,51 @@ def build_kg(
     src_fp = source_fingerprint or lineage_hash("synth", n_pages, cfg.max_html_bytes)
     up = _upstream_lineages or {}
 
-    # S1
+    # S1 + S2–S4. When BOTH stages are stale they run FUSED: one
+    # streaming execution extracts docs, tees each batch into the docs
+    # checkpoint as a side output, and feeds NER directly — the corpus
+    # text never round-trips through parquet between the stages, and one
+    # execution's fixed latency replaces two. Each stage keeps its own
+    # manifest/lineage, so resume semantics are unchanged (a valid docs
+    # checkpoint with a stale mentions stage still rebuilds only S2–S4
+    # from the checkpoint).
     docs_lin = up.get("docs") or lineage_hash("docs", src_fp, cfg.supported_langs, cfg.max_html_bytes)
-
-    def produce_docs(tmp: str) -> None:
-        ds = pages if pages is not None else synth_pages(n_pages, cfg)
-        extract_and_dedup(ds, cfg).write_parquet(tmp)
-
-    docs_path, docs_skipped = run_stage(out_dir, "docs", docs_lin, produce_docs)
-
-    # S2–S4
     men_lin = up.get("mentions") or lineage_hash("mentions", docs_lin, gaz_fp, cfg.ner_batch_size)
 
-    def produce_mentions(tmp: str) -> None:
-        ents_ref = ray.put(entities)
-        docs = read_stage(docs_path, columns=["url", "text", "raw", "lang"])
-        detect_and_link(docs, ents_ref, cfg).write_parquet(tmp)
+    def _current(stage: str, lin: str) -> bool:
+        man = read_manifest(out_dir, stage)
+        return man is not None and man.get("lineage") == lin
 
-    men_path, _ = run_stage(out_dir, "mentions", men_lin, produce_mentions)
+    if _current("docs", docs_lin):
+        docs_path = os.path.join(out_dir, "docs")
+
+        def produce_mentions(tmp: str) -> None:
+            ents_ref = ray.put(entities)
+            docs = read_stage(docs_path, columns=["url", "text", "raw", "lang"])
+            detect_and_link(docs, ents_ref, cfg).write_parquet(tmp)
+
+        men_path, _ = run_stage(out_dir, "mentions", men_lin, produce_mentions)
+    else:
+        from ..state.manifest import run_fused_stages
+
+        def produce_docs_and_mentions(docs_tmp: str, men_tmp: str) -> None:
+            ds = pages if pages is not None else synth_pages(n_pages, cfg)
+
+            def tee(t: pa.Table, _dir=docs_tmp) -> pa.Table:
+                import uuid
+
+                pq.write_table(t, os.path.join(_dir, f"part-{uuid.uuid4().hex}.parquet"))
+                return t
+
+            docs_ds = extract_and_dedup(ds, cfg).map_batches(
+                tee, batch_format="pyarrow", batch_size=8192
+            )
+            ents_ref = ray.put(entities)
+            detect_and_link(docs_ds, ents_ref, cfg).write_parquet(men_tmp)
+
+        docs_path, men_path = run_fused_stages(
+            out_dir, ("docs", docs_lin), ("mentions", men_lin), produce_docs_and_mentions
+        )
 
     # S5 — canonical map (entity-scale, single parquet file)
     can_lin = lineage_hash(
@@ -201,22 +228,30 @@ def triples_table(paths: dict[str, str], cfg: PipelineConfig = DEFAULT_CONFIG) -
     canon_ref = ray.put(canon)
 
     def resolve(batch: pa.Table) -> pa.Table:
-        c = ray.get(canon_ref)
+        import numpy as np
+
+        from ..util import get_broadcast
+
+        c = get_broadcast(canon_ref)
 
         def res(keys, types, resolveds):
-            names, typs = [], []
-            for k, t, r in zip(keys, types, resolveds):
-                if r:
-                    names.append(k)
-                    typs.append(t)
-                else:
-                    nm, tt, _ = c[k]
-                    names.append(nm)
-                    typs.append(tt)
-            return names, typs
+            # vectorized: canonical lookup per DISTINCT key (entity-scale
+            # per batch), then a factorized gather — never per-row Python
+            kn = np.asarray(keys.to_pylist(), dtype=object)
+            tn = np.asarray(types.to_pylist(), dtype=object)
+            rn = np.asarray(resolveds.to_pylist(), dtype=bool)
+            import pandas as pd
 
-        sn, st = res(batch["subj_key"].to_pylist(), batch["subj_type"].to_pylist(), batch["subj_resolved"].to_pylist())
-        on, ot = res(batch["obj_key"].to_pylist(), batch["obj_type"].to_pylist(), batch["obj_resolved"].to_pylist())
+            codes, uniq = pd.factorize(kn)
+            mapped = np.array(
+                [c.get(u, (u, "UNK", True))[:2] for u in uniq], dtype=object
+            ).reshape(len(uniq), 2) if len(uniq) else np.empty((0, 2), object)
+            names = np.where(rn, kn, mapped[codes, 0] if len(uniq) else kn)
+            typs = np.where(rn, tn, mapped[codes, 1] if len(uniq) else tn)
+            return names.tolist(), typs.tolist()
+
+        sn, st = res(batch["subj_key"], batch["subj_type"], batch["subj_resolved"])
+        on, ot = res(batch["obj_key"], batch["obj_type"], batch["obj_resolved"])
         return pa.Table.from_pydict(
             {
                 "url": batch["url"],

@@ -373,42 +373,66 @@ def build_canonical_map(
             uf.union(keys[x], keys[y])
         comp_map = {k: uf.find(k) for k in list(uf.parent)}
     else:
+        import pandas as pd
 
-        def to_str(t: pa.Table) -> pa.Table:
-            from ..util import get_broadcast
+        from ..util import get_broadcast as get_broadcast_local
 
-            kl = get_broadcast(norms_ref)
-            iu = get_broadcast(unk_ref)
+        def att_partial(t: pa.Table) -> pa.Table:
+            # per-batch argmax per unk (vectorized): the driver merge sees
+            # at most one row per (unk, batch), not one per pair
+            iu = get_broadcast_local(unk_ref)
             xi = t["x"].to_numpy()
             yi = t["y"].to_numpy()
+            jv = t["j"].to_numpy()
+            mixed = iu[xi] ^ iu[yi]
+            if not mixed.any():
+                return pa.Table.from_pydict(
+                    {"unk": [], "kn": [], "j": []},
+                    schema=pa.schema(
+                        [("unk", pa.int32()), ("kn", pa.int32()), ("j", pa.float64())]
+                    ),
+                )
+            df = pd.DataFrame(
+                {
+                    "unk": np.where(iu[xi[mixed]], xi[mixed], yi[mixed]),
+                    "kn": np.where(iu[xi[mixed]], yi[mixed], xi[mixed]),
+                    "j": jv[mixed],
+                }
+            ).sort_values(
+                ["unk", "j", "kn"], ascending=[True, False, True], kind="mergesort"
+            ).drop_duplicates("unk")
             return pa.Table.from_pydict(
                 {
-                    "x": pa.array([kl[i] for i in xi], pa.string()),
-                    "y": pa.array([kl[i] for i in yi], pa.string()),
-                    "j": t["j"],
-                    "x_known": pa.array(~iu[xi]),
-                    "y_known": pa.array(~iu[yi]),
+                    "unk": pa.array(df["unk"].to_numpy(np.int32)),
+                    "kn": pa.array(df["kn"].to_numpy(np.int32)),
+                    "j": pa.array(df["j"].to_numpy()),
                 }
             )
 
-        spairs = pairs.map_batches(to_str, batch_format="pyarrow")
+        adf = pairs.map_batches(att_partial, batch_format="pyarrow").to_pandas()
+        if len(adf):
+            adf = adf.sort_values(
+                ["unk", "j", "kn"], ascending=[True, False, True], kind="mergesort"
+            ).drop_duplicates("unk")
+            att_map = {
+                keys[u]: (j, keys[k])
+                for u, j, k in zip(adf["unk"], adf["j"], adf["kn"])
+            }
 
-        def att_rows(t: pa.Table) -> pa.Table:
-            mask = pc.xor(t["x_known"], t["y_known"])
-            t = t.filter(mask)
-            unk = pc.if_else(t["x_known"], t["y"], t["x"])
-            kn = pc.if_else(t["x_known"], t["x"], t["y"])
-            return pa.Table.from_pydict({"unk": unk, "known": kn, "j": t["j"]})
+        def uu_str(t: pa.Table) -> pa.Table:
+            kl = get_broadcast_local(norms_ref)
+            iu = get_broadcast_local(unk_ref)
+            xi = t["x"].to_numpy()
+            yi = t["y"].to_numpy()
+            both = iu[xi] & iu[yi]
+            return pa.Table.from_pydict(
+                {
+                    "x": pa.array([kl[i] for i in xi[both]], pa.string()),
+                    "y": pa.array([kl[i] for i in yi[both]], pa.string()),
+                }
+            )
 
-        for r in spairs.map_batches(att_rows, batch_format="pyarrow").take_all():
-            cur = att_map.get(r["unk"])
-            cand = (r["j"], r["known"])
-            if cur is None or (cand[0], _rev(cand[1])) > (cur[0], _rev(cur[1])):
-                att_map[r["unk"]] = cand
-        uu = spairs.map_batches(
-            lambda t: t.filter(pc.invert(pc.or_(t["x_known"], t["y_known"]))),
-            batch_format="pyarrow",
-        ).materialize()
+        uu = pairs.map_batches(uu_str, batch_format="pyarrow").materialize()
         comp_map = connected_components(uu, cfg)
 
     # Assemble on the driver — every table here is entity-scale.

@@ -108,6 +108,49 @@ def run_stage(
     return path, False
 
 
+def run_fused_stages(
+    out_dir: str,
+    first: tuple[str, str],
+    second: tuple[str, str],
+    producer: Callable[[str, str], None],
+) -> tuple[str, str]:
+    """Run ONE producer that writes two stages' outputs (e.g. a tee'd
+    checkpoint mid-pipeline) in a single execution. Both stages commit
+    atomically together: tmp dirs are renamed and manifests written only
+    after the producer finishes, so a mid-run failure leaves neither
+    stage half-committed."""
+    names = (first[0], second[0])
+    tmps = [os.path.join(out_dir, f".tmp-{s}") for s in names]
+    for tmp in tmps:
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        os.makedirs(tmp, exist_ok=True)
+    t0 = time.monotonic()
+    producer(*tmps)
+    wall = time.monotonic() - t0
+    out_paths = []
+    for (stage, lineage), tmp in zip((first, second), tmps):
+        rows = sum(
+            f.count_rows() for f in pads.dataset(tmp, format="parquet").get_fragments()
+        )
+        path = _stage_dir(out_dir, stage)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.replace(tmp, path)
+        man = {
+            "stage": stage,
+            "lineage": lineage,
+            "rows": int(rows),
+            "wall_s": round(wall, 3),
+            "fused_with": names[0] if stage == names[1] else names[1],
+        }
+        with open(_manifest_path(out_dir, stage), "w") as f:
+            json.dump(man, f, indent=1)
+        _append_metrics(out_dir, man)
+        out_paths.append(path)
+    return out_paths[0], out_paths[1]
+
+
 def _append_metrics(out_dir: str, row: dict) -> None:
     with open(os.path.join(out_dir, "_metrics.jsonl"), "a") as f:
         f.write(json.dumps(row) + "\n")

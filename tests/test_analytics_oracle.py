@@ -47,3 +47,18 @@ def test_query_matches_oracle(name):
             )
         else:
             assert a.astype(str).tolist() == b.astype(str).tolist(), f"column {c} differs"
+
+
+def test_order_priority_join_tiers_identical(monkeypatch):
+    """Forced-tier: the distributed Dataset.join tier must produce the
+    broadcast map-side tier's exact rows (both == the oracle)."""
+    from blarify_ray.pipelines import analytics
+
+    bc = analytics.q_order_priority_revenue(SF_DIR).to_pandas()
+    monkeypatch.setattr(analytics, "JOIN_BROADCAST_MAX", 0)
+    dist = analytics.q_order_priority_revenue(SF_DIR).to_pandas()
+    bc, dist = _normalize(bc), _normalize(dist)
+    assert list(bc.columns) == list(dist.columns)
+    pd.testing.assert_frame_equal(
+        bc.astype(str), dist.astype(str), check_names=False
+    )
