@@ -74,11 +74,11 @@ class PipelineConfig:
     # into this many Ray-level groups; vectorized aggregation inside)
     agg_partitions: int = 64
 
-    # latest-crawl-wins dedup tier: below this many distinct urls the
-    # winner map (url → max warc_ts) is computed from a PRUNED (url, ts)
-    # scan and broadcast as a filter — the heavy extracted-text column
-    # then never shuffles at all. Above it, the hash-partitioned
-    # post-extract shuffle dedup takes over (open-vocabulary path).
+    # latest-crawl-wins dedup tier: while the CONTESTED-url map (urls
+    # with >1 crawl → max warc_ts) stays under this size it is computed
+    # from a PRUNED (url, ts) scan and broadcast as a filter — the heavy
+    # extracted-text column then never shuffles at all. Above it, the
+    # hash-partitioned post-extract shuffle dedup takes over.
     dedup_broadcast_max: int = 2_000_000
 
     # Canonicalization pair scorer (ResolverMode) + per-mode thresholds.

@@ -99,12 +99,10 @@ def k_hop(
     seen: dict[str, int] = {s: 0 for s in seed_ids}
     frontier = set(seed_ids)
     for depth in range(1, max_depth + 1):
-        fr = frontier  # captured per round
+        fr_arr = pa.array(sorted(frontier), pa.string())  # once per round
 
-        def step(t: pa.Table, _fr=fr) -> pa.Table:
-            t = t.filter(
-                pc.is_in(t["src_id"], value_set=pa.array(sorted(_fr), pa.string()))
-            )
+        def step(t: pa.Table, _fr=fr_arr) -> pa.Table:
+            t = t.filter(pc.is_in(t["src_id"], value_set=_fr))
             if preds is not None:
                 t = t.filter(pc.is_in(t["pred"], value_set=pa.array(preds)))
             return t.select(["dst_id"])

@@ -341,10 +341,15 @@ def build_canonical_map(
     elif n_pairs <= cfg.cc_driver_max_pairs:
         import pandas as pd
 
-        pdf = pairs.to_pandas().drop_duplicates(["x", "y"])
-        xi = pdf["x"].to_numpy()
-        yi = pdf["y"].to_numpy()
+        pdf = pairs.to_pandas()
+        xi = pdf["x"].to_numpy(np.int64)
+        yi = pdf["y"].to_numpy(np.int64)
         jv = pdf["j"].to_numpy()
+        # cross-partition duplicate pairs: one packed-int unique pass
+        # (same pair always scores the same j, so any copy works)
+        packed = xi * len(keys) + yi
+        _, first = np.unique(packed, return_index=True)
+        xi, yi, jv = xi[first], yi[first], jv[first]
         xu = is_unk[xi]
         yu = is_unk[yi]
         # unk→known attachments, vectorized: sort by (unk, -j, known) and
@@ -365,13 +370,32 @@ def build_canonical_map(
                 keys[u]: (j, keys[k])
                 for u, j, k in zip(att["unk"], att["j"], att["kn"])
             }
-        from ..canonical import UnionFind
-
-        uf = UnionFind()
+        # unk–unk connected components: vectorized min-label propagation
+        # with pointer jumping — O(log diameter) numpy sweeps instead of
+        # a Python union-find loop over millions of edges. Final label =
+        # min node index in the component = lexicographically smallest
+        # member (keys are sorted), exactly the serial UnionFind's
+        # smaller-string-becomes-root rule (canonical.py:43-50).
         both = xu & yu
-        for x, y in zip(xi[both], yi[both]):
-            uf.union(keys[x], keys[y])
-        comp_map = {k: uf.find(k) for k in list(uf.parent)}
+        if both.any():
+            ex, ey = xi[both], yi[both]
+            nodes = np.unique(np.concatenate([ex, ey]))
+            cx = np.searchsorted(nodes, ex)
+            cy = np.searchsorted(nodes, ey)
+            lab = np.arange(len(nodes), dtype=np.int64)
+            while True:
+                new = lab.copy()
+                np.minimum.at(new, cx, lab[cy])
+                np.minimum.at(new, cy, lab[cx])
+                new = new[new]  # pointer jumping
+                if np.array_equal(new, lab):
+                    break
+                lab = new
+            comp_map = {
+                keys[nodes[i]]: keys[nodes[lab[i]]]
+                for i in range(len(nodes))
+                if lab[i] != i
+            }
     else:
         import pandas as pd
 

@@ -30,6 +30,12 @@ from ..schemas import DOCS
 
 DOCS_PRE_DEDUP = DOCS.append(pa.field("_oversize", pa.bool_()))
 
+# below this many pages the latest-crawl winner partials merge on the
+# driver (one vectorized pandas groupby — seconds); above it they go
+# through a distributed groupby exchange. Both produce the identical
+# contested-url map.
+DEDUP_DRIVER_MERGE_MAX = 20_000_000
+
 
 def _rows_to_docs(part: pa.Table, cfg: PipelineConfig, oversize: bool, out: dict) -> None:
     from ..text import html_to_text, split_sentences, text_sha256
@@ -95,10 +101,12 @@ def latest_ts_map(
 ) -> dict | None:
     """{url: max warc_ts} for urls with MORE THAN ONE crawl, from a
     PRUNED (url, ts) scan: vectorized per-batch partial (max + crawl
-    count per url, no shuffle), merged vectorized on the driver. Keeping
-    only contested urls makes the broadcast map duplicate-scale (a few k
-    entries), not corpus-scale. Returns None when the distinct-url count
-    exceeds ``limit`` (caller falls back to the shuffle dedup)."""
+    count per url, no shuffle), merged vectorized (driver under
+    ``DEDUP_DRIVER_MERGE_MAX`` pages, distributed groupby above).
+    Keeping only contested urls makes the broadcast map duplicate-scale
+    (a few k entries), not corpus-scale. Returns None when the CONTESTED
+    count exceeds ``limit`` — the broadcast dict would be too big — and
+    the caller falls back to the shuffle dedup."""
 
     def partial(t: pa.Table) -> pa.Table:
         # int64 µs timestamps: the winner map must stay cheap to pickle
@@ -110,28 +118,40 @@ def latest_ts_map(
         )
         return g.rename_columns([key, "_ts64", "_n"])
 
+    partials = pages.select_columns([key, ts]).map_batches(
+        partial, batch_format="pyarrow", batch_size=8192
+    )
+    # Merge tier: the per-batch partials are ~one narrow row per distinct
+    # url per batch. Under the cap a single vectorized driver groupby
+    # (seconds for tens of millions of rows) beats a distributed
+    # aggregation's exchange by an order of magnitude; above it the
+    # groupby exchange takes over — either way the BROADCAST map holds
+    # only contested urls (duplicate-scale).
+    n_pages = pages.count()  # parquet metadata — no scan
+    if n_pages <= DEDUP_DRIVER_MERGE_MAX:
+        df = partials.to_pandas()
+        if key not in df.columns:  # empty input
+            return {}
+        agg = df.groupby(key, sort=False).agg(ts_max=("_ts64", "max"), n=("_n", "sum"))
+        dups = agg[agg["n"] >= 2]["ts_max"]
+        if limit and len(dups) > limit:
+            return None
+        return dict(zip(dups.index, dups.astype("int64")))
+
     def contested(t: pa.Table) -> pa.Table:
         return t.filter(pc.greater_equal(t["sum(_n)"], 2))
 
-    # distributed merge: the exchange carries only the narrow per-batch
-    # partials (url, max_ts, count); the driver pulls just the CONTESTED
-    # urls (duplicate-scale) plus the distinct-url count for the tier
-    # decision — never a corpus-scale row set.
     from ..util import hash_shuffle_scope
 
     with hash_shuffle_scope():
-        agg = (
-            pages.select_columns([key, ts])
-            .map_batches(partial, batch_format="pyarrow", batch_size=8192)
-            .groupby(key)
-            .aggregate(Max("_ts64"), Sum("_n"))
-            .materialize()
+        agg_ds = (
+            partials.groupby(key).aggregate(Max("_ts64"), Sum("_n")).materialize()
         )
-    if limit and agg.count() > limit:
-        return None
-    dups = agg.map_batches(contested, batch_format="pyarrow").to_pandas()
+    dups = agg_ds.map_batches(contested, batch_format="pyarrow").to_pandas()
     if "max(_ts64)" not in dups.columns:  # empty → no columns
         return {}
+    if limit and len(dups) > limit:
+        return None
     return dict(zip(dups[key], dups["max(_ts64)"].astype("int64")))
 
 
