@@ -579,8 +579,10 @@ def q_topk_docs_per_source(sf_dir: str):
     docs = _t(sf_dir, "documents", ["source", "doc_id", "n_chars"])
 
     def topk(g: pa.Table) -> pa.Table:
-        order = sorted(range(g.num_rows), key=lambda i: (-g["n_chars"][i].as_py(), g["doc_id"][i].as_py()))
-        return g.take(order[:3])
+        idx = pc.sort_indices(
+            g, sort_keys=[("n_chars", "descending"), ("doc_id", "ascending")]
+        )
+        return g.take(idx[:3])
 
     return docs.groupby("source").map_groups(topk, batch_format="pyarrow")
 
@@ -776,6 +778,107 @@ SELECT point_key, user_id, o_orderkey, width_days FROM (
 
 # ---------------------------------------------------------------------------
 
+# --- running_revenue_per_user (window function) ----------------------------
+
+def q_running_revenue_per_user(sf_dir: str):
+    """Cumulative revenue per user ordered by (ts, event_id) — the
+    SUM() OVER (PARTITION BY ... ORDER BY ...) window shape: users are
+    hash-routed into partition-level groups, the cumulative sum is one
+    vectorized pandas groupby-cumsum per group. Money as integer cents
+    (order-independent exact sums)."""
+    import pandas as pd  # noqa: F401
+
+    ev = _t(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+
+    def partial(df):
+        df = df.copy()
+        df["cents"] = _round_half_away(df["value"].to_numpy() * 100).astype("int64")
+        return _with_pkey(df[["user_id", "event_id", "ts", "cents"]], "user_id")
+
+    def win(g):
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        g["cum_cents"] = g.groupby("user_id", sort=False)["cents"].cumsum()
+        return pa.Table.from_pydict(
+            {
+                "user_id": pa.array(g["user_id"].astype("int64")),
+                "event_id": pa.array(g["event_id"].astype("int64")),
+                "cum_cents": pa.array(g["cum_cents"].astype("int64")),
+            }
+        )
+
+    return (
+        ev.map_batches(partial, batch_format="pandas", batch_size=8192)
+        .groupby("_pkey")
+        .map_groups(win, batch_format="pandas")
+    )
+
+
+SQL_RUNNING_REVENUE = """
+SELECT user_id, event_id,
+       CAST(SUM(CAST(ROUND(value*100) AS BIGINT))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS cum_cents
+FROM events
+"""
+
+# --- top_suppliers_by_revenue (broadcast dim join + top-k) ------------------
+
+def q_top_suppliers_by_revenue(sf_dir: str):
+    """Revenue per supplier (lineitem ⋈ supplier) → top 10. The supplier
+    dim is broadcast as a sorted key array; the fact scan does a
+    searchsorted map-side join + per-batch bincount partial."""
+    import ray as _ray
+
+    from ..util import get_broadcast
+
+    li = _t(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice", "l_discount"])
+    sup = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_name"]
+    )
+    keys = np.asarray(sup["s_suppkey"].to_pylist(), dtype=np.int64)
+    names = np.asarray(sup["s_name"].to_pylist(), dtype=object)
+    srt = np.argsort(keys, kind="mergesort")
+    dim_ref = _ray.put((keys[srt], names[srt]))
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        ks, nm = get_broadcast(dim_ref)
+        lk = np.asarray(t["l_suppkey"].combine_chunks(), dtype=np.int64)
+        pos = np.searchsorted(ks, lk)
+        pos_c = np.clip(pos, 0, len(ks) - 1)
+        hit = ks[pos_c] == lk  # inner-join semantics
+        ext = np.asarray(t["l_extendedprice"].combine_chunks(), dtype=np.float64)[hit]
+        disc = np.asarray(t["l_discount"].combine_chunks(), dtype=np.float64)[hit]
+        rev = _round_half_away(ext * (1 - disc) * 100)
+        code = pos_c[hit]
+        cents = np.bincount(code, weights=rev, minlength=len(ks)).astype(np.int64)
+        cnt = np.bincount(code, minlength=len(ks))
+        nz = cnt > 0  # suppliers untouched by this batch stay out (inner join)
+        return pa.Table.from_pydict(
+            {
+                "s_name": pa.array(list(nm[nz]), pa.string()),
+                "revenue_cents": pa.array(cents[nz]),
+            }
+        )
+
+    return (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("s_name")
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+        .sort(["revenue_cents", "s_name"], descending=[True, False])
+        .limit(10)
+    )
+
+
+SQL_TOP_SUPPLIERS = """
+SELECT s_name,
+       CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_name
+ORDER BY revenue_cents DESC, s_name
+LIMIT 10
+"""
+
+
 QUERIES = {
     "orders_last_event": q_orders_last_event,
     "pricing_summary": q_pricing_summary,
@@ -795,6 +898,8 @@ QUERIES = {
     "distinct_users_per_type": q_distinct_users_per_type,
     "nation_rollup": q_nation_rollup,
     "orders_blame_window": q_orders_blame_window,
+    "running_revenue_per_user": q_running_revenue_per_user,
+    "top_suppliers_by_revenue": q_top_suppliers_by_revenue,
 }
 
 ORACLE_SQL = {
@@ -816,4 +921,6 @@ ORACLE_SQL = {
     "distinct_users_per_type": SQL_DISTINCT_USERS,
     "nation_rollup": SQL_NATION_ROLLUP,
     "orders_blame_window": SQL_ORDER_WINDOW,
+    "running_revenue_per_user": SQL_RUNNING_REVENUE,
+    "top_suppliers_by_revenue": SQL_TOP_SUPPLIERS,
 }
