@@ -22,7 +22,17 @@ import ray.data
 
 
 def _mat(col) -> np.ndarray:
-    return np.array(col.to_pylist(), dtype=np.float64)
+    """list<float> column → (n, d) float64 matrix, zero-ish-copy via the
+    flattened child values when the layout allows (no nulls, uniform
+    length); falls back to a Python materialization otherwise."""
+    arr = col.combine_chunks() if hasattr(col, "combine_chunks") else col
+    try:
+        if arr.null_count == 0:
+            vals = np.asarray(arr.values, dtype=np.float64)
+            return vals.reshape(len(arr), -1)
+    except Exception:
+        pass
+    return np.array(arr.to_pylist(), dtype=np.float64)
 
 
 def _unit(m: np.ndarray) -> np.ndarray:
@@ -45,16 +55,20 @@ def knn_bruteforce(
         m = _unit(_mat(t[emb_col]))
         sims = m @ qm.T  # (batch, nq)
         ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
-        out = {"qi": [], "id": [], "s": []}
+        nq = qm.shape[0]
         kk = min(k, len(ids))
-        for qi in range(qm.shape[0]):
-            part = np.argpartition(-sims[:, qi], kk - 1)[:kk]
-            for j in part:
-                out["qi"].append(qi)
-                out["id"].append(int(ids[j]))
-                out["s"].append(float(sims[j, qi]))
+        top = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, nq)
+        qis = np.repeat(np.arange(nq, dtype=np.int32), kk)
+        rows = top.T.reshape(-1)
         return pa.Table.from_pydict(
-            out, schema=pa.schema([("qi", pa.int32()), ("id", pa.int64()), ("s", pa.float64())])
+            {
+                "qi": pa.array(qis),
+                "id": pa.array(ids[rows]),
+                "s": pa.array(sims[rows, np.repeat(np.arange(nq), kk)]),
+            },
+            schema=pa.schema(
+                [("qi", pa.int32()), ("id", pa.int64()), ("s", pa.float64())]
+            ),
         )
 
     rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
@@ -148,23 +162,23 @@ def embedding_near_dup(
         pl = ray.get(planes_ref)
         m = _unit(_mat(t[emb_col]))
         signs = (m @ pl) > 0  # (n, planes)
-        ids = t[id_col].to_pylist()
-        out = {"pkey": [], "band_id": [], "band_val": [], "id": []}
-        for i in range(len(ids)):
-            for b in range(n_bands):
-                val = 0
-                for j in range(bits_per_band):
-                    val = (val << 1) | int(signs[i, b * bits_per_band + j])
-                out["pkey"].append((val * n_bands + b) % partitions)
-                out["band_id"].append(b)
-                out["band_val"].append(val)
-                out["id"].append(ids[i])
+        n = len(m)
+        # vectorized bit packing: first bit of each band is the MSB,
+        # matching the (val << 1) | bit loop order
+        w = (1 << np.arange(bits_per_band - 1, -1, -1)).astype(np.int64)
+        vals = signs.reshape(n, n_bands, bits_per_band).astype(np.int64) @ w
+        band_ids = np.tile(np.arange(n_bands, dtype=np.int64), n)
+        vals_flat = vals.reshape(-1)
+        ids = np.repeat(np.asarray(t[id_col].to_pylist(), dtype=np.int64), n_bands)
         return pa.Table.from_pydict(
-            out,
-            schema=pa.schema(
-                [("pkey", pa.int32()), ("band_id", pa.int32()), ("band_val", pa.int32()),
-                 ("id", pa.int64())]
-            ),
+            {
+                "pkey": pa.array(
+                    ((vals_flat * n_bands + band_ids) % partitions).astype(np.int32)
+                ),
+                "band_id": pa.array(band_ids.astype(np.int32)),
+                "band_val": pa.array(vals_flat.astype(np.int32)),
+                "id": pa.array(ids),
+            }
         )
 
     def bucket_pairs(g: pa.Table) -> pa.Table:

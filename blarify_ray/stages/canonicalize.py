@@ -188,6 +188,31 @@ def _partition_pairs_idx(
     )
 
 
+def min_label_components(ex, ey):
+    """Connected components over integer edge endpoints: vectorized
+    min-label propagation with pointer jumping — O(log diameter) numpy
+    sweeps instead of a Python union-find loop over millions of edges.
+    Returns (nodes, lab): the sorted distinct node ids and, per node,
+    the index INTO ``nodes`` of its component's minimum member. With the
+    caller's ids in sorted-key order, the minimum member is the
+    lexicographically smallest — exactly the serial UnionFind's
+    smaller-string-becomes-root rule (canonical.py:43-50)."""
+    import numpy as np
+
+    nodes = np.unique(np.concatenate([ex, ey]))
+    cx = np.searchsorted(nodes, ex)
+    cy = np.searchsorted(nodes, ey)
+    lab = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        new = lab.copy()
+        np.minimum.at(new, cx, lab[cy])
+        np.minimum.at(new, cy, lab[cx])
+        new = new[new]  # pointer jumping
+        if np.array_equal(new, lab):
+            return nodes, lab
+        lab = new
+
+
 def connected_components(pairs: ray.data.Dataset, cfg: PipelineConfig) -> dict[str, str]:
     """Min-label propagation → {node: component_label}.
 
@@ -370,27 +395,9 @@ def build_canonical_map(
                 keys[u]: (j, keys[k])
                 for u, j, k in zip(att["unk"], att["j"], att["kn"])
             }
-        # unk–unk connected components: vectorized min-label propagation
-        # with pointer jumping — O(log diameter) numpy sweeps instead of
-        # a Python union-find loop over millions of edges. Final label =
-        # min node index in the component = lexicographically smallest
-        # member (keys are sorted), exactly the serial UnionFind's
-        # smaller-string-becomes-root rule (canonical.py:43-50).
         both = xu & yu
         if both.any():
-            ex, ey = xi[both], yi[both]
-            nodes = np.unique(np.concatenate([ex, ey]))
-            cx = np.searchsorted(nodes, ex)
-            cy = np.searchsorted(nodes, ey)
-            lab = np.arange(len(nodes), dtype=np.int64)
-            while True:
-                new = lab.copy()
-                np.minimum.at(new, cx, lab[cy])
-                np.minimum.at(new, cy, lab[cx])
-                new = new[new]  # pointer jumping
-                if np.array_equal(new, lab):
-                    break
-                lab = new
+            nodes, lab = min_label_components(xi[both], yi[both])
             comp_map = {
                 keys[nodes[i]]: keys[nodes[lab[i]]]
                 for i in range(len(nodes))

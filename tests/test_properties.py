@@ -76,3 +76,31 @@ def test_union_find_min_root(pairs):
         comps.setdefault(uf.find(node), []).append(node)
     for root, members in comps.items():
         assert root == min(members)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 40)),
+        min_size=1,
+        max_size=120,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_min_label_components_equals_union_find(pairs):
+    """The vectorized numpy min-label propagation (driver tier of the
+    distributed canonicalize) must agree with the serial UnionFind on
+    every graph: same components, same (minimum-member) labels."""
+    import numpy as np
+
+    from blarify_ray.stages.canonicalize import min_label_components
+
+    ex = np.array([a for a, _ in pairs], dtype=np.int64)
+    ey = np.array([b for _, b in pairs], dtype=np.int64)
+    nodes, lab = min_label_components(ex, ey)
+    got = {int(nodes[i]): int(nodes[lab[i]]) for i in range(len(nodes))}
+
+    uf = UnionFind()
+    for a, b in pairs:
+        uf.union(str(a).zfill(4), str(b).zfill(4))  # zero-pad: int order == lex order
+    want = {int(n): int(uf.find(str(n).zfill(4))) for n in got}
+    assert got == want
