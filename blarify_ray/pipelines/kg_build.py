@@ -201,29 +201,13 @@ def build_kg(
                 split_edges(graph), ["src_id", "pred", "dst_id"]
             ).write_parquet(tmp, partition_cols=["bucket"])
 
-    # the two sink stages consume the SAME materialized graph and are
-    # independent — on a wide-enough cluster run their (small)
-    # executions concurrently so one stage's exchange latency hides the
-    # other's; on narrow clusters they'd just fight for the same CPUs,
-    # so run sequentially there.
-    try:
-        _cpus = int(ray.cluster_resources().get("CPU", 8))
-    except Exception:
-        _cpus = 8
-    if _cpus >= 16:
-        from concurrent.futures import ThreadPoolExecutor
-
-        from ..util import preimport_for_threads
-
-        preimport_for_threads()
-        with ThreadPoolExecutor(2) as _ex:
-            f_ent = _ex.submit(run_stage, out_dir, "entities", ent_lin, produce_entities)
-            f_edg = _ex.submit(run_stage, out_dir, "edges", edge_lin, produce_edges)
-            ent_path, _ = f_ent.result()
-            edge_path, _ = f_edg.result()
-    else:
-        ent_path, _ = run_stage(out_dir, "entities", ent_lin, produce_entities)
-        edge_path, _ = run_stage(out_dir, "edges", edge_lin, produce_edges)
+    # NOTE: running these two executions concurrently from threads was
+    # tried and reverted — it saved ~2 s of build wall but left Ray's
+    # scheduler state polluted for the rest of the session (every later
+    # query in the same process ran ~3× slower). Dataset executions
+    # belong on the main thread.
+    ent_path, _ = run_stage(out_dir, "entities", ent_lin, produce_entities)
+    edge_path, _ = run_stage(out_dir, "edges", edge_lin, produce_edges)
 
     return {
         "docs": docs_path,

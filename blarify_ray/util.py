@@ -83,34 +83,6 @@ class hash_shuffle_scope:
         return False
 
 
-def preimport_for_threads() -> None:
-    """Make Ray Data's lazy fsspec-http probe thread-safe. Ray's path
-    resolution does ``from fsspec.implementations.http import
-    HTTPFileSystem`` inside a try/except ModuleNotFoundError on every
-    write; without aiohttp the import fails every time, and two Dataset
-    executions started from different threads can race the partial
-    module import and surface a bare ImportError that Ray does NOT
-    catch. Pre-seed a stub module once on the main thread so the import
-    succeeds deterministically (the stub class matches nothing in
-    Ray's isinstance check, so behavior is identical to the
-    ModuleNotFoundError path)."""
-    try:
-        import fsspec.implementations.http  # noqa: F401
-    except ModuleNotFoundError:
-        import sys
-        import types
-
-        mod = types.ModuleType("fsspec.implementations.http")
-
-        class HTTPFileSystem:  # placeholder — matches no real filesystem
-            pass
-
-        mod.HTTPFileSystem = HTTPFileSystem
-        sys.modules["fsspec.implementations.http"] = mod
-    except Exception:
-        pass
-
-
 def pool_size(requested: int) -> int:
     """Actor-pool size capped at half the cluster CPUs so map pools never
     starve shuffle aggregators / read / write tasks (a full-CPU pool
