@@ -25,6 +25,9 @@ Operator coverage ↔ reference analog:
 - topk_docs_per_source     per-group top-k (per-file top-5 counts, project_graph_creator.py:206-237)
 - distinct_users_per_type  two-level distinct aggregate (seen-set dedup, queries.py:1380-1417)
 - nation_rollup            chained broadcast dim joins (blame attribution join shape)
+- orders_blame_window      most-specific containing range (relationship_creator.py:320-378)
+- running_revenue_per_user partitioned window function (ordered per-key fold, §2.8)
+- top_suppliers_by_revenue broadcast dim join + per-batch bincount partials + top-k
 """
 
 from __future__ import annotations
