@@ -115,6 +115,22 @@ class PipelineConfig:
     # canonical table — the open-vocabulary path where the map itself is
     # sharded and never materializes on one machine.
     canon_broadcast_max: int = 2_000_000
+    # near-dup candidate tier: below this many candidate PAIRS the
+    # distinct candidate-id set is pulled to the driver once and
+    # broadcast as a sorted array (vectorized ``pc.is_in`` prune);
+    # above it the id set is derived distributed and items are pruned
+    # by a co-partitioned semi-join — the pair table never
+    # materializes on the driver. Both tiers produce identical output
+    # (forced-tier tested).
+    dedup_candidate_broadcast_max: int = 5_000_000
+    # connected-components exchange width: partitions per round =
+    # clamp(rows / cc_rows_per_partition, 1, agg_partitions). Every
+    # ``map_groups`` emits one block per group, so a fixed 64-way
+    # exchange over an entity-scale label table floods later rounds
+    # with tiny blocks; scaling the width with the data keeps local
+    # runs at 1–2 partitions and cluster-scale runs at full fan-out.
+    cc_rows_per_partition: int = 100_000
+
     # hot-bucket guard (skew handling): an LSH bucket with more members
     # than this is skipped entirely — deterministic, applied identically
     # by the serial spec and the distributed stage. A near-dup pair

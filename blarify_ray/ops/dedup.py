@@ -175,16 +175,85 @@ def attach_pair_payload(
 
 
 def _filter_items_to_candidates(
-    ds: ray.data.Dataset, id_col: str, cols: list[str], cand_ids_ref
+    ds: ray.data.Dataset, id_col: str, cols: list[str], cand_arr_ref
 ) -> ray.data.Dataset:
+    """``cand_arr_ref``: ObjectRef of a sorted ``pa.int64`` array built
+    ONCE on the driver — workers fetch it once via the broadcast cache,
+    never rebuild it per batch."""
+
     def flt(t: pa.Table) -> pa.Table:
         from ..util import get_broadcast
 
-        cand = get_broadcast(cand_ids_ref)
-        mask = pc.is_in(pc.cast(t[id_col], pa.int64()), value_set=pa.array(sorted(cand), pa.int64()))
+        arr = get_broadcast(cand_arr_ref)
+        mask = pc.is_in(pc.cast(t[id_col], pa.int64()), value_set=arr)
         return t.filter(mask).select(cols)
 
     return ds.map_batches(flt, batch_format="pyarrow")
+
+
+def items_for_candidates(
+    ds: ray.data.Dataset,
+    cand: ray.data.Dataset,
+    id_col: str,
+    cols: list[str],
+    cfg: PipelineConfig,
+    partitions: int = 64,
+) -> ray.data.Dataset:
+    """Prune ``ds`` to rows whose id appears in the candidate-pair table
+    ``cand[(a, b)]`` — size-tiered:
+
+    * ≤ ``cfg.dedup_candidate_broadcast_max`` pairs: distinct ids pulled
+      once to the driver, broadcast as ONE sorted int64 array, applied
+      with vectorized ``pc.is_in``;
+    * above: the distinct id set is derived distributed (per-batch
+      ``np.unique`` partial + key-scale distinct groupby) and the items
+      are pruned by a co-partitioned SEMI-join (marker-column
+      ``copartition_attach``) — the pair table never materializes on
+      the driver.
+
+    Both tiers produce identical output (forced-tier tested)."""
+    n_pairs = cand.count()
+    if n_pairs <= cfg.dedup_candidate_broadcast_max:
+        pdf = cand.to_pandas()
+        ids = (
+            np.unique(
+                np.concatenate(
+                    [pdf["a"].to_numpy(np.int64), pdf["b"].to_numpy(np.int64)]
+                )
+            )
+            if len(pdf)
+            else np.array([], np.int64)
+        )
+        ref = ray.put(pa.array(ids, pa.int64()))
+        return _filter_items_to_candidates(ds, id_col, cols, ref)
+
+    def ids_partial(t: pa.Table) -> pa.Table:
+        u = np.unique(
+            np.concatenate(
+                [t["a"].to_numpy().astype(np.int64), t["b"].to_numpy().astype(np.int64)]
+            )
+        )
+        return pa.Table.from_pydict({"id": pa.array(u, pa.int64())})
+
+    ids_ds = (
+        cand.map_batches(ids_partial, batch_format="pyarrow")
+        .groupby("id")
+        .count()
+        .select_columns(["id"])
+        .map_batches(
+            lambda t: t.append_column(
+                "_m", pa.array(np.ones(t.num_rows, np.int8))
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    from .joins import copartition_attach
+
+    left = ds.map_batches(lambda t: t.select(cols), batch_format="pyarrow")
+    pruned = copartition_attach(
+        left, ids_ds, id_col, "id", {"_m": "_m"}, partitions=partitions, how="inner"
+    )
+    return pruned.map_batches(lambda t: t.select(cols), batch_format="pyarrow")
 
 
 def cluster_pairs_min_label(
@@ -243,25 +312,22 @@ def minhash_near_dup(
     Pipeline: signature (map_batches, computed once, never shuffled) →
     ids-only band rows → partition-routed buckets (capped) → distinct
     candidate id pairs → texts fetched for candidate ids only
-    (broadcast-set pruned scan + co-partitioned attach) → exact n-gram
-    Jaccard verify → min-label clusters (driver under threshold,
-    distributed above)."""
+    (size-tiered ``items_for_candidates``: broadcast-set prune or
+    co-partitioned semi-join) → exact n-gram Jaccard verify → min-label
+    clusters (driver under threshold, distributed above)."""
     perms = make_perms(cfg.minhash_perms, seed="blarify-ray:docdedup")
     bands = minhash_band_rows(ds, text_col, id_col, cfg, shingle_words, perms)
     cand = candidate_pairs(bands, cfg).materialize()
 
     # prune the text scan to candidate ids (candidate set is pairs-scale —
     # orders of magnitude below corpus scale thanks to banding + caps)
-    ids_tbl = cand.to_pandas()
-    cand_ids = set(ids_tbl["a"].tolist()) | set(ids_tbl["b"].tolist())
-    if not cand_ids:
+    if cand.count() == 0:
         return ray.data.from_arrow(
             pa.Table.from_pydict(
                 {"id": pa.array([], pa.int64()), "dup_of": pa.array([], pa.int64())}
             )
         )
-    cand_ref = ray.put(cand_ids)
-    texts = _filter_items_to_candidates(ds, id_col, [id_col, text_col], cand_ref)
+    texts = items_for_candidates(ds, cand, id_col, [id_col, text_col], cfg)
     enriched = attach_pair_payload(cand, texts, id_col, text_col)
 
     def verify(t: pa.Table) -> pa.Table:

@@ -168,12 +168,13 @@ def copartition_attach(
         lg = g[g["_side"] == "L"][lcols].copy()
         rg = g[g["_side"] == "R"][rkeep].copy()
         out_cols = [c for c in lcols] + [attach[c] for c in attach]
-        rsub = rg.rename(columns=attach)
-        if right_key in attach:
-            rsub["_rk"] = rg[right_key]
-            rk = "_rk"
-        else:
-            rk = right_key
+        # build the right side from ONLY the attach targets + a reserved
+        # key column — a right column whose name collides with a left
+        # column (e.g. a self-join of a label table) must never reach the
+        # pandas merge, where suffixing would break out_cols selection
+        rsub = pd.DataFrame({attach[c]: rg[c] for c in attach})
+        rsub["_rk"] = rg[right_key]
+        rk = "_rk"
         if lg[left_key].dtype != rsub[rk].dtype:
             try:
                 lg[left_key] = lg[left_key].astype("int64")

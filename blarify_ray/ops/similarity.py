@@ -140,7 +140,7 @@ class IvfIndex:
 def embedding_near_dup(
     ds: ray.data.Dataset, threshold: float = 0.9, n_planes: int = 16, n_bands: int = 4,
     id_col: str = "vec_id", emb_col: str = "embedding", dim: int | None = None, seed: int = 11,
-    max_bucket: int = 200, partitions: int = 64,
+    max_bucket: int = 200, partitions: int = 64, cfg=None,
 ) -> ray.data.Dataset:
     """Cosine-similar pairs (a < b, cos ≥ threshold) via sign-LSH
     blocking: n_planes random hyperplanes → sign bits → bands.
@@ -148,9 +148,11 @@ def embedding_near_dup(
     Scale shape (the ``ops/dedup.minhash_near_dup`` pattern): the banding
     shuffle moves (pkey, band, id) ONLY — the vector is never replicated
     per band row. Buckets above ``max_bucket`` are skipped (hot-bucket
-    cap). Candidate pairs then fetch their two vectors via a
-    broadcast-candidate-set pruned scan + co-partitioned lookup join and
-    get exact cosine verification."""
+    cap). Candidate pairs then fetch their two vectors via the
+    size-tiered ``items_for_candidates`` prune (broadcast id array under
+    ``cfg.dedup_candidate_broadcast_max`` pairs, co-partitioned semi-join
+    above — the pair table never materializes on the driver) + a
+    co-partitioned lookup join, and get exact cosine verification."""
     first = ds.take(1)
     d = dim or len(first[0][emb_col])
     rng = np.random.RandomState(seed)
@@ -213,18 +215,19 @@ def embedding_near_dup(
         .select_columns(["a", "b"])
         .materialize()
     )
-    cpdf = cand.to_pandas()
-    if not len(cpdf):
+    if cand.count() == 0:
         return ray.data.from_arrow(
             pa.Table.from_pydict(
                 {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
                  "cos": pa.array([], pa.float64())}
             )
         )
-    from ..ops.dedup import _filter_items_to_candidates, attach_pair_payload
+    from ..config import DEFAULT_CONFIG
+    from ..ops.dedup import attach_pair_payload, items_for_candidates
 
-    cand_ids = set(cpdf["a"].tolist()) | set(cpdf["b"].tolist())
-    vecs = _filter_items_to_candidates(ds, id_col, [id_col, emb_col], ray.put(cand_ids))
+    vecs = items_for_candidates(
+        ds, cand, id_col, [id_col, emb_col], cfg or DEFAULT_CONFIG, partitions=partitions
+    )
 
     # pack the vector into a binary payload for the co-partitioned attach:
     # list/tensor-typed columns don't null-widen cleanly through a tagged

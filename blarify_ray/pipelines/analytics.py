@@ -150,15 +150,40 @@ ORDER BY revenue_cents DESC, c_custkey LIMIT 10
 # --- users_without_purchase (anti-join) -----------------------------------
 
 def q_users_without_purchase(sf_dir: str):
-    """Anti-join via broadcast key set + vectorized filter: users that
-    never made a purchase over 300 (entry-point-discovery shape)."""
+    """Anti-join via a DISTRIBUTED buyer derivation + broadcast key set:
+    users that never made a purchase over 300 (entry-point-discovery
+    shape). The fact table is scanned distributed both times — a
+    per-batch unique partial collapses the buyer side to key-scale before
+    the global distinct, and the resulting small key array is broadcast
+    (``ray.put``) and applied with vectorized ``pc.is_in`` + ``invert``.
+    No driver read of a fact table, no per-row Python."""
+    import ray as _ray
+
+    from ..util import get_broadcast
+
     ev = _t(sf_dir, "events", ["user_id", "event_type"])
-    tbl = pq.read_table(os.path.join(sf_dir, "events.parquet"), columns=["user_id", "event_type", "value"])
-    big = pc.and_(pc.equal(tbl["event_type"], "purchase"), pc.greater(tbl["value"], 300.0))
-    buyers = set(tbl.filter(big)["user_id"].to_pylist())
+    evv = _t(sf_dir, "events", ["user_id", "event_type", "value"])
+
+    def buyer_partial(t: pa.Table) -> pa.Table:
+        big = pc.and_(
+            pc.equal(t["event_type"], "purchase"), pc.greater(t["value"], 300.0)
+        )
+        return pa.Table.from_pydict({"user_id": pc.unique(t.filter(big)["user_id"])})
+
+    buyers_rows = (
+        evv.map_batches(buyer_partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .count()
+        .select_columns(["user_id"])
+        .take_all()
+    )  # key-scale (distinct buyers), not fact-scale
+    buyers_ref = _ray.put(
+        pa.array(sorted(r["user_id"] for r in buyers_rows), pa.int64())
+    )
 
     def anti(t: pa.Table) -> pa.Table:
-        mask = pa.array([u not in buyers for u in t["user_id"].to_pylist()])
+        val = get_broadcast(buyers_ref)
+        mask = pc.invert(pc.is_in(pc.cast(t["user_id"], pa.int64()), value_set=val))
         return t.filter(mask).select(["user_id"])
 
     from ray.data.aggregate import Count
@@ -524,13 +549,20 @@ def q_order_priority_revenue(sf_dir: str):
             code = cs[pos_c[hit]]
             rev = _round_half_away(ext * (1 - disc) * 100)
             nb = len(cat_names)
+            cnt = np.bincount(code, minlength=nb).astype(np.int64)
+            # inner-join semantics: a priority with zero matching items in
+            # this batch emits NO row (and, summed globally, none at all) —
+            # identical to the SQL oracle and the Dataset.join tier
+            nz = cnt > 0
             return pa.Table.from_pydict(
                 {
-                    "o_orderpriority": pa.array(cat_names, pa.string()),
-                    "revenue_cents": pa.array(
-                        np.bincount(code, weights=rev, minlength=nb).astype(np.int64)
+                    "o_orderpriority": pa.array(
+                        [cat_names[i] for i in np.flatnonzero(nz)], pa.string()
                     ),
-                    "n_items": pa.array(np.bincount(code, minlength=nb).astype(np.int64)),
+                    "revenue_cents": pa.array(
+                        np.bincount(code, weights=rev, minlength=nb).astype(np.int64)[nz]
+                    ),
+                    "n_items": pa.array(cnt[nz]),
                 }
             )
 

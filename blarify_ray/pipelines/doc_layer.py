@@ -132,9 +132,11 @@ def doc_search_hybrid(
     vector similarity blended with keyword hits, title matches boosted
     over content matches).
 
-    Keyword score per entity = (2·name_hits + content_hits) / (3·terms),
+    Keyword score per entity = (2·name_hits + content_hits) / (2·terms),
     clipped to 1 — a term matching the entity NAME counts double
-    (title boost), a term matching only the summary content counts once.
+    (title boost), a term matching only the summary content counts once;
+    the /(2·terms) normalization makes an all-name-hit query score
+    exactly 1.0.
     """
     from ..text import normalize_surface
 
@@ -157,7 +159,7 @@ def doc_search_hybrid(
                     hits += 2  # title/name boost
                 elif term in cl:
                     hits += 1
-            kws.append(min(1.0, hits / (3.0 * len(terms)) * 3.0 / 2.0))
+            kws.append(min(1.0, hits / (2.0 * len(terms))))
         hybrid = w_vector * cos + w_keyword * np.asarray(kws)
         return pa.Table.from_pydict(
             {

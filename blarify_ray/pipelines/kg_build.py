@@ -90,9 +90,21 @@ def build_kg(
             ds = pages if pages is not None else synth_pages(n_pages, cfg)
 
             def tee(t: pa.Table, _dir=docs_tmp) -> pa.Table:
-                import uuid
+                import hashlib
 
-                pq.write_table(t, os.path.join(_dir, f"part-{uuid.uuid4().hex}.parquet"))
+                # deterministic per-batch filename: urls are unique across
+                # the deduped docs stream, so the batch's url content
+                # identifies it — a Ray task RETRY re-executes the same
+                # batch and OVERWRITES its part instead of appending a
+                # duplicate (uuid names silently duplicated doc rows)
+                if t.num_rows == 0:
+                    return t
+                urls = t["url"]
+                h = hashlib.md5()
+                h.update(str(urls[0]).encode())
+                h.update(str(urls[-1]).encode())
+                h.update(str(t.num_rows).encode())
+                pq.write_table(t, os.path.join(_dir, f"part-{h.hexdigest()}.parquet"))
                 return t
 
             docs_ds = extract_and_dedup(ds, cfg).map_batches(

@@ -11,12 +11,12 @@ serial spec) exactly; tests compare the two mappings. Pipeline:
 4. ``groupby(band)`` → per-bucket verified pairs (unk×known, unk×unk;
    known×known never enumerated — the duplicate_names guarantee);
 5. unk→known attachments: per-unk argmax Jaccard (groupby);
-6. unk–unk pairs → iterative min-label propagation over
-   ``Dataset.join`` (hash-partitioned) until fixpoint — distributed
-   union-find; labels are the norms themselves, so a component's label
-   converges to its lexicographically smallest member. Round cap =
-   ``cfg.cc_max_rounds`` mirrors the reference's stuck-round guard
-   (``bottom_up_batch_processor.py:184-246``);
+6. unk–unk pairs → iterative min-label propagation with pointer
+   jumping over hash-partitioned label datasets until fixpoint —
+   distributed union-find; labels are the norms themselves, so a
+   component's label converges to its lexicographically smallest
+   member (convergence-guard loop shape mirrors the reference's
+   stuck-round handling, ``bottom_up_batch_processor.py:184-246``);
 7. per-component best attachment (argmax again) → canonical map
    ``(norm, name, etype, is_new)``.
 
@@ -27,6 +27,7 @@ happened once in S2–S4.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
@@ -213,22 +214,44 @@ def min_label_components(ex, ey):
         lab = new
 
 
-def connected_components(pairs: ray.data.Dataset, cfg: PipelineConfig) -> dict[str, str]:
-    """Min-label propagation → {node: component_label}.
+def connected_components_ds(
+    pairs: ray.data.Dataset, cfg: PipelineConfig
+) -> ray.data.Dataset:
+    """Fully distributed min-label propagation over ``(x, y)`` edge
+    columns of ANY comparable dtype (string surface norms, int64 doc
+    ids) → ``Dataset[(node, comp)]`` where ``comp`` is the component's
+    minimum member — the serial UnionFind's smaller-label-becomes-root
+    rule (canonical.py:43-50).
 
-    Labels are the node strings, so the fixpoint label of a component is
-    its lexicographically smallest member (exactly the serial
-    new-entity naming rule). Each round is a distributed
-    ``map_batches`` + ``groupby(node).min(comp)`` shuffle over the edge
-    dataset; only the current label map is broadcast (``ray.put``) —
-    it is entity-scale (distinct unresolved surfaces in candidate
-    pairs), orders of magnitude below corpus scale. Should it ever
-    outgrow the driver, the propagation becomes a hash-partitioned
-    ``Dataset.join`` on the same loop shape (Ray 2.49's join currently
-    faults on empty hash partitions, hence the broadcast formulation).
-    """
-    if pairs.count() == 0:
-        return {}
+    Per-round state is a hash-partitioned label DATASET, never a driver
+    dict: each round is (1) one co-partitioned lookup join of the
+    symmetric edge table against the labels
+    (``ops/joins.copartition_attach`` — sidesteps Ray 2.49's
+    empty-partition ``Dataset.join`` fault) chained into one hash-routed
+    vectorized min-merge that also counts strictly-lowered labels, and
+    (2) a pointer-jumping self-join (``label ← label[label]``) that
+    contracts label chains so convergence takes O(log diameter) rounds
+    rather than O(diameter) — which is why there is no round-cap escape
+    hatch to a driver union-find: the 64-round safety cap covers
+    components of astronomically large diameter.
+
+    Partition count scales with the DATA, not a fixed knob: every
+    ``map_groups`` emits one block per group, so a fixed 64-way exchange
+    over an entity-scale label table floods later rounds with tiny
+    blocks (measured 6 s → 26 s/round growth on a 20-node chain before
+    this fix). ``parts = clamp(rows / cc_rows_per_partition, 1,
+    agg_partitions)`` keeps local runs at 1–2 partitions and 100-TB runs
+    at the full fan-out.
+
+    Convergence test: a propagation round that strictly lowers no label
+    is a fixpoint — labels then agree across every symmetric edge, hence
+    are constant per component, hence equal the component minimum (every
+    label is a member id and label(x) ≤ x throughout). The jump runs
+    before the convergence check, so the returned labels are always a
+    jump past the fixpoint — identity there (comp[comp] == comp)."""
+    import pandas as pd
+
+    from ..ops.joins import copartition_attach
 
     def sym(t: pa.Table) -> pa.Table:
         return pa.Table.from_pydict(
@@ -238,42 +261,129 @@ def connected_components(pairs: ray.data.Dataset, cfg: PipelineConfig) -> dict[s
             }
         )
 
-    edges = pairs.map_batches(sym, batch_format="pyarrow").materialize()
-    labels: dict[str, str] = {
-        r["src"]: r["src"] for r in edges.groupby("src").count().select_columns(["src"]).take_all()
-    }
-    for _round in range(cfg.cc_max_rounds):
-        ref = ray.put(labels)
+    from ..util import compact_nonempty
 
-        def prop(t: pa.Table, _ref=ref) -> pa.Table:
-            lm = ray.get(_ref)
-            comp = [lm.get(s, s) for s in t["src"].to_pylist()]
-            return pa.Table.from_pydict(
-                {"node": t["dst"], "comp": pa.array(comp, pa.string())}
+    # compact_nonempty at every materialization point: (1) drops the
+    # schema-less 0-row blocks that aggregate/Project operators emit and
+    # map UDFs pass through untouched (they'd crash the shuffle
+    # aggregator's finalize sort: "No match for FieldRef.Name(_pkey)"),
+    # and (2) resets the lineage's captured DataContext, so a caller that
+    # built ``pairs`` inside a hash_shuffle_scope doesn't drag
+    # HASH_SHUFFLE into every round of this loop
+    edges = compact_nonempty(pairs.map_batches(sym, batch_format="pyarrow"))
+    parts = max(
+        1, min(cfg.agg_partitions, edges.count() // cfg.cc_rows_per_partition + 1)
+    )
+
+    def node_partial(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({"node": pc.unique(t["src"])})
+
+    labels = compact_nonempty(
+        edges.map_batches(node_partial, batch_format="pyarrow")
+        .groupby("node")
+        .count()
+        .map_batches(
+            lambda t: pa.Table.from_pydict({"node": t["node"], "comp": t["node"]}),
+            batch_format="pyarrow",
+        )
+    )
+
+    def tag(flag: int):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["_self"] = np.int8(flag)
+            df["_pkey"] = (
+                pd.util.hash_array(df["node"].to_numpy()) % parts
+            ).astype("int32")
+            return df
+
+        return f
+
+    def min_merge(g: pd.DataFrame) -> pd.DataFrame:
+        new = g.groupby("node", sort=True)["comp"].min()
+        old = g.loc[g["_self"] == 1].set_index("node")["comp"]
+        out = pd.DataFrame(
+            {
+                "node": new.index.to_numpy(),
+                "comp": new.to_numpy(),
+                "changed": (new.to_numpy() < old.reindex(new.index).to_numpy()).astype(
+                    "int8"
+                ),
+            }
+        )
+        # null-widened unions drift int64 → float64; restore so every
+        # group emits one consistent dtype
+        for c in ("node", "comp"):
+            if out[c].dtype != object:
+                out[c] = out[c].astype("int64")
+        return out
+
+    for _round in range(64):
+        # execution 1: edge-label attach chained straight into the
+        # min-merge (no intermediate materialization)
+        msgs = copartition_attach(
+            edges, labels, "src", "node", {"comp": "comp"}, partitions=parts
+        ).map_batches(
+            lambda t: pa.Table.from_pydict({"node": t["dst"], "comp": t["comp"]}),
+            batch_format="pyarrow",
+        )
+        merged = compact_nonempty(
+            msgs.map_batches(tag(0), batch_format="pandas")
+            .union(labels.map_batches(tag(1), batch_format="pandas"))
+            .groupby("_pkey")
+            .map_groups(min_merge, batch_format="pandas")
+        )
+        # execution 2: pointer jumping — label ← label[label] (labels
+        # joined against themselves; every label value is itself a node,
+        # so the inner attach always hits). The ``changed`` count rides
+        # along so the convergence check is a cheap sum over the already
+        # materialized result, not a third shuffle. At the fixpoint the
+        # jump is the identity, so checking AFTER it returns the same
+        # labels the pre-jump check would.
+        # repartition(parts) bounds the block-count recurrence: sort
+        # emits ~one block per input block and the self-join union
+        # doubles the input, so without the coalesce the label table's
+        # block count quadruples per round (measured 6 → 26 → 106 → 426
+        # blocks on a 20-node chain) and orchestration swamps compute
+        jumped = compact_nonempty(
+            copartition_attach(
+                merged, merged, "comp", "node", {"comp": "comp2"}, partitions=parts
             )
-
-        self_rows = pa.Table.from_pydict(
-            {"node": list(labels), "comp": [labels[k] for k in labels]}
+            .map_batches(
+                lambda t: pa.Table.from_pydict(
+                    {"node": t["node"], "comp": t["comp2"], "changed": t["changed"]}
+                ),
+                batch_format="pyarrow",
+            )
+            .repartition(parts)
         )
-        msgs = edges.map_batches(prop, batch_format="pyarrow").union(
-            ray.data.from_arrow(self_rows)
+        n_changed = jumped.sum("changed")
+        labels = compact_nonempty(
+            jumped.map_batches(
+                lambda t: pa.Table.from_pydict(
+                    {"node": t["node"], "comp": t["comp"]}
+                ),
+                batch_format="pyarrow",
+            )
         )
-        new_rows = msgs.groupby("node").min("comp").take_all()
-        new_labels = {r["node"]: r["min(comp)"] for r in new_rows}
-        if new_labels == labels:
+        if not n_changed:
             return labels
-        labels = new_labels
-    # Round cap hit without a fixpoint (component diameter > cc_max_rounds):
-    # returning partial labels would silently diverge from the union-find
-    # spec, so finish exactly on the driver — the label map is already
-    # driver-resident, so a driver union-find over the edges costs no more
-    # memory than the loop itself.
-    from ..canonical import UnionFind
+    raise RuntimeError(
+        "connected_components_ds failed to converge in 64 rounds "
+        "(component diameter beyond 2^63 — unreachable)"
+    )
 
-    uf = UnionFind()
-    for r in edges.take_all():
-        uf.union(r["src"], r["dst"])
-    return {x: uf.find(x) for x in labels}
+
+def connected_components(pairs: ray.data.Dataset, cfg: PipelineConfig) -> dict:
+    """``{node: component_label}`` for every node in ``pairs`` — the
+    driver-dict view of ``connected_components_ds`` for callers whose
+    downstream assembly is driver-side anyway (entity-scale). Only the
+    FINAL labels are collected; every round of the loop itself runs on
+    hash-partitioned datasets."""
+    if pairs.count() == 0:
+        return {}
+    rows = connected_components_ds(pairs, cfg).take_all()
+    return {r["node"]: r["comp"] for r in rows}
 
 
 def build_canonical_map(

@@ -34,6 +34,34 @@ def get_broadcast(ref):
     return v
 
 
+def compact_nonempty(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Materialize ``ds`` and rebuild it as a FRESH lineage over only its
+    non-empty block refs (no data copied — refs move, blocks don't).
+
+    Two Ray 2.49 behaviors make this necessary around iterative
+    hash-partitioned loops: (1) aggregate / Project operators emit
+    SCHEMA-LESS empty blocks for empty partitions, and map UDFs are
+    SKIPPED for 0-row inputs, so the empties survive any map-side guard
+    and eventually crash the hash-shuffle aggregator's finalize sort
+    ("No match for FieldRef.Name(_pkey)"); (2) a derived dataset reuses
+    the DataContext captured by its ancestor, so a lineage rooted inside
+    a ``hash_shuffle_scope`` drags HASH_SHUFFLE into every later groupby
+    even after the scope exits. Rebuilding from refs resets both. The
+    identity pyarrow map converts any pandas-formatted blocks (e.g.
+    ``map_groups(batch_format="pandas")`` output) to Arrow so
+    ``from_arrow_refs`` is valid."""
+    mat = ds.map_batches(lambda t: t, batch_format="pyarrow").materialize()
+    refs = [
+        ref
+        for bundle in mat.iter_internal_ref_bundles()
+        for ref, meta in bundle.blocks
+        if meta.num_rows
+    ]
+    if not refs:
+        return mat  # all-empty: callers handle empty datasets explicitly
+    return ray.data.from_arrow_refs(refs)
+
+
 def tune_data_context() -> None:
     """Execution-context tuning applied by the session OWNERS (bench,
     CLI, test fixture — never library code): hash-partitioned shuffle

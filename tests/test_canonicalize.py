@@ -128,3 +128,60 @@ def test_distributed_matches_serial_spec():
             )
         }
         assert got == want
+
+
+def test_distributed_cc_long_chain_int64():
+    """connected_components_ds over int64 node ids on a diameter-200 path
+    graph: pointer jumping must converge well inside the 64-round cap and
+    label every node with the path minimum."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from blarify_ray.stages.canonicalize import connected_components_ds
+
+    n = 200
+    pairs = rd.from_arrow(
+        pa.table({"x": list(range(1, n)), "y": list(range(0, n - 1))})
+    )
+    rows = connected_components_ds(pairs, DEFAULT_CONFIG).take_all()
+    assert len(rows) == n
+    assert all(r["comp"] == 0 for r in rows)
+
+
+def test_forced_distributed_cc_tier_matches_serial():
+    """build_canonical_map with BOTH the driver fast-path and the driver
+    pair-assembly disabled (canon_driver_max_norms=0, cc_driver_max_pairs=0)
+    routes unk–unk clustering through connected_components_ds — output
+    must still equal the serial spec exactly."""
+    import dataclasses
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    unks = {
+        "nrodic foods",
+        "golbal data systems",
+        "global data sytsems",
+        "zzz qqq vvv",
+        "zzz qqq vvw",  # near-dup of the new entity → unk–unk cluster
+        "hiro almedia",
+    }
+    want = canonicalize_surfaces(unks, KNOWN, DEFAULT_CONFIG)
+    tbl = pa.table(
+        {
+            "key": list(unks) + ["Global Data Systems"],
+            "resolved": [False] * len(unks) + [True],
+        }
+    )
+    cfg = dataclasses.replace(
+        DEFAULT_CONFIG, canon_driver_max_norms=0, cc_driver_max_pairs=0
+    )
+    got_tbl = build_canonical_map(rd.from_arrow(tbl), KNOWN, cfg)
+    got = {
+        n: (nm, t, bool(new))
+        for n, nm, t, new in zip(
+            got_tbl["norm"].to_pylist(), got_tbl["name"].to_pylist(),
+            got_tbl["etype"].to_pylist(), got_tbl["is_new"].to_pylist(),
+        )
+    }
+    assert got == want

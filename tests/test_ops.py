@@ -154,3 +154,71 @@ def test_frame_sample():
     assert frames and all(f["frame_idx"] % 2 == 0 for f in frames)
     vids = {f["media_id"] for f in frames}
     assert all(mid % 3 == 2 for mid in vids)  # only 'video' rows sampled
+
+
+def test_minhash_forced_distributed_tiers():
+    """Above-threshold tiers forced on (candidate ids via co-partitioned
+    semi-join instead of driver broadcast; clustering via the distributed
+    min-label loop instead of driver union-find) must produce exactly the
+    default tiers' output."""
+    import dataclasses
+
+    from blarify_ray.config import DEFAULT_CONFIG
+
+    forced = dataclasses.replace(
+        DEFAULT_CONFIG, dedup_candidate_broadcast_max=0, cc_driver_max_pairs=0
+    )
+    want = {(r["id"], r["dup_of"]) for r in minhash_near_dup(_docs(), "text", "doc_id").take_all()}
+    got = {
+        (r["id"], r["dup_of"])
+        for r in minhash_near_dup(_docs(), "text", "doc_id", forced).take_all()
+    }
+    assert got == want
+    assert (2, 1) in got and (4, 1) in got
+
+
+def test_cluster_pairs_min_label_distributed_int64():
+    """The distributed clustering fallback must handle int64 ids (the old
+    connected_components hardcoded string labels and would ArrowTypeError
+    on this path) and agree with the driver union-find tier."""
+    import dataclasses
+
+    from blarify_ray.config import DEFAULT_CONFIG
+    from blarify_ray.ops.dedup import cluster_pairs_min_label
+
+    pairs = rd.from_arrow(pa.table({"a": [2, 3, 10], "b": [1, 2, 11]}))
+    want = [(2, 1), (3, 1), (11, 10)]
+    forced = dataclasses.replace(DEFAULT_CONFIG, cc_driver_max_pairs=0)
+    assert cluster_pairs_min_label(pairs, DEFAULT_CONFIG) == want
+    assert cluster_pairs_min_label(pairs, forced) == want
+
+
+def test_items_for_candidates_tiers_equal():
+    """Both prune tiers (broadcast id array / co-partitioned semi-join)
+    must select exactly the candidate rows."""
+    import dataclasses
+
+    from blarify_ray.config import DEFAULT_CONFIG
+    from blarify_ray.ops.dedup import items_for_candidates
+
+    cand = rd.from_arrow(pa.table({"a": [1, 4], "b": [2, 1]}))
+    for thresh in (10_000, 0):  # broadcast tier, then forced semi-join tier
+        cfg = dataclasses.replace(DEFAULT_CONFIG, dedup_candidate_broadcast_max=thresh)
+        got = items_for_candidates(_docs(), cand, "doc_id", ["doc_id", "text"], cfg).take_all()
+        assert sorted(r["doc_id"] for r in got) == [1, 2, 4]
+        assert all(set(r) == {"doc_id", "text"} for r in got)
+
+
+def test_embedding_near_dup_forced_distributed_tier():
+    ds, _ = _emb_ds()
+    import dataclasses
+
+    from blarify_ray.config import DEFAULT_CONFIG
+
+    forced = dataclasses.replace(DEFAULT_CONFIG, dedup_candidate_broadcast_max=0)
+    want = {(r["a"], r["b"]) for r in embedding_near_dup(ds, threshold=0.95).take_all()}
+    got = {
+        (r["a"], r["b"])
+        for r in embedding_near_dup(ds, threshold=0.95, cfg=forced).take_all()
+    }
+    assert got == want and any({a, b} == {0, 7} for a, b in got)
