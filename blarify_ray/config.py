@@ -130,6 +130,22 @@ class PipelineConfig:
     # with tiny blocks; scaling the width with the data keeps local
     # runs at 1–2 partitions and cluster-scale runs at full fan-out.
     cc_rows_per_partition: int = 100_000
+    # workflow discovery (DFS from entry points): below this many edges
+    # the adjacency fits comfortably on the driver and the recursive DFS
+    # runs in-process; above it the iterative frontier-join DFS takes
+    # over — path-row datasets extended one hop per round via a
+    # co-partitioned adjacency join, with an EXACT per-entry
+    # lexicographic top-k prune each round (completed ∪ active paths
+    # form a prefix-free antichain, so pruning past rank k can never
+    # drop a top-k completion). Both tiers produce identical rows
+    # (forced-tier tested).
+    workflows_driver_max_edges: int = 2_000_000
+    # k-hop frontier tier: a frontier (plus seen set) smaller than this
+    # is broadcast as a sorted id array and applied with ``pc.is_in``;
+    # above it the expansion switches to a co-partitioned semi-join of
+    # the edge table against a frontier dataset (hub-node safety: the
+    # frontier never has to fit on the driver).
+    khop_broadcast_max: int = 1_000_000
 
     # hot-bucket guard (skew handling): an LSH bucket with more members
     # than this is skipped entirely — deterministic, applied identically

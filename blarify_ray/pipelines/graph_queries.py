@@ -215,6 +215,7 @@ def workflows(
     preds: list[str] | None = None,
     offset: int = 0,
     limit: int | None = None,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
 ) -> ray.data.Dataset:
     """DFS execution traces from entry points — the workflow-discovery
     analog (``blarify/documentation/workflow_creator.py:27-135``,
@@ -231,13 +232,22 @@ def workflows(
     is computed on the FULL ordering before paging, so concatenating
     consecutive pages reproduces the unpaged rows exactly.
 
-    The edge list is entity-scale (aggregated triples), so the adjacency
-    lives on the driver; at 10^12-corpus scale this becomes the
-    iterative frontier-join form of ``k_hop`` with path-id columns.
+    Size-tiered: up to ``cfg.workflows_driver_max_edges`` edges the
+    adjacency lives on the driver and the recursive DFS runs in-process;
+    above it ``_workflows_distributed`` runs the iterative
+    frontier-join DFS (path-row datasets, one co-partitioned adjacency
+    join per hop, exact per-entry lexicographic top-k pruning per round)
+    — no ``take_all`` of the edge table. Both tiers produce identical
+    rows (forced-tier tested).
 
     Returns ds[(entry_id, path_id, step, src_id, pred, dst_id)].
     """
-    edges = read_stage(paths["edges"], columns=["src_id", "dst_id", "pred"]).take_all()
+    edges_ds = read_stage(paths["edges"], columns=["src_id", "dst_id", "pred"])
+    if edges_ds.count() > cfg.workflows_driver_max_edges:
+        return _workflows_distributed(
+            edges_ds, max_depth, max_paths_per_entry, preds, offset, limit, cfg
+        )
+    edges = edges_ds.take_all()
     adj: dict[str, list[tuple[str, str]]] = {}
     dsts = set()
     for e in edges:
@@ -310,6 +320,283 @@ def workflows(
         }
     )
     return ray.data.from_arrow(tbl)
+
+
+# Trail encoding for the distributed DFS: steps are "pred\x1fdst" joined
+# by "\x1e". Both separators sort below every printable character, so
+# PLAIN STRING comparison of two encoded trails equals tuple comparison
+# of their step sequences — which, because diverging paths share the
+# same current node at the divergence point, is exactly the driver DFS's
+# (pred, dst) successor ordering. Step sources are implicit: src of step
+# i is dst of step i-1 (the entry for step 0).
+_WF_STEP = "\x1e"
+_WF_FLD = "\x1f"
+
+
+def _workflows_distributed(
+    edges_ds: ray.data.Dataset,
+    max_depth: int,
+    max_paths_per_entry: int,
+    preds: list[str] | None,
+    offset: int,
+    limit: int | None,
+    cfg: PipelineConfig,
+) -> ray.data.Dataset:
+    """Iterative frontier-join DFS — the ``k_hop`` shape with path-id
+    columns (the reference's batched traversal, ``queries.py:1293-1422``).
+
+    State is a dataset of path rows ``(entry, trail, cur, done)``; each
+    round (1) attaches the current node's encoded successor list with ONE
+    co-partitioned lookup join against the per-src adjacency table, (2)
+    expands every active path by one hop (node-path uniqueness, depth
+    cap), and (3) prunes to the lexicographically smallest
+    ``max_paths_per_entry`` rows per entry. The prune is EXACT, not a
+    heuristic: completed paths are maximal (so never a prefix of another
+    row) and active paths all have equal depth, making the per-entry row
+    set a prefix-free antichain — every kept row eventually yields ≥1
+    completion strictly smaller than any completion of a dropped row, so
+    the first k completions always descend from the top-k rows. Per-row
+    Python appears only here, where work is per-PATH (≤ k · entries
+    rows/round), never per-corpus-row."""
+    import pandas as pd
+
+    from ..ops.joins import copartition_attach
+    from ..util import compact_nonempty
+
+    if preds is not None:
+        pred_arr = pa.array(sorted(set(preds)), pa.string())
+        edges_ds = edges_ds.map_batches(
+            lambda t: t.filter(pc.is_in(t["pred"], value_set=pred_arr)),
+            batch_format="pyarrow",
+        )
+    edges_ds = compact_nonempty(edges_ds)
+    parts = max(1, min(cfg.agg_partitions, edges_ds.count() // cfg.cc_rows_per_partition + 1))
+
+    def _route(col: str):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["_pkey"] = (
+                pd.util.hash_array(df[col].to_numpy(dtype=object)) % parts
+            ).astype("int32")
+            return df
+
+        return f
+
+    # adjacency rows (src, succ): successor list sorted by (pred, dst)
+    # and encoded — one hash-route shuffle, vectorized per group
+    def adj_rows(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["src_id", "pred", "dst_id"], kind="mergesort")
+        enc = g["pred"] + _WF_FLD + g["dst_id"]
+        out = enc.groupby(g["src_id"], sort=True).agg(_WF_STEP.join)
+        return pd.DataFrame({"src": out.index.to_numpy(), "succ": out.to_numpy()})
+
+    adj = compact_nonempty(
+        edges_ds.map_batches(_route("src_id"), batch_format="pandas")
+        .groupby("_pkey")
+        .map_groups(adj_rows, batch_format="pandas")
+    )
+
+    # entries: srcs that never appear as a dst (distributed anti-join,
+    # same partial/merge shape as entry_points)
+    def ep_partial(df: pd.DataFrame) -> pd.DataFrame:
+        s = pd.concat(
+            [
+                pd.DataFrame({"id": df["src_id"], "is_src": 1}),
+                pd.DataFrame({"id": df["dst_id"], "is_src": 0}),
+            ],
+            ignore_index=True,
+        )
+        g = s.groupby(["id", "is_src"], sort=True).size().reset_index(name="n")
+        g["_pkey"] = (
+            pd.util.hash_array(g["id"].to_numpy(dtype=object)) % parts
+        ).astype("int32")
+        return g
+
+    def ep_merge(g: pd.DataFrame) -> pd.DataFrame:
+        p = g.groupby(["id", "is_src"])["n"].sum().unstack(fill_value=0)
+        n_out = p[1] if 1 in p.columns else pd.Series(0, index=p.index)
+        n_in = p[0] if 0 in p.columns else pd.Series(0, index=p.index)
+        keep = p.index[(n_out > 0) & (n_in == 0)]
+        return pd.DataFrame(
+            {"entry": keep.astype(str), "trail": "", "cur": keep.astype(str), "done": 0}
+        ).reset_index(drop=True)
+
+    state = compact_nonempty(
+        edges_ds.map_batches(ep_partial, batch_format="pandas")
+        .groupby("_pkey")
+        .map_groups(ep_merge, batch_format="pandas")
+        .map_batches(
+            lambda df: df.astype(
+                {"entry": str, "trail": str, "cur": str, "done": "int8"}
+            ),
+            batch_format="pandas",
+        )
+    )
+    if state.count() == 0:
+        return ray.data.from_arrow(_wf_empty_table())
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        out = {"entry": [], "trail": [], "cur": [], "done": []}
+        for entry, trail, cur, done, succ in zip(
+            df["entry"], df["trail"], df["cur"], df["done"], df["succ"]
+        ):
+            if done:
+                out["entry"].append(entry)
+                out["trail"].append(trail)
+                out["cur"].append(cur)
+                out["done"].append(1)
+                continue
+            steps = trail.split(_WF_STEP) if trail else []
+            on_path = {entry} | {s.split(_WF_FLD)[1] for s in steps}
+            succs = []
+            if len(steps) < max_depth and isinstance(succ, str) and succ:
+                succs = [
+                    s for s in succ.split(_WF_STEP)
+                    if s.split(_WF_FLD)[1] not in on_path
+                ]
+            if not succs:
+                if steps:  # dead end / depth cap → completed path
+                    out["entry"].append(entry)
+                    out["trail"].append(trail)
+                    out["cur"].append(cur)
+                    out["done"].append(1)
+                continue
+            # a trail extended to max_depth is complete by depth cap
+            # RIGHT NOW (the driver DFS's `succ = [] if len(trail) ==
+            # max_depth` branch) — marking it here instead of waiting
+            # for a no-successor round keeps the loop at max_depth
+            # rounds total
+            depth_capped = len(steps) + 1 >= max_depth
+            for s in succs:
+                out["entry"].append(entry)
+                out["trail"].append(trail + _WF_STEP + s if trail else s)
+                out["cur"].append(s.split(_WF_FLD)[1])
+                out["done"].append(1 if depth_capped else 0)
+        return pd.DataFrame(
+            {
+                "entry": pd.Series(out["entry"], dtype=str),
+                "trail": pd.Series(out["trail"], dtype=str),
+                "cur": pd.Series(out["cur"], dtype=str),
+                "done": pd.Series(out["done"], dtype="int8"),
+            }
+        )
+
+    def prune(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["entry", "trail"], kind="mergesort")
+        g = g.groupby("entry", sort=False).head(max_paths_per_entry)
+        return g[["entry", "trail", "cur", "done"]].reset_index(drop=True)
+
+    for _ in range(max_depth):
+        extended = copartition_attach(
+            state, adj, "cur", "src", {"succ": "succ"}, partitions=parts, how="left"
+        ).map_batches(expand, batch_format="pandas")
+        state = compact_nonempty(
+            extended.map_batches(_route("entry"), batch_format="pandas")
+            .groupby("_pkey")
+            .map_groups(prune, batch_format="pandas")
+        )
+        if state.count() == 0 or state.sum("done") == state.count():
+            break
+
+    # finalize per entry: lex order → path_id, LCP dedup vs predecessor,
+    # explode steps (per-entry work is ≤ k paths × max_depth steps)
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        out = {"entry_id": [], "path_id": [], "step": [], "src_id": [], "pred": [], "dst_id": []}
+        g = g[(g["done"] == 1) & (g["trail"] != "")]
+        for entry, sub in g.groupby("entry", sort=True):
+            prev: list[tuple[str, str, str]] = []
+            for pid, trail in enumerate(sorted(sub["trail"])):
+                steps, src = [], entry
+                for s in trail.split(_WF_STEP):
+                    p, d = s.split(_WF_FLD)
+                    steps.append((src, p, d))
+                    src = d
+                lcp = 0
+                while lcp < len(steps) and lcp < len(prev) and steps[lcp] == prev[lcp]:
+                    lcp += 1
+                for i in range(lcp, len(steps)):
+                    s, p, d = steps[i]
+                    out["entry_id"].append(entry)
+                    out["path_id"].append(pid)
+                    out["step"].append(i)
+                    out["src_id"].append(s)
+                    out["pred"].append(p)
+                    out["dst_id"].append(d)
+                prev = steps
+        return pd.DataFrame(
+            {
+                "entry_id": pd.Series(out["entry_id"], dtype=str),
+                "path_id": pd.Series(out["path_id"], dtype="int32"),
+                "step": pd.Series(out["step"], dtype="int32"),
+                "src_id": pd.Series(out["src_id"], dtype=str),
+                "pred": pd.Series(out["pred"], dtype=str),
+                "dst_id": pd.Series(out["dst_id"], dtype=str),
+            }
+        )
+
+    rows = compact_nonempty(
+        state.map_batches(_route("entry"), batch_format="pandas")
+        .groupby("_pkey")
+        .map_groups(finalize, batch_format="pandas")
+    )
+    if rows.count() == 0:
+        return ray.data.from_arrow(_wf_empty_table())
+
+    if offset or limit is not None:
+        # unit windowing: per-entry path COUNTS (≤ k each, entry-scale
+        # metadata — never the paths themselves) come to the driver to
+        # compute the global (entry, path_id) window, then a broadcast
+        # range filter selects it
+        counts = sorted(
+            (r["entry_id"], r["n"])
+            for r in rows.groupby("entry_id")
+            .max("path_id")
+            .map_batches(
+                lambda t: pa.Table.from_pydict(
+                    {"entry_id": t["entry_id"],
+                     "n": pc.add(t["max(path_id)"], 1)}
+                ),
+                batch_format="pyarrow",
+            )
+            .take_all()
+        )
+        windows: dict[str, tuple[int, int]] = {}
+        pos = 0
+        end = (offset + limit) if limit is not None else None
+        for eid, n in counts:
+            lo = max(0, offset - pos)
+            hi = n if end is None else max(0, min(n, end - pos))
+            if hi > lo:
+                windows[eid] = (lo, hi)
+            pos += n
+        win_ref = ray.put(windows)
+
+        def window_filter(t: pa.Table) -> pa.Table:
+            from ..util import get_broadcast
+
+            w = get_broadcast(win_ref)
+            keep = [
+                (win := w.get(e)) is not None and win[0] <= p < win[1]
+                for e, p in zip(t["entry_id"].to_pylist(), t["path_id"].to_pylist())
+            ]
+            return t.filter(pa.array(keep, pa.bool_()))
+
+        rows = rows.map_batches(window_filter, batch_format="pyarrow")
+
+    return rows.sort(["entry_id", "path_id", "step"])
+
+
+def _wf_empty_table() -> pa.Table:
+    return pa.Table.from_pydict(
+        {
+            "entry_id": pa.array([], pa.string()),
+            "path_id": pa.array([], pa.int32()),
+            "step": pa.array([], pa.int32()),
+            "src_id": pa.array([], pa.string()),
+            "pred": pa.array([], pa.string()),
+            "dst_id": pa.array([], pa.string()),
+        }
+    )
 
 
 def render_mermaid(paths: dict[str, str], seed_id: str, cfg: PipelineConfig = DEFAULT_CONFIG) -> list[str]:

@@ -120,6 +120,51 @@ def test_workflows_dfs_lcp(built):
     assert rows == rows2
 
 
+def test_workflows_forced_distributed_tier(built):
+    """The frontier-join DFS tier (edges above workflows_driver_max_edges)
+    must produce rows identical to the driver DFS — unpaged, paged, and
+    pred-filtered."""
+    import dataclasses
+
+    from blarify_ray.config import DEFAULT_CONFIG
+    from blarify_ray.pipelines.graph_queries import workflows
+
+    forced = dataclasses.replace(DEFAULT_CONFIG, workflows_driver_max_edges=0)
+
+    def key(r):
+        return (r["entry_id"], r["path_id"], r["step"])
+
+    want = sorted(workflows(built, max_depth=4).take_all(), key=key)
+    got = sorted(workflows(built, max_depth=4, cfg=forced).take_all(), key=key)
+    assert got == want
+
+    # paging concatenation: large pages reproduce the unpaged rows (each
+    # page is a full distributed DFS at 4 CPUs, so keep the page count low)
+    n_units = len({(r["entry_id"], r["path_id"]) for r in want})
+    page_sz = max(1, n_units // 2 + 1)  # → 2 pages + 1 empty probe
+    paged = []
+    off = 0
+    while True:
+        page = workflows(
+            built, max_depth=4, offset=off, limit=page_sz, cfg=forced
+        ).take_all()
+        if not page:
+            break
+        paged.extend(page)
+        off += page_sz
+    assert sorted(paged, key=key) == want
+
+    # pred filter parity
+    want_f = sorted(
+        workflows(built, max_depth=4, preds=["FOUNDED_BY"]).take_all(), key=key
+    )
+    got_f = sorted(
+        workflows(built, max_depth=4, preds=["FOUNDED_BY"], cfg=forced).take_all(),
+        key=key,
+    )
+    assert got_f == want_f
+
+
 def test_incremental_noop_identity(built):
     """Re-crawling pages with identical content must leave every table
     byte-identical (idempotent MERGE analog)."""
