@@ -90,32 +90,57 @@ def k_hop(
     preds: list[str] | None = None,
     offset: int = 0,
     limit: int | None = None,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
 ) -> ray.data.Dataset:
-    """Iterative frontier expansion over the edges table: each round is a
-    broadcast-semi-join (frontier id set) + vectorized filter, the Ray
-    shape of the reference's bounded DFS (maxDepth, NODE_PATH
-    uniqueness). Returns ds[(entity_id, depth)] with minimal depth."""
-    edges = read_stage(paths["edges"], columns=["src_id", "dst_id", "pred"]).materialize()
+    """Iterative frontier expansion over the edges table — the Ray shape
+    of the reference's bounded DFS (maxDepth, NODE_PATH uniqueness).
+    Returns ds[(entity_id, depth)] with minimal depth.
+
+    Frontier tier, decided PER ROUND (hub-node safety): while the
+    frontier + seen sets fit under ``cfg.khop_broadcast_max`` the round
+    is a broadcast semi-join (sorted id array + ``pc.is_in``); the first
+    round whose candidate count overflows converts the state to
+    hash-partitioned ``(id, depth)`` datasets and every later round is a
+    co-partitioned semi-join + distributed anti-join — the frontier
+    never has to fit on the driver again. Both tiers produce identical
+    rows (forced-tier tested)."""
+    edges = read_stage(paths["edges"], columns=["src_id", "dst_id", "pred"])
+    if preds is not None:
+        pred_arr = pa.array(sorted(set(preds)), pa.string())
+        edges = edges.map_batches(
+            lambda t: t.filter(pc.is_in(t["pred"], value_set=pred_arr)),
+            batch_format="pyarrow",
+        )
+    edges = edges.materialize()
     seen: dict[str, int] = {s: 0 for s in seed_ids}
     frontier = set(seed_ids)
-    for depth in range(1, max_depth + 1):
+    depth = 0
+    overflow = len(frontier) > cfg.khop_broadcast_max
+    while depth < max_depth and frontier and not overflow:
+        depth += 1
         fr_arr = pa.array(sorted(frontier), pa.string())  # once per round
 
         def step(t: pa.Table, _fr=fr_arr) -> pa.Table:
             t = t.filter(pc.is_in(t["src_id"], value_set=_fr))
-            if preds is not None:
-                t = t.filter(pc.is_in(t["pred"], value_set=pa.array(preds)))
-            return t.select(["dst_id"])
+            return pa.Table.from_pydict({"dst_id": pc.unique(t["dst_id"])})
 
-        nxt = {
-            r["dst_id"]
-            for r in edges.map_batches(step, batch_format="pyarrow").take_all()
-        }
-        frontier = {n for n in nxt if n not in seen}
-        if not frontier:
+        cand = edges.map_batches(step, batch_format="pyarrow")
+        if cand.count() > cfg.khop_broadcast_max:
+            # a hub blew the broadcast budget mid-round: redo THIS round
+            # distributed (the per-batch-unique count is a conservative
+            # overestimate of the distinct frontier, which is the safe
+            # direction for a driver-memory guard)
+            depth -= 1
+            overflow = True
             break
+        nxt = {r["dst_id"] for r in cand.take_all()}
+        frontier = {n for n in nxt if n not in seen}
         for n in frontier:
             seen[n] = depth
+    if overflow and depth < max_depth and frontier:
+        return _k_hop_distributed(
+            edges, seen, frontier, depth, max_depth, offset, limit, cfg
+        )
     rows = sorted(seen.items(), key=lambda kv: (kv[1], kv[0]))  # (depth, id)
     if offset or limit is not None:
         # skip/limit batching over the deterministic ordering, matching
@@ -129,6 +154,115 @@ def k_hop(
         }
     )
     return ray.data.from_arrow(tbl)
+
+
+def _k_hop_distributed(
+    edges: ray.data.Dataset,
+    seen: dict[str, int],
+    frontier: set[str],
+    depth: int,
+    max_depth: int,
+    offset: int,
+    limit: int | None,
+    cfg: PipelineConfig,
+) -> ray.data.Dataset:
+    """Dataset-tier continuation of ``k_hop``: state moves into
+    hash-partitioned ``(entity_id, depth)`` datasets (``seen`` at switch
+    time is bounded by the broadcast threshold, so the one-time driver →
+    dataset conversion is cheap). Each round is (1) one co-partitioned
+    inner semi-join of the edge table against the frontier ids
+    (``copartition_attach`` — no ``Dataset.join``, no broadcast), (2)
+    per-batch distinct on the expansion, (3) one hash-routed distributed
+    anti-join against ``seen`` that emits the new frontier with its
+    depth. Paging reads only ``offset + limit`` rows to the driver."""
+    import numpy as np
+    import pandas as pd
+
+    from ..ops.joins import copartition_attach
+    from ..util import compact_nonempty
+
+    parts = max(1, min(cfg.agg_partitions, edges.count() // cfg.cc_rows_per_partition + 1))
+
+    def as_ds(d: dict[str, int]) -> ray.data.Dataset:
+        return ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "entity_id": pa.array(sorted(d), pa.string()),
+                    "depth": pa.array([d[k] for k in sorted(d)], pa.int32()),
+                }
+            )
+        )
+
+    seen_ds = as_ds(seen)
+    frontier_ds = as_ds({f: depth for f in frontier})
+
+    def tag(is_seen: int, d: int):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            if "depth" not in df.columns:
+                df["depth"] = np.int32(d)
+            df["_seen"] = np.int8(is_seen)
+            df["_pkey"] = (
+                pd.util.hash_array(df["entity_id"].to_numpy(dtype=object)) % parts
+            ).astype("int32")
+            return df
+
+        return f
+
+    while depth < max_depth:
+        depth += 1
+        # edges as LEFT, frontier as the unique lookup side (the attach
+        # contract requires the RIGHT side unique per key)
+        hits = copartition_attach(
+            edges, frontier_ds, "src_id", "entity_id", {"depth": "_d"},
+            partitions=parts, how="inner",
+        )
+        cand = compact_nonempty(
+            hits.map_batches(
+                lambda t: pa.Table.from_pydict({"entity_id": pc.unique(t["dst_id"])}),
+                batch_format="pyarrow",
+            )
+        )
+
+        def merge(g: pd.DataFrame, _d=depth) -> pd.DataFrame:
+            seen_ids = g.loc[g["_seen"] == 1, "entity_id"]
+            c = g.loc[g["_seen"] == 0, "entity_id"].drop_duplicates()
+            new = c[~c.isin(set(seen_ids))]
+            return pd.DataFrame(
+                {
+                    "entity_id": new.to_numpy(dtype=object),
+                    "depth": np.full(len(new), _d, dtype="int32"),
+                }
+            )
+
+        new_ds = compact_nonempty(
+            cand.map_batches(tag(0, depth), batch_format="pandas")
+            .union(seen_ds.map_batches(tag(1, 0), batch_format="pandas"))
+            .groupby("_pkey")
+            .map_groups(merge, batch_format="pandas")
+        )
+        if new_ds.count() == 0:
+            break
+        seen_ds = compact_nonempty(seen_ds.union(new_ds))
+        frontier_ds = new_ds
+
+    out = seen_ds.sort(["depth", "entity_id"])
+    if offset or limit is not None:
+        # the page (offset + limit rows) is the ONLY driver
+        # materialization — unit paging over the same deterministic
+        # (depth, entity_id) ordering as the broadcast tier
+        end = (offset + limit) if limit is not None else None
+        rows = out.take_all() if end is None else out.limit(end).take_all()
+        rows = rows[offset:end]
+        return ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "entity_id": pa.array([r["entity_id"] for r in rows], pa.string()),
+                    "depth": pa.array([r["depth"] for r in rows], pa.int32()),
+                }
+            )
+        )
+    return out
 
 
 def entry_points(paths: dict[str, str], partitions: int = 64) -> ray.data.Dataset:

@@ -165,6 +165,35 @@ def test_workflows_forced_distributed_tier(built):
     assert got_f == want_f
 
 
+def test_k_hop_forced_distributed_tier(built):
+    """Frontier over khop_broadcast_max → dataset semi-join tier; rows
+    (including minimal depths and paging) must match the broadcast tier."""
+    import dataclasses
+
+    from blarify_ray.config import DEFAULT_CONFIG
+    from blarify_ray.pipelines.graph_queries import top_entities
+
+    forced = dataclasses.replace(DEFAULT_CONFIG, khop_broadcast_max=0)
+    seed = top_entities(built, k=1).take_all()[0]["entity_id"]
+
+    def key(r):
+        return (r["depth"], r["entity_id"])
+
+    want = sorted(k_hop(built, [seed], max_depth=3).take_all(), key=key)
+    got = sorted(k_hop(built, [seed], max_depth=3, cfg=forced).take_all(), key=key)
+    assert [(r["entity_id"], r["depth"]) for r in got] == [
+        (r["entity_id"], r["depth"]) for r in want
+    ]
+    assert len(want) > 1
+
+    # paged distributed call matches the broadcast tier's page
+    page_b = k_hop(built, [seed], max_depth=3, offset=2, limit=5).take_all()
+    page_d = k_hop(built, [seed], max_depth=3, offset=2, limit=5, cfg=forced).take_all()
+    assert [(r["entity_id"], r["depth"]) for r in page_d] == [
+        (r["entity_id"], r["depth"]) for r in page_b
+    ]
+
+
 def test_incremental_noop_identity(built):
     """Re-crawling pages with identical content must leave every table
     byte-identical (idempotent MERGE analog)."""
