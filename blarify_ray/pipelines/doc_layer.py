@@ -4,69 +4,81 @@ entity with a content summary and a content embedding
 (``blarify/graph/node/documentation_node.py:17-68``,
 ``blarify/services/embedding_service.py``).
 
-The LLM/embedding calls are external services in the reference; here the
-embedding model is STUBBED with a deterministic hash embedding (clearly
-marked) so the Ray-side plumbing — actor pool, content-hash dedup
-before embedding, fixed-size-list vector column, vector search over the
-layer — is real and testable offline.
-"""
+Summaries and embeddings go through the pluggable service boundary
+(``services.Summarizer`` / ``services.Embedder`` — batching, retry,
+backoff, fallback chain); the default impls are the deterministic
+offline stubs. The layer is a MANIFEST-TRACKED STAGE: ``ensure_doc_layer``
+builds it once per (entities lineage × service fingerprints) and
+``doc_search`` / ``doc_search_hybrid`` scan its parquet — a query never
+re-summarizes or re-embeds the corpus (the reference's embed-once
+semantics, ``embedding_service.py:97-144``)."""
 
 from __future__ import annotations
 
 import hashlib
+import os
 
 import numpy as np
 import pyarrow as pa
 import ray.data
 
 from ..config import DEFAULT_CONFIG, PipelineConfig
-from ..state.manifest import read_stage
+from ..services import Embedder, HashEmbedder, Summarizer, TemplateSummarizer
+from ..state.manifest import lineage_hash, read_manifest, read_stage, run_stage
 from ..util import pool_size
 
 EMBED_DIM = 64
 
+_DEFAULT_EMBEDDER = HashEmbedder(EMBED_DIM)
+_DEFAULT_SUMMARIZER = TemplateSummarizer()
+
 
 def hash_embed(text: str) -> np.ndarray:
-    """STUB embedding model: sha256-seeded pseudo-vector, L2-normalized.
-    Deterministic stand-in for the reference's OpenAI embedding call
-    (``embedding_service.py:13-95``)."""
-    d = hashlib.sha256(text.encode("utf-8")).digest()
-    raw = np.frombuffer((d * ((EMBED_DIM * 4) // len(d) + 1))[: EMBED_DIM * 4], dtype=np.uint8)
-    v = raw[:EMBED_DIM].astype(np.float64) - 127.5
-    n = np.linalg.norm(v)
-    return (v / (n if n else 1.0)).astype(np.float32)
+    """Single-text convenience over the stub ``HashEmbedder`` (kept for
+    query-side embedding and tests)."""
+    return _DEFAULT_EMBEDDER.embed_batch([text])[0]
 
 
 def entity_content(name: str, etype: str, aliases: list[str], n_mentions: int) -> str:
-    alias_str = ", ".join(a for a in aliases[:5] if a != name)
-    base = f"{etype} entity '{name}'"
-    if alias_str:
-        base += f" (also known as: {alias_str})"
-    return base + f"; {n_mentions} mentions in the corpus."
+    """Single-row convenience over the stub ``TemplateSummarizer``."""
+    return _DEFAULT_SUMMARIZER.summarize_batch(
+        [{"name": name, "type": etype, "aliases": aliases, "n_mentions": n_mentions}]
+    )[0]
 
 
 class DocLayerBuilder:
-    """Actor-pool stage: summary text + embedding per entity, with a
-    per-actor content-hash cache (embed-once dedup,
-    ``embedding_service.py:97-144``)."""
+    """Actor-pool stage: summary + embedding per entity through the
+    service ABCs, with a per-actor content-hash cache (embed-once dedup,
+    ``embedding_service.py:97-144``). Services are constructed into the
+    actor once (``__init__``), not per batch."""
 
-    def __init__(self):
+    def __init__(self, summarizer: Summarizer | None = None, embedder: Embedder | None = None):
+        self.summarizer = summarizer or TemplateSummarizer()
+        self.embedder = embedder or HashEmbedder(EMBED_DIM)
         self._cache: dict[bytes, np.ndarray] = {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        contents, vecs = [], []
-        for name, etype, aliases, n in zip(
-            batch["name"].to_pylist(), batch["type"].to_pylist(),
-            batch["aliases"].to_pylist(), batch["n_mentions"].to_pylist(),
-        ):
-            content = entity_content(name, etype, aliases, n)
-            key = hashlib.md5(content.encode()).digest()
-            v = self._cache.get(key)
-            if v is None:
-                v = self._cache[key] = hash_embed(content)
-            contents.append(content)
-            vecs.append(v)
-        flat = pa.array(np.concatenate(vecs) if vecs else np.array([], dtype=np.float32), pa.float32())
+        rows = [
+            {"name": n, "type": t, "aliases": a, "n_mentions": m}
+            for n, t, a, m in zip(
+                batch["name"].to_pylist(), batch["type"].to_pylist(),
+                batch["aliases"].to_pylist(), batch["n_mentions"].to_pylist(),
+            )
+        ]
+        contents = self.summarizer.summarize_batch(rows)
+        # embed-once dedup: only cache-miss contents reach the embedder,
+        # each distinct content exactly once per actor
+        keys = [hashlib.md5(c.encode()).digest() for c in contents]
+        miss = [(k, c) for k, c in dict(zip(keys, contents)).items() if k not in self._cache]
+        if miss:
+            vecs = self.embedder.embed_batch([c for _, c in miss])
+            for (k, _), v in zip(miss, vecs):
+                self._cache[k] = v
+        dim = self.embedder.dim
+        flat = (
+            np.concatenate([self._cache[k] for k in keys])
+            if keys else np.array([], dtype=np.float32)
+        )
         return pa.Table.from_pydict(
             {
                 "entity_id": batch["entity_id"],
@@ -74,21 +86,64 @@ class DocLayerBuilder:
                 "info_type": pa.array(["entity_summary"] * batch.num_rows, pa.string()),
                 "layer": pa.array(["documentation"] * batch.num_rows, pa.string()),
                 "content": pa.array(contents, pa.string()),
-                "content_embedding": pa.FixedSizeListArray.from_arrays(flat, EMBED_DIM),
+                "content_embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array(flat, pa.float32()), dim
+                ),
             }
         )
 
 
 def build_doc_layer(
-    paths: dict[str, str], cfg: PipelineConfig = DEFAULT_CONFIG
+    paths: dict[str, str],
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    summarizer: Summarizer | None = None,
+    embedder: Embedder | None = None,
 ) -> ray.data.Dataset:
+    """Streaming (un-checkpointed) form — used by the stage producer and
+    directly by tests."""
     ents = read_stage(paths["entities"], columns=["entity_id", "name", "type", "aliases", "n_mentions"])
     return ents.map_batches(
         DocLayerBuilder,
+        fn_constructor_kwargs={"summarizer": summarizer, "embedder": embedder},
         batch_format="pyarrow",
         batch_size=1024,
         concurrency=pool_size(4),
         num_cpus=1,
+    )
+
+
+def ensure_doc_layer(
+    paths: dict[str, str],
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    summarizer: Summarizer | None = None,
+    embedder: Embedder | None = None,
+) -> tuple[str, bool]:
+    """Build-or-reuse the doc-layer checkpoint next to the other stage
+    dirs. Lineage = entities stage lineage × service fingerprints (plus
+    the package code digest via ``lineage_hash``), so a new build, a
+    swapped service impl, or a code change each invalidate the cache.
+    Returns ``(stage_path, skipped)`` — ``skipped`` is True when the
+    existing checkpoint was reused (no re-embed)."""
+    out_dir = os.path.dirname(paths["entities"].rstrip(os.sep))
+    ent_man = read_manifest(out_dir, "entities") or {}
+    s = summarizer or _DEFAULT_SUMMARIZER
+    e = embedder or _DEFAULT_EMBEDDER
+    lin = lineage_hash(
+        "doc_layer", ent_man.get("lineage", "none"), s.fingerprint(), e.fingerprint()
+    )
+
+    def produce(tmp: str) -> None:
+        build_doc_layer(paths, cfg, summarizer, embedder).write_parquet(tmp)
+
+    return run_stage(out_dir, "doc_layer", lin, produce)
+
+
+def _read_layer(
+    paths: dict[str, str], cfg: PipelineConfig
+) -> ray.data.Dataset:
+    layer_path, _ = ensure_doc_layer(paths, cfg)
+    return read_stage(
+        layer_path, columns=["entity_id", "name", "content", "content_embedding"]
     )
 
 
@@ -98,11 +153,10 @@ def doc_search(
 ) -> ray.data.Dataset:
     """Vector search over the documentation layer: embed the query with
     the same (stub) model, brute-force cosine top-k
-    (``queries.py:2298-2356`` analog)."""
-    import pyarrow.compute as pc  # noqa: F401
-
+    (``queries.py:2298-2356`` analog). Scans the doc-layer CHECKPOINT —
+    only the query string is embedded per call."""
     q = hash_embed(query_text).astype(np.float64)
-    layer = build_doc_layer(paths, cfg)
+    layer = _read_layer(paths, cfg)
 
     def score(t: pa.Table) -> pa.Table:
         m = np.array(t["content_embedding"].to_pylist(), dtype=np.float64)
@@ -130,7 +184,7 @@ def doc_search_hybrid(
     the reference's combined scoring
     (``blarify/repositories/graph_db_manager/queries.py:2322-2356``:
     vector similarity blended with keyword hits, title matches boosted
-    over content matches).
+    over content matches). Scans the doc-layer CHECKPOINT.
 
     Keyword score per entity = (2·name_hits + content_hits) / (2·terms),
     clipped to 1 — a term matching the entity NAME counts double
@@ -142,7 +196,7 @@ def doc_search_hybrid(
 
     q = hash_embed(query_text).astype(np.float64)
     terms = [t for t in normalize_surface(query_text).split() if len(t) >= 3]
-    layer = build_doc_layer(paths, cfg)
+    layer = _read_layer(paths, cfg)
 
     def score(t: pa.Table) -> pa.Table:
         m = np.array(t["content_embedding"].to_pylist(), dtype=np.float64)
