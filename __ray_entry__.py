@@ -167,6 +167,14 @@ def _q_kg_mermaid(sf_dir: str):
     return pd.DataFrame({"line": render_mermaid(paths, seed)})
 
 
+def _q_kg_skeleton_tree(sf_dir: str):
+    import pandas as pd
+
+    from blarify_ray.pipelines.graph_queries import render_skeleton_tree
+
+    return pd.DataFrame({"line": render_skeleton_tree(_kg_paths(sf_dir))})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from blarify_ray.pipelines import analytics, training_ops
 
@@ -187,6 +195,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_domain_rollup": _q_kg_domain_rollup,
         "kg_external": _q_kg_external,
         "kg_mermaid": _q_kg_mermaid,
+        "kg_skeleton_tree": _q_kg_skeleton_tree,
     }
     q.update(analytics.QUERIES)
     q.update(training_ops.QUERIES)

@@ -733,6 +733,68 @@ def _wf_empty_table() -> pa.Table:
     )
 
 
+def render_skeleton_tree(
+    paths: dict[str, str],
+    max_children: int = 50,
+) -> list[str]:
+    """Indented tree render of the corpus hierarchy — the reference's
+    codebase-skeleton formatter (``queries.py:242-374``:
+    ``format_skeleton_as_string`` / ``format_hierarchy_tree``) applied to
+    the web-KG's containment hierarchy (root → tld → domain, the
+    FOLDER/FILE analog): box-drawing prefixes (``├──``/``└──``/``│``),
+    a trailing ``/`` on container nodes, and a ``# TYPE [docs: N]``
+    annotation per line.
+
+    The aggregation is the distributed ``bottom_up_rollup``; only its
+    domain-scale RESULT reaches the driver for formatting (the
+    reference's formatter is likewise a driver-side function over query
+    results). ``max_children`` caps fan-out per node deterministically
+    (largest ``n_docs`` first, then name), with an elision line — so a
+    100-TB corpus with millions of domains still renders."""
+    from .hierarchy import bottom_up_rollup
+
+    rows = bottom_up_rollup(paths).take_all()
+    if not rows:
+        return ["# Corpus Structure", "", "No corpus structure found."]
+    max_level = max(r["level"] for r in rows)
+    type_of = {max_level: "ROOT"}
+    for lv in range(1, max_level):
+        type_of[lv] = "TLD" if lv == max_level - 1 else "DOMAIN"
+
+    children: dict[tuple[int, str], list[dict]] = {}
+    roots: list[dict] = []
+    for r in rows:
+        if r["level"] == max_level:
+            roots.append(r)
+        else:
+            parent = r["node"].rsplit(".", 1)[-1] if r["level"] == 1 else "<root>"
+            children.setdefault((r["level"] + 1, parent), []).append(r)
+    for kids in children.values():
+        kids.sort(key=lambda r: (-r["n_docs"], r["node"]))
+    roots.sort(key=lambda r: r["node"])
+
+    lines = ["# Corpus Structure", ""]
+
+    def fmt(r: dict, prefix: str, branch: str) -> None:
+        kids = children.get((r["level"], r["node"]), [])
+        t = type_of[r["level"]]
+        slash = "/" if r["level"] > 1 or kids else ""
+        lines.append(
+            f"{prefix}{branch}{r['node']}{slash}  # {t} [docs: {r['n_docs']}]"
+        )
+        child_prefix = prefix + ("    " if branch.startswith("└") else "│   ") if branch else ""
+        shown = kids[:max_children]
+        for i, kid in enumerate(shown):
+            last = i == len(shown) - 1 and len(kids) <= max_children
+            fmt(kid, child_prefix, "└── " if last else "├── ")
+        if len(kids) > max_children:
+            lines.append(f"{child_prefix}└── … (+{len(kids) - max_children} more)")
+
+    for root in roots:
+        fmt(root, "", "")
+    return lines
+
+
 def render_mermaid(paths: dict[str, str], seed_id: str, cfg: PipelineConfig = DEFAULT_CONFIG) -> list[str]:
     """Mermaid flowchart lines for a node's 1-hop neighborhood — the
     graph-rendering formatter (``queries.py:1850-2060`` analog)."""

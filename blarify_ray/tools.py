@@ -106,6 +106,12 @@ def _t_hybrid_search(paths: dict[str, str], query: str, k: int = 10) -> list[dic
     return _rows(doc_search_hybrid(paths, query, k=k))
 
 
+def _t_skeleton_tree(paths: dict[str, str], max_children: int = 50) -> str:
+    from .pipelines.graph_queries import render_skeleton_tree
+
+    return "\n".join(render_skeleton_tree(paths, max_children=max_children))
+
+
 def _t_domain_rollup(paths: dict[str, str]) -> list[dict]:
     from .pipelines.hierarchy import bottom_up_rollup
 
@@ -161,6 +167,9 @@ TOOLS: dict[str, Tool] = {
         Tool("domain_rollup",
              "Bottom-up hierarchical aggregation over url domains",
              _t_domain_rollup),
+        Tool("skeleton_tree",
+             "Indented tree render of the corpus hierarchy (root/tld/domain)",
+             _t_skeleton_tree, {"max_children": {"type": "integer", "default": 50}}),
     ]
 }
 

@@ -144,6 +144,61 @@ def test_bottom_up_rollup_matches_direct(built):
     assert len(root) == 1 and root[0]["n_docs"] == len(docs)
 
 
+def test_render_skeleton_tree_golden_structure(built):
+    """The indented tree must mirror the rollup exactly: every tld under
+    the root, every domain under its tld, box-drawing prefixes with └──
+    on last children, counts from the rollup rows, and a deterministic
+    elision line when max_children caps fan-out."""
+    from blarify_ray.pipelines.graph_queries import render_skeleton_tree
+
+    rollup = bottom_up_rollup(built).take_all()
+    lines = render_skeleton_tree(built)
+    assert lines[0] == "# Corpus Structure" and lines[1] == ""
+
+    root = next(r for r in rollup if r["level"] == max(x["level"] for x in rollup))
+    assert lines[2] == f"{root['node']}/  # ROOT [docs: {root['n_docs']}]"
+
+    # every tld and domain appears exactly once, with its count
+    body = "\n".join(lines)
+    for r in rollup:
+        if r["level"] == root["level"]:
+            continue
+        t = "TLD" if r["level"] == root["level"] - 1 else "DOMAIN"
+        hits = [ln for ln in lines if f" {r['node']}" in ln and f"# {t} [docs: {r['n_docs']}]" in ln]
+        assert len(hits) == 1, (r, hits)
+    assert "├── " in body and "└── " in body
+
+    # child ordering: per parent, largest n_docs first (tie → name)
+    tlds = sorted(
+        (r for r in rollup if r["level"] == root["level"] - 1),
+        key=lambda r: (-r["n_docs"], r["node"]),
+    )
+    tld_lines = [ln for ln in lines if "# TLD" in ln]
+    assert [ln.split("/  #")[0].split("── ")[-1] for ln in tld_lines] == [
+        r["node"] for r in tlds
+    ]
+    # the LAST tld uses └──, earlier ones ├──
+    assert tld_lines[-1].lstrip().startswith("└── ")
+    for ln in tld_lines[:-1]:
+        assert ln.lstrip().startswith("├── ")
+
+    # elision: max_children=1 keeps one domain per tld + an elision line
+    capped = render_skeleton_tree(built, max_children=1)
+    n_domains = sum(1 for r in rollup if r["level"] == 1)
+    if n_domains > len(tlds):
+        assert any("more)" in ln for ln in capped)
+    shown = sum(1 for ln in capped if "# DOMAIN" in ln)
+    assert shown == min(1, n_domains) * len(tlds) or shown <= len(tlds)
+
+
+def test_skeleton_tree_tool_registered(built):
+    from blarify_ray.tools import call_tool, list_tools
+
+    assert any(t["name"] == "skeleton_tree" for t in list_tools())
+    out = call_tool(built, "skeleton_tree", {"max_children": 3})
+    assert isinstance(out, str) and out.startswith("# Corpus Structure")
+
+
 def test_render_mermaid(built):
     edge = read_stage(built["edges"]).take(1)[0]
     lines = render_mermaid(built, edge["src_id"])
