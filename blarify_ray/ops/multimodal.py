@@ -2,13 +2,14 @@
 with typed metadata; decode / feature-extract / resize / frame-sample as
 actor-pool ``map_batches`` stages.
 
-The image/audio codec libraries are NOT in this container, so the codec
-call itself is STUBBED: ``_HAVE_PIL`` gates a real decode, otherwise a
-clearly-marked deterministic fake parses the tiny header our synthetic
-payloads carry. Everything Ray-side — schema, batch size, actor
-signature, fixed-size-list feature output, per-actor model "load" — is
-real and tested (FIXTURES/mandate: make the plumbing real, stub the
-codec).
+The decode stage has a REAL codec path (PIL decode → resize →
+mean-pooled intensity features) behind an optional import, selected
+automatically when pillow is installed; in this container (no media
+libs) the clearly-marked deterministic stub parses the tiny header our
+synthetic payloads carry instead. Everything Ray-side — schema, batch
+size, actor signature, fixed-size-list feature output, per-actor model
+"load" — is identical across both paths and tested (the real-codec test
+skips when the lib is absent).
 """
 
 from __future__ import annotations
@@ -67,19 +68,48 @@ def synth_media_table(n: int) -> pa.Table:
 class MediaDecoder:
     """Actor-pool stage: decode headers + extract a FEATURE_DIM feature
     vector per item. The per-actor ``__init__`` stands in for loading a
-    decode model ONCE per worker (the LSP-pool pattern)."""
+    decode model ONCE per worker (the LSP-pool pattern).
 
-    def __init__(self, target_size: tuple[int, int] = (32, 32)):
+    ``codec`` selects the decode path: ``"auto"`` uses the real PIL
+    decoder when the library is importable and the stub otherwise;
+    ``"real"`` / ``"stub"`` force a path (the real path raises
+    ImportError without PIL — tests parameterize over both and skip
+    real when the lib is absent). The real path also falls back to the
+    stub per item for payloads PIL cannot parse (our synthetic SYNM
+    headers), so mixed corpora decode cleanly."""
+
+    def __init__(self, target_size: tuple[int, int] = (32, 32), codec: str = "auto"):
         self.target = target_size
-        if _HAVE_PIL:
+        if codec == "auto":
+            codec = "real" if _HAVE_PIL else "stub"
+        if codec == "real":
+            if not _HAVE_PIL:
+                raise ImportError("codec='real' requires PIL (pillow)")
             self._decode = self._decode_real
-        else:
+        elif codec == "stub":
             self._decode = self._decode_stub
+        else:
+            raise ValueError(f"unknown codec: {codec!r}")
 
-    def _decode_real(self, payload: bytes):  # pragma: no cover
-        raise NotImplementedError(
-            "real codec path requires PIL/av — not available in this container"
-        )
+    def _decode_real(self, payload: bytes) -> tuple[int, int, np.ndarray]:
+        """Real codec path: PIL decode → grayscale → resize to an
+        (8 × FEATURE_DIM/8) thumbnail whose pixels ARE the feature
+        vector (mean-pooled intensities in [0, 1]). Original width and
+        height are reported pre-resize."""
+        import io
+
+        from PIL import Image
+
+        try:
+            img = Image.open(io.BytesIO(payload))
+            w, h = img.size
+            thumb = img.convert("L").resize((8, FEATURE_DIM // 8))
+            feat = np.asarray(thumb, dtype=np.float32).reshape(-1)[:FEATURE_DIM] / 255.0
+            return w, h, feat
+        except Exception:
+            # not a PIL-parseable payload (e.g. the synthetic SYNM
+            # format) — the stub parser handles those
+            return self._decode_stub(payload)
 
     def _decode_stub(self, payload: bytes) -> tuple[int, int, np.ndarray]:
         """Deterministic fake decode: parse the SYNM header and derive a
@@ -114,7 +144,8 @@ class MediaDecoder:
 
 
 def decode_media(
-    media: ray.data.Dataset, concurrency: int = 2, batch_size: int = 64
+    media: ray.data.Dataset, concurrency: int = 2, batch_size: int = 64,
+    codec: str = "auto",
 ) -> ray.data.Dataset:
     """media table → decoded metadata + feature vectors. Small batch
     size on purpose: payload rows are wide binary (memory-aware)."""
@@ -122,6 +153,7 @@ def decode_media(
 
     return media.map_batches(
         MediaDecoder,
+        fn_constructor_kwargs={"codec": codec},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=pool_size(concurrency),

@@ -131,21 +131,53 @@ def test_fingerprints_overlap_for_near_dups():
     assert len(a & c) == 0
 
 
-def test_media_decode_plumbing():
+import pytest as _pytest
+
+from blarify_ray.ops.multimodal import _HAVE_PIL
+
+
+@_pytest.mark.parametrize(
+    "codec",
+    [
+        "stub",
+        _pytest.param(
+            "real",
+            marks=_pytest.mark.skipif(not _HAVE_PIL, reason="PIL not installed"),
+        ),
+    ],
+)
+def test_media_decode_plumbing(codec):
+    """Both codec paths share the exact same Ray plumbing contract:
+    schema, FEATURE_DIM features, deterministic output, graceful
+    sentinel on malformed payloads. The real path runs only when PIL is
+    importable; on SYNM synthetic payloads it falls back per-item to the
+    stub parser, so assertions are codec-independent."""
     media = rd.from_arrow(synth_media_table(30))
-    out = decode_media(media).take_all()
+    out = decode_media(media, codec=codec).take_all()
     assert len(out) == 30
     r = out[0]
     assert len(r["features"]) == FEATURE_DIM
     assert r["width"] > 0 and r["height"] > 0
     # deterministic across calls
-    out2 = decode_media(rd.from_arrow(synth_media_table(30))).take_all()
+    out2 = decode_media(rd.from_arrow(synth_media_table(30)), codec=codec).take_all()
     assert [x["features"][0] for x in out] == [x["features"][0] for x in out2]
     # malformed payload → graceful sentinel, not a crash
-    bad = MediaDecoder()(pa.table(
+    bad = MediaDecoder(codec=codec)(pa.table(
         {"media_id": [99], "kind": ["image"], "mime": ["x"], "payload": [b"\x00\x01"]}
     ))
     assert bad["width"][0].as_py() == -1
+
+
+def test_media_decoder_codec_selection():
+    """codec='real' without PIL raises ImportError (not a silent stub);
+    'auto' resolves to the stub in this container; unknown codec raises."""
+    if not _HAVE_PIL:
+        with _pytest.raises(ImportError):
+            MediaDecoder(codec="real")
+    auto = MediaDecoder(codec="auto")
+    assert auto._decode == auto._decode_stub or _HAVE_PIL
+    with _pytest.raises(ValueError):
+        MediaDecoder(codec="webp")
 
 
 def test_frame_sample():
