@@ -205,16 +205,31 @@ def run_scaling() -> None:
     t_lo = lo["queries"]["kg_build"]
     t_hi = hi["queries"]["kg_build"]
     eff = (t_lo / t_hi) / (hi_n / lo_n)
+
+    def median(xs: list[float]) -> float:
+        s = sorted(xs)
+        mid = len(s) // 2
+        return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
+
+    # median reported ALONGSIDE best-of-N (same runs, both statistics):
+    # the minimum measures the engine under least interference, the
+    # median shows the typical run — a large gap between the two
+    # efficiencies flags noise, not engine behavior
+    med_lo, med_hi = median(lo_runs), median(hi_runs)
+    eff_med = (med_lo / med_hi) / (hi_n / lo_n)
     print(
         json.dumps(
             {
                 "metric": "scaling_efficiency",
                 "value": round(eff, 3),
+                "value_median": round(eff_med, 3),
                 "unit": "ratio",
                 "cpus_low": lo_n,
                 "cpus_high": hi_n,
                 f"kg_build_sec_{lo_n}cpu": t_lo,
                 f"kg_build_sec_{hi_n}cpu": t_hi,
+                f"kg_build_median_sec_{lo_n}cpu": round(med_lo, 3),
+                f"kg_build_median_sec_{hi_n}cpu": round(med_hi, 3),
                 f"runs_{lo_n}cpu": lo_runs,
                 f"runs_{hi_n}cpu": hi_runs,
                 f"triples_per_sec_{lo_n}cpu": lo["triples_per_sec"],
