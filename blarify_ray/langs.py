@@ -58,7 +58,96 @@ DE = LanguageDefinitions(
     boilerplate_re=re.compile(r"©|\(c\)\s*\d{4}|alle rechte vorbehalten", re.I),
 )
 
-REGISTRY: dict[str, LanguageDefinitions] = {d.lang: d for d in (EN, DE)}
+# Further registered languages, same predicate vocabulary — the
+# reference registers ~10 language definitions the same way
+# (``project_graph_creator.py:42-53``); each entry is one connector
+# table + one boilerplate pattern, everything else stays shared.
+FR = LanguageDefinitions(
+    lang="fr",
+    connector_to_pred={
+        "a été fondée par": "FOUNDED_BY",
+        "a son siège à": "LOCATED_IN",
+        "travaille pour": "WORKS_FOR",
+        # lowercase on purpose: a capitalized token inside a connector
+        # would itself match the proper-noun mention detector and break
+        # the adjacent-pair rule, so the phrase could never fire
+        "est à la tête de": "CEO_OF",
+        "a racheté": "ACQUIRED",
+        "est une filiale de": "PART_OF",
+        "fabrique": "MAKES",
+        "est partenaire de": "PARTNER_OF",
+        "est né à": "BORN_IN",
+    },
+    boilerplate_re=re.compile(r"©|\(c\)\s*\d{4}|tous droits réservés", re.I),
+)
+
+ES = LanguageDefinitions(
+    lang="es",
+    connector_to_pred={
+        "fue fundada por": "FOUNDED_BY",
+        "tiene su sede en": "LOCATED_IN",
+        "trabaja para": "WORKS_FOR",
+        "es el director general de": "CEO_OF",
+        "adquirió": "ACQUIRED",
+        "es una filial de": "PART_OF",
+        "fabrica": "MAKES",
+        "es socio de": "PARTNER_OF",
+        "nació en": "BORN_IN",
+    },
+    boilerplate_re=re.compile(r"©|\(c\)\s*\d{4}|todos los derechos reservados", re.I),
+)
+
+IT = LanguageDefinitions(
+    lang="it",
+    connector_to_pred={
+        "è stata fondata da": "FOUNDED_BY",
+        "ha sede a": "LOCATED_IN",
+        "lavora per": "WORKS_FOR",
+        "è amministratore delegato di": "CEO_OF",
+        "ha acquisito": "ACQUIRED",
+        "è una controllata di": "PART_OF",
+        "produce": "MAKES",
+        "è partner di": "PARTNER_OF",
+        "è nato a": "BORN_IN",
+    },
+    boilerplate_re=re.compile(r"©|\(c\)\s*\d{4}|tutti i diritti riservati", re.I),
+)
+
+PT = LanguageDefinitions(
+    lang="pt",
+    connector_to_pred={
+        "foi fundada por": "FOUNDED_BY",
+        "tem sede em": "LOCATED_IN",
+        "trabalha para": "WORKS_FOR",
+        "é o diretor executivo de": "CEO_OF",
+        "adquiriu": "ACQUIRED",
+        "é uma subsidiária de": "PART_OF",
+        "fabrica": "MAKES",
+        "é parceira de": "PARTNER_OF",
+        "nasceu em": "BORN_IN",
+    },
+    boilerplate_re=re.compile(r"©|\(c\)\s*\d{4}|todos os direitos reservados", re.I),
+)
+
+NL = LanguageDefinitions(
+    lang="nl",
+    connector_to_pred={
+        "werd opgericht door": "FOUNDED_BY",
+        "is gevestigd in": "LOCATED_IN",
+        "werkt voor": "WORKS_FOR",
+        "is directeur van": "CEO_OF",
+        "nam over": "ACQUIRED",
+        "is een dochteronderneming van": "PART_OF",
+        "maakt": "MAKES",
+        "is partner van": "PARTNER_OF",
+        "is geboren in": "BORN_IN",
+    },
+    boilerplate_re=re.compile(r"©|\(c\)\s*\d{4}|alle rechten voorbehouden", re.I),
+)
+
+REGISTRY: dict[str, LanguageDefinitions] = {
+    d.lang: d for d in (EN, DE, FR, ES, IT, PT, NL)
+}
 
 
 def register(defs: LanguageDefinitions) -> None:

@@ -88,4 +88,69 @@ def test_mixed_language_serial_equals_ray():
         if r["raw"]
     }
     assert raw_urls_serial == raw_urls_ray
+    # fr IS registered, but not in this run's supported_langs → RAW
     assert any(u.endswith("/fr/0004") for u in raw_urls_serial)
+
+
+def test_registry_phrases_can_fire():
+    """No connector phrase may contain a token the proper-noun mention
+    detector would capture (it would break the adjacent-pair rule and
+    the phrase could never fire), and every language covers FOUNDED_BY."""
+    from blarify_ray.langs import REGISTRY
+    from blarify_ray.rules import _RE_PROPER
+
+    for lang, defs in REGISTRY.items():
+        assert "FOUNDED_BY" in set(defs.connector_to_pred.values()), lang
+        for phrase in defs.connector_to_pred:
+            assert not _RE_PROPER.search(phrase), (lang, phrase)
+
+
+def test_wide_registry_serial_equals_ray():
+    """Every registered language routes through its own connector table:
+    one page per language, each with that language's FOUNDED_BY phrase —
+    serial == Ray, and each page yields exactly its own-language triple."""
+    from blarify_ray.langs import REGISTRY
+
+    langs = sorted(REGISTRY)
+    assert len(langs) >= 7  # EN, DE, FR, ES, IT, PT, NL
+    cfg = dataclasses.replace(DEFAULT_CONFIG, supported_langs=tuple(langs))
+    ents = entity_universe(N)
+    org = next(e for e in ents if e.etype == "ORG")
+    person = next(e for e in ents if e.etype == "PERSON")
+
+    rows = []
+    for i, lang in enumerate(langs):
+        phrase = next(
+            p for p, pred in REGISTRY[lang].connector_to_pred.items()
+            if pred == "FOUNDED_BY"
+        )
+        rows.append(
+            {
+                "url": f"https://wide.example.org/{lang}/{i:04d}",
+                "warc_ts": BASE_TS + i * 1_000_000,
+                "html": b"",
+                "text": f"{org.name} {phrase} {person.name}.",
+                "lang": lang,
+            }
+        )
+    serial = run_serial(rows, N, cfg)
+
+    out = OUT + "_wide"
+    shutil.rmtree(out, ignore_errors=True)
+    pages = rd.from_arrow(pa.Table.from_pylist(rows, schema=PAGES))
+    paths = build_kg(out, N, cfg, pages=pages, source_fingerprint="langs-wide")
+
+    got = {
+        (r["url"], r["sent_id"], r["subj"], r["pred"], r["obj"])
+        for r in triples_table(paths, cfg).take_all()
+    }
+    want = {
+        (t["url"], t["sent_id"], t["subj"], t["pred"], t["obj"])
+        for t in serial["triples"]
+    }
+    assert got == want
+    # every language produced its FOUNDED_BY triple from its own phrase
+    founded_urls = {t["url"] for t in serial["triples"] if t["pred"] == "FOUNDED_BY"}
+    assert {f"https://wide.example.org/{lang}" for lang in langs} == {
+        u.rsplit("/", 1)[0] for u in founded_urls
+    }
