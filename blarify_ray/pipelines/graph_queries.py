@@ -795,16 +795,49 @@ def render_skeleton_tree(
     return lines
 
 
-def render_mermaid(paths: dict[str, str], seed_id: str, cfg: PipelineConfig = DEFAULT_CONFIG) -> list[str]:
-    """Mermaid flowchart lines for a node's 1-hop neighborhood — the
-    graph-rendering formatter (``queries.py:1850-2060`` analog)."""
+def render_mermaid(
+    paths: dict[str, str],
+    seed_id: str,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    depth: int = 1,
+) -> list[str]:
+    """Mermaid flowchart lines for a node's neighborhood — the
+    graph-rendering formatter (``queries.py:1850-2060`` analog, which is
+    1-hop in+out; ``depth`` extends it to the depth-N variant the
+    reference's traversal renders build on).
+
+    ``depth=1`` (default): the seed's outbound + inbound edges, exactly
+    the reference's mermaid query shape. ``depth>1``: the forward-BFS
+    subgraph to ``depth`` hops (edges among visited nodes, discovered by
+    the tiered ``k_hop``) plus the seed's inbound edges — the
+    neighborhood, not the corpus, is all that reaches the driver."""
     d = node_detail(paths, seed_id, cfg)
     if d["entity"] is None:
         return ["graph TD", f'  missing["{seed_id} (not found)"]']
+    extra_edges: list[dict] = []
+    if depth > 1:
+        visited = {
+            r["entity_id"]
+            for r in k_hop(paths, [seed_id], max_depth=depth, cfg=cfg).take_all()
+        }
+        vis_arr = pa.array(sorted(visited), pa.string())
+        extra_edges = (
+            read_stage(paths["edges"], columns=["src_id", "dst_id", "pred"])
+            .map_batches(
+                lambda t: t.filter(
+                    pc.and_(
+                        pc.is_in(t["src_id"], value_set=vis_arr),
+                        pc.is_in(t["dst_id"], value_set=vis_arr),
+                    )
+                ),
+                batch_format="pyarrow",
+            )
+            .take_all()
+        )
     # label fetch pruned to the NEIGHBORHOOD ids only (never the full
     # entity table — neighborhood-scale, not corpus-scale)
     need = {seed_id}
-    for e in d["outbound"] + d["inbound"]:
+    for e in d["outbound"] + d["inbound"] + extra_edges:
         need.add(e["src_id"])
         need.add(e["dst_id"])
     need_arr = pa.array(sorted(need), pa.string())
@@ -831,6 +864,13 @@ def render_mermaid(paths: dict[str, str], seed_id: str, cfg: PipelineConfig = DE
                 f'  {e["src_id"][:8]}["{label(e["src_id"])}"] -->|{e["pred"]}| {e["dst_id"][:8]}["{label(e["dst_id"])}"]'
             )
     for e in sorted(d["inbound"], key=lambda x: (x["pred"], x["src_id"])):
+        key = (e["src_id"], e["pred"], e["dst_id"])
+        if key not in seen:
+            seen.add(key)
+            lines.append(
+                f'  {e["src_id"][:8]}["{label(e["src_id"])}"] -->|{e["pred"]}| {e["dst_id"][:8]}["{label(e["dst_id"])}"]'
+            )
+    for e in sorted(extra_edges, key=lambda x: (x["src_id"], x["pred"], x["dst_id"])):
         key = (e["src_id"], e["pred"], e["dst_id"])
         if key not in seen:
             seen.add(key)

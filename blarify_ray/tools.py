@@ -88,10 +88,10 @@ def _t_top_entities(paths: dict[str, str], k: int = 20) -> list[dict]:
     return _rows(top_entities(paths, k=k))
 
 
-def _t_mermaid(paths: dict[str, str], entity_id: str) -> str:
+def _t_mermaid(paths: dict[str, str], entity_id: str, depth: int = 1) -> str:
     from .pipelines.graph_queries import render_mermaid
 
-    return "\n".join(render_mermaid(paths, entity_id))
+    return "\n".join(render_mermaid(paths, entity_id, depth=depth))
 
 
 def _t_vector_search(paths: dict[str, str], query: str, k: int = 10) -> list[dict]:
@@ -156,8 +156,10 @@ TOOLS: dict[str, Tool] = {
              "Top-k entities by mention count",
              _t_top_entities, {"k": _K}),
         Tool("render_mermaid",
-             "Mermaid flowchart of a node's 1-hop neighborhood",
-             _t_mermaid, {"entity_id": _ID}, ("entity_id",)),
+             "Mermaid flowchart of a node's depth-N neighborhood",
+             _t_mermaid,
+             {"entity_id": _ID, "depth": {"type": "integer", "default": 1}},
+             ("entity_id",)),
         Tool("vector_search",
              "Cosine top-k over the documentation layer",
              _t_vector_search, {"query": {"type": "string"}, "k": _K}, ("query",)),

@@ -206,6 +206,21 @@ def test_render_mermaid(built):
     assert any("-->" in ln for ln in lines[1:])
 
 
+def test_render_mermaid_depth_n(built):
+    """depth=2 renders a superset of the 1-hop edges: every 1-hop line
+    is present, plus edges among nodes discovered at hop 2."""
+    from blarify_ray.pipelines.graph_queries import k_hop
+
+    edge = read_stage(built["edges"]).take(1)[0]
+    seed = edge["src_id"]
+    one = render_mermaid(built, seed)
+    two = render_mermaid(built, seed, depth=2)
+    assert set(one[1:]) <= set(two[1:])
+    reach = k_hop(built, [seed], max_depth=2).take_all()
+    if any(r["depth"] == 2 for r in reach):
+        assert len(set(two[1:])) > len(set(one[1:]))
+
+
 def test_asof_join_generic():
     left = rd.from_arrow(
         pa.table(
