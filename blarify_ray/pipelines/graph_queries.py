@@ -44,8 +44,10 @@ def node_detail(
     paths: dict[str, str], eid: str, cfg: PipelineConfig = DEFAULT_CONFIG
 ) -> dict:
     """Point lookup with hash-partition pruning: read ONE bucket dir for
-    the entity row; edges are scanned only in the src bucket (outbound)
-    plus a filtered scan for inbound."""
+    the entity row; outbound edges from the src-bucketed layout, inbound
+    from the dst-bucketed index (``edges_by_dst``) when the build wrote
+    one — BOTH directions are then one-bucket reads, never a full-table
+    scan. Falls back to a filtered scan for pre-index builds."""
     b = id_bucket(eid, cfg.num_buckets)
     ent = None
     for f in _bucket_files(paths["entities"], b):
@@ -60,13 +62,26 @@ def node_detail(
     for f in _bucket_files(paths["edges"], b):
         t = pq.read_table(f)
         out.extend(t.filter(pc.equal(t["src_id"], eid)).to_pylist())
-    inbound = (
-        read_stage(paths["edges"])
-        .map_batches(
-            lambda t: t.filter(pc.equal(t["dst_id"], eid)), batch_format="pyarrow"
+    dst_idx = paths.get("edges_by_dst")
+    if dst_idx and os.path.isdir(dst_idx):
+        inbound = []
+        for f in _bucket_files(dst_idx, b):
+            t = pq.read_table(f)
+            rows = t.filter(pc.equal(t["dst_id"], eid)).to_pylist()
+            for r in rows:
+                # the index carries the DST bucket; restore the canonical
+                # (src) bucket so rows are byte-equal to the edges table
+                r["bucket"] = id_bucket(r["src_id"], cfg.num_buckets)
+            inbound.extend(rows)
+        inbound.sort(key=lambda r: (r["src_id"], r["pred"]))
+    else:
+        inbound = (
+            read_stage(paths["edges"])
+            .map_batches(
+                lambda t: t.filter(pc.equal(t["dst_id"], eid)), batch_format="pyarrow"
+            )
+            .take_all()
         )
-        .take_all()
-    )
     return {"entity": ent, "outbound": out, "inbound": inbound}
 
 

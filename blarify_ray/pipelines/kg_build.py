@@ -221,12 +221,48 @@ def build_kg(
     ent_path, _ = run_stage(out_dir, "entities", ent_lin, produce_entities)
     edge_path, _ = run_stage(out_dir, "edges", edge_lin, produce_edges)
 
+    # dst-bucketed copy of the edge table — the INBOUND index (the
+    # reference DB indexes both relationship directions): point lookups
+    # prune inbound edges to one bucket dir instead of scanning the full
+    # table. ZERO-SHUFFLE derivation: one streaming map pass rebuckets +
+    # sorts each batch and the hive-partitioned write splits it per
+    # bucket dir (a bucket may hold several files — point reads scan all
+    # files of ONE dir, so pruning is unaffected, and skipping the
+    # groupby exchange keeps this stage safe under the driver's default
+    # DataContext, where a hash-shuffle aggregator pool can livelock the
+    # streaming executor). Lineage chains off edge_lin so the index
+    # rebuilds exactly when the edges do.
+    dst_lin = lineage_hash("edges_by_dst", edge_lin)
+
+    def produce_edges_by_dst(tmp: str) -> None:
+        import numpy as np
+
+        from ..ids import id_bucket_array
+
+        def rebucket(t: pa.Table) -> pa.Table:
+            b = id_bucket_array(
+                np.asarray(t["dst_id"].to_pylist(), dtype=object), cfg.num_buckets
+            )
+            t = t.set_column(
+                t.schema.get_field_index("bucket"), "bucket", pa.array(b, pa.int32())
+            )
+            return t.sort_by(
+                [("dst_id", "ascending"), ("pred", "ascending"), ("src_id", "ascending")]
+            )
+
+        read_stage(edge_path).map_batches(
+            rebucket, batch_format="pyarrow"
+        ).write_parquet(tmp, partition_cols=["bucket"])
+
+    dstidx_path, _ = run_stage(out_dir, "edges_by_dst", dst_lin, produce_edges_by_dst)
+
     return {
         "docs": docs_path,
         "mentions": men_path,
         "canonical": can_path,
         "entities": ent_path,
         "edges": edge_path,
+        "edges_by_dst": dstidx_path,
     }
 
 

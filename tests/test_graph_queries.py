@@ -194,6 +194,30 @@ def test_k_hop_forced_distributed_tier(built):
     ]
 
 
+def test_node_detail_inbound_index_matches_scan(built):
+    """The dst-bucketed inbound index returns exactly the rows the
+    full-table fallback scan returns (bucket column restored to the
+    canonical src bucket)."""
+    from blarify_ray.pipelines.graph_queries import node_detail
+    from blarify_ray.state.manifest import read_stage
+
+    edge = read_stage(built["edges"]).take(1)[0]
+    eid = edge["dst_id"]
+    assert "edges_by_dst" in built
+    with_index = node_detail(built, eid)
+    no_index = node_detail(
+        {k: v for k, v in built.items() if k != "edges_by_dst"}, eid
+    )
+
+    def key(r):
+        return (r["src_id"], r["pred"], r["dst_id"])
+
+    assert with_index["inbound"]
+    assert sorted(with_index["inbound"], key=key) == sorted(
+        no_index["inbound"], key=key
+    )
+
+
 def test_incremental_noop_identity(built):
     """Re-crawling pages with identical content must leave every table
     byte-identical (idempotent MERGE analog)."""
