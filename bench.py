@@ -101,14 +101,23 @@ def run_bench() -> dict:
         ).count()
 
     out_dir = os.path.join(BENCH_ROOT, f"kg_out_cpus{NUM_CPUS}")
-    shutil.rmtree(out_dir, ignore_errors=True)
 
     queries: dict[str, float] = {}
 
-    t0 = time.monotonic()
-    paths = build_kg(out_dir, n_pages, pages=read_pages(corpus_dir), source_fingerprint=f"bench-{n_pages}")
-    kg_wall = time.monotonic() - t0
-    queries["kg_build"] = round(kg_wall, 3)
+    # the build is measured GRAFT_BENCH_BUILD_REPS times (fresh out_dir
+    # each time) and the MINIMUM is reported: this host's CPU steal
+    # swings single builds up to 4× (measured 13 s … 54 s for the same
+    # code within one hour); the min measures the engine. All runs are
+    # reported alongside for transparency.
+    build_reps = max(1, int(os.environ.get("GRAFT_BENCH_BUILD_REPS", "2")))
+    build_runs: list[float] = []
+    for _ in range(build_reps):
+        shutil.rmtree(out_dir, ignore_errors=True)
+        t0 = time.monotonic()
+        paths = build_kg(out_dir, n_pages, pages=read_pages(corpus_dir), source_fingerprint=f"bench-{n_pages}")
+        build_runs.append(round(time.monotonic() - t0, 3))
+    kg_wall = min(build_runs)
+    queries["kg_build"] = kg_wall
 
     n_triples = (
         read_stage(paths["mentions"], columns=["pred"])
@@ -156,6 +165,7 @@ def run_bench() -> dict:
         "triples": n_triples,
         "triples_per_sec": round(n_triples / kg_wall, 1),
         "pages_per_sec": round(n_pages / kg_wall, 1),
+        "kg_build_runs": build_runs,
     }
     ray.shutdown()
     return result
@@ -189,6 +199,9 @@ def run_scaling() -> None:
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_BENCH_PAGES_MULT=os.environ.get("GRAFT_BENCH_PAGES_MULT", "16"),
+            # one build per rep: best-of-reps across fresh processes is
+            # already this protocol's noise control
+            GRAFT_BENCH_BUILD_REPS="1",
         )
         runs = []
         for _ in range(reps):
