@@ -937,7 +937,7 @@ QUERIES = {
     "top_suppliers_by_revenue": q_top_suppliers_by_revenue,
 }
 
-ORACLE_SQL = {
+ORACLE_SQL: dict[str, str] = {
     "orders_last_event": SQL_ASOF,
     "pricing_summary": SQL_PRICING,
     "top_customer_revenue": SQL_TOP_CUSTOMER,
@@ -959,3 +959,9 @@ ORACLE_SQL = {
     "running_revenue_per_user": SQL_RUNNING_REVENUE,
     "top_suppliers_by_revenue": SQL_TOP_SUPPLIERS,
 }
+
+# extended battery (join trees, HAVING filters, funnels, word stats):
+# analytics_ext self-registers into QUERIES/ORACLE_SQL at ITS bottom —
+# a plain module import here (no attribute access) is safe in both
+# import orders despite the mutual dependency.
+from . import analytics_ext  # noqa: E402, F401
