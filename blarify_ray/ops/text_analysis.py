@@ -147,3 +147,45 @@ def fingerprints(ds: ray.data.Dataset, text_col: str, id_col: str) -> ray.data.D
         )
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+# --- benchmark decontamination (verbatim-overlap scan) ----------------------
+
+def contamination(
+    ds: ray.data.Dataset, text_col: str, id_col: str, snippets: list[str]
+) -> ray.data.Dataset:
+    """Benchmark-decontamination scan: for each document, count how many
+    benchmark snippets appear VERBATIM in its text (the n-gram-overlap
+    decontamination step of LLM training-data pipelines); docs with zero
+    hits are dropped (inner-join semantics).
+
+    Scale shape: the snippet MULTISET (duplicates count separately, like
+    a SQL contains-join) is broadcast ONCE via ``ray.put`` — it is
+    benchmark-scale by definition — and the corpus streams through one
+    map pass; each snippet costs one vectorized ``match_substring``
+    kernel per batch, so work is O(|corpus| · |benchmark|) with no
+    shuffle and no driver materialization of the corpus."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray
+
+    ref = ray.put(sorted(snippets))  # multiset, sorted for determinism
+
+    def f(t: pa.Table) -> pa.Table:
+        from ..util import get_broadcast
+
+        sn = get_broadcast(ref)
+        hits = np.zeros(t.num_rows, np.int64)
+        col = t[text_col]
+        for s in sn:
+            m = pc.match_substring(col, pattern=s).combine_chunks()
+            hits += np.asarray(m, dtype=bool).astype(np.int64)
+        keep = hits > 0
+        return pa.Table.from_pydict(
+            {
+                id_col: t[id_col].filter(pa.array(keep)) if isinstance(t[id_col], pa.ChunkedArray) else pa.array(np.asarray(t[id_col])[keep]),
+                "n_hits": pa.array(hits[keep]),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -648,6 +648,43 @@ SELECT doc_id,
 FROM c GROUP BY doc_id
 """
 
+# --- benchmark_contamination (decontamination scan) ---------------------------
+
+CONTAM_MOD = 41  # every 41st doc donates a snippet — benchmark-scale set
+CONTAM_WORDS = 2
+
+
+def q_benchmark_contamination(sf_dir: str):
+    """Training-data decontamination: which corpus docs contain a
+    benchmark snippet verbatim, and how many. The benchmark set is
+    derived deterministically from the corpus itself (first
+    CONTAM_WORDS words of every CONTAM_MOD-th doc) so the oracle can
+    express the identical join; the scan is ops.text_analysis.contamination
+    (broadcast snippet multiset, one streaming pass, no shuffle)."""
+    from ..ops.text_analysis import contamination
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def snippet_partial(df: pd.DataFrame) -> pd.DataFrame:
+        sel = df[df["doc_id"] % CONTAM_MOD == 0]
+        sn = sel["text"].str.split(" ").str[:CONTAM_WORDS].str.join(" ")
+        return pd.DataFrame({"snippet": sn.astype(str)})
+
+    bench = docs.map_batches(snippet_partial, batch_format="pandas").take_all()
+    # benchmark-scale by construction (|docs| / CONTAM_MOD rows)
+    snippets = [r["snippet"] for r in bench]
+    return contamination(docs, "text", "doc_id", snippets)
+
+
+SQL_CONTAMINATION = f"""
+WITH bench AS (
+  SELECT array_to_string((string_split(text, ' '))[1:{CONTAM_WORDS}], ' ') AS snippet
+  FROM documents WHERE doc_id % {CONTAM_MOD} = 0)
+SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+FROM documents d JOIN bench b ON contains(d.text, b.snippet)
+GROUP BY d.doc_id
+"""
+
 # ---------------------------------------------------------------------------
 
 QUERIES_EXT = {
@@ -660,6 +697,7 @@ QUERIES_EXT = {
     "event_funnel": q_event_funnel,
     "word_topk": q_word_topk,
     "word_repetition_docs": q_word_repetition_docs,
+    "benchmark_contamination": q_benchmark_contamination,
 }
 
 ORACLE_SQL_EXT = {
@@ -672,6 +710,7 @@ ORACLE_SQL_EXT = {
     "event_funnel": SQL_EVENT_FUNNEL,
     "word_topk": SQL_WORD_TOPK,
     "word_repetition_docs": SQL_WORD_REPETITION,
+    "benchmark_contamination": SQL_CONTAMINATION,
 }
 
 # self-register into the main battery (safe in both import orders: by
