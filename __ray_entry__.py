@@ -167,6 +167,18 @@ def _q_kg_mermaid(sf_dir: str):
     return pd.DataFrame({"line": render_mermaid(paths, seed)})
 
 
+def _q_kg_pagerank(sf_dir: str):
+    from blarify_ray.pipelines.graph_analytics import top_pagerank
+
+    return top_pagerank(_kg_paths(sf_dir), k=50)
+
+
+def _q_kg_components(sf_dir: str):
+    from blarify_ray.pipelines.graph_analytics import component_sizes
+
+    return component_sizes(_kg_paths(sf_dir), k=20)
+
+
 def _q_kg_skeleton_tree(sf_dir: str):
     import pandas as pd
 
@@ -196,6 +208,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_external": _q_kg_external,
         "kg_mermaid": _q_kg_mermaid,
         "kg_skeleton_tree": _q_kg_skeleton_tree,
+        "kg_pagerank": _q_kg_pagerank,
+        "kg_components": _q_kg_components,
     }
     q.update(analytics.QUERIES)
     q.update(training_ops.QUERIES)

@@ -140,6 +140,13 @@ class PipelineConfig:
     # drop a top-k completion). Both tiers produce identical rows
     # (forced-tier tested).
     workflows_driver_max_edges: int = 2_000_000
+    # PageRank tier: below this many edges the power iteration runs on
+    # the driver as one numpy bincount per round (same driver bound as
+    # the workflows DFS); above it each round is a co-partitioned
+    # rank⋈edges attach + hash-routed vectorized sum over a partitioned
+    # node-state dataset. Identical spec both tiers (forced-tier tested
+    # to float-summation-order tolerance).
+    pagerank_driver_max_edges: int = 2_000_000
     # k-hop frontier tier: a frontier (plus seen set) smaller than this
     # is broadcast as a sorted id array and applied with ``pc.is_in``;
     # above it the expansion switches to a co-partitioned semi-join of

@@ -1,0 +1,302 @@
+"""Whole-graph analytics over the materialized KG — the scale-side
+complement of the point queries in ``graph_queries.py``.
+
+The reference ranks and groups its graph driver-side after loading it
+from Neo4j (top-nodes / hierarchy queries,
+``blarify/repositories/graph_db_manager/queries.py:1692-1849``); at
+web-KG scale the graph itself is corpus-proportional, so these run as
+iterative Ray Data rounds over the hash-partitioned edge/entity parquet:
+
+- ``pagerank``: damped PageRank by power iteration. Size-tiered like
+  every iterative op in this engine: below
+  ``cfg.pagerank_driver_max_edges`` the edge list fits comfortably on
+  the driver and the iteration is one numpy ``bincount`` per round;
+  above it each round is a co-partitioned rank⋈edges lookup join plus
+  one hash-routed vectorized sum — node-scale state lives in a
+  partitioned dataset, never a driver dict. Both tiers implement the
+  same spec (same damping, weighted out-degree split, dangling-mass
+  redistribution) and agree to float-summation-order tolerance
+  (forced-tier tested).
+- ``weakly_connected_components``: undirected components of the KG via
+  the same distributed min-label-propagation used by canonicalization
+  (``stages/canonicalize.connected_components_ds`` — pointer jumping,
+  O(log diameter) rounds); isolated entities keep their own id as the
+  component label.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from ..config import DEFAULT_CONFIG, PipelineConfig
+from ..state.manifest import read_stage
+from ..util import compact_nonempty
+
+
+def _edge_parts(n_edges: int, cfg: PipelineConfig) -> int:
+    return max(1, min(cfg.agg_partitions, n_edges // cfg.cc_rows_per_partition + 1))
+
+
+def pagerank(
+    paths: dict[str, str],
+    damping: float = 0.85,
+    iters: int = 10,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+) -> ray.data.Dataset:
+    """PageRank over the directed KG multigraph → ``Dataset[(entity_id,
+    rank)]`` (float64, sums to 1).
+
+    Spec (both tiers): node universe = the entities table; a node's rank
+    splits across its out-edges proportionally to edge ``weight``
+    (multi-edges sum); dangling mass (nodes with zero outgoing weight)
+    redistributes uniformly; ``rank' = (1-d)/N + d·(inflow +
+    dangling/N)`` for ``iters`` rounds from the uniform start.
+    """
+    edges = read_stage(paths["edges"], columns=["src_id", "dst_id", "weight"])
+    ents = read_stage(paths["entities"], columns=["entity_id"])
+    n_edges = edges.count()
+    if n_edges <= cfg.pagerank_driver_max_edges:
+        return _pagerank_driver(edges, ents, damping, iters)
+    return _pagerank_distributed(edges, ents, n_edges, damping, iters, cfg)
+
+
+def _pagerank_driver(
+    edges: ray.data.Dataset, ents: ray.data.Dataset, damping: float, iters: int
+) -> ray.data.Dataset:
+    """Driver tier: index-mapped numpy power iteration (one weighted
+    ``bincount`` per round). Correct while the EDGE LIST fits on the
+    driver — the same bound as the workflows driver tier."""
+    ids = sorted(r["entity_id"] for r in ents.take_all())
+    idx = {e: i for i, e in enumerate(ids)}
+    n = len(ids)
+    if n == 0:
+        return ray.data.from_arrow(_pr_empty())
+    er = edges.take_all()
+    src = np.fromiter((idx[r["src_id"]] for r in er), dtype=np.int64, count=len(er))
+    dst = np.fromiter((idx[r["dst_id"]] for r in er), dtype=np.int64, count=len(er))
+    w = np.fromiter((r["weight"] for r in er), dtype=np.float64, count=len(er))
+    out_w = np.bincount(src, weights=w, minlength=n)
+    rank = np.full(n, 1.0 / n)
+    base = (1.0 - damping) / n
+    for _ in range(iters):
+        rate = np.divide(rank, out_w, out=np.zeros(n), where=out_w > 0)
+        inflow = np.bincount(dst, weights=w * rate[src], minlength=n)
+        dangling = rank[out_w == 0].sum()
+        rank = base + damping * (inflow + dangling / n)
+    return ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {"entity_id": pa.array(ids, pa.string()), "rank": pa.array(rank, pa.float64())}
+        )
+    )
+
+
+def _pagerank_distributed(
+    edges: ray.data.Dataset,
+    ents: ray.data.Dataset,
+    n_edges: int,
+    damping: float,
+    iters: int,
+    cfg: PipelineConfig,
+) -> ray.data.Dataset:
+    """Distributed tier. Per round: (1) dangling mass = one column sum
+    over the node-scale state, (2) rank→edge rate attach by src (ONE
+    co-partitioning shuffle, ``copartition_attach``), (3) per-batch
+    partial inflow sums then one hash-routed vectorized merge, (4) left
+    attach of inflow back onto the static node table. State is
+    materialized per round (node-scale, never corpus-scale) so rounds
+    don't re-execute the chain."""
+    from ..ops.joins import copartition_attach
+
+    parts = _edge_parts(n_edges, cfg)
+    n = ents.count()
+    if n == 0:
+        return ray.data.from_arrow(_pr_empty())
+
+    # static out-weight per node: per-batch partial, one routed merge
+    def outw_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("src_id", sort=False)["weight"].sum().reset_index()
+        g.columns = ["entity_id", "out_w"]
+        g["_pkey"] = (
+            pd.util.hash_array(g["entity_id"].to_numpy(dtype=object)) % parts
+        ).astype("int32")
+        return g
+
+    def outw_merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("entity_id", sort=False)["out_w"].sum().reset_index()
+        out["out_w"] = out["out_w"].astype("float64")
+        return out
+
+    outw = compact_nonempty(
+        edges.map_batches(outw_partial, batch_format="pandas")
+        .groupby("_pkey")
+        .map_groups(outw_merge, batch_format="pandas")
+    )
+    nodes = copartition_attach(
+        ents, outw, "entity_id", "entity_id", {"out_w": "out_w"},
+        partitions=parts, how="left",
+    ).map_batches(
+        lambda df: df.assign(out_w=df["out_w"].fillna(0.0).astype("float64")),
+        batch_format="pandas",
+    ).materialize()
+
+    base = (1.0 - damping) / n
+    r0 = 1.0 / n
+    state = nodes.map_batches(
+        lambda df: df.assign(rank=np.float64(r0)), batch_format="pandas"
+    ).materialize()
+
+    for _ in range(iters):
+        dangling = (
+            state.map_batches(
+                lambda t: pa.Table.from_pydict(
+                    {"dr": pc.if_else(pc.equal(t["out_w"], 0.0), t["rank"], 0.0)}
+                ),
+                batch_format="pyarrow",
+            ).sum("dr")
+            or 0.0
+        )
+        rates = state.map_batches(
+            lambda df: pd.DataFrame(
+                {
+                    "entity_id": df["entity_id"],
+                    "rate": np.divide(
+                        df["rank"].to_numpy(),
+                        df["out_w"].to_numpy(),
+                        out=np.zeros(len(df)),
+                        where=df["out_w"].to_numpy() > 0,
+                    ),
+                }
+            ),
+            batch_format="pandas",
+        )
+        hits = copartition_attach(
+            edges, rates, "src_id", "entity_id", {"rate": "rate"},
+            partitions=parts, how="inner",
+        )
+
+        def inflow_partial(df: pd.DataFrame) -> pd.DataFrame:
+            c = df["weight"].to_numpy(dtype="float64") * df["rate"].to_numpy()
+            g = (
+                pd.DataFrame({"entity_id": df["dst_id"], "c": c})
+                .groupby("entity_id", sort=False)["c"]
+                .sum()
+                .reset_index()
+            )
+            g["_pkey"] = (
+                pd.util.hash_array(g["entity_id"].to_numpy(dtype=object)) % parts
+            ).astype("int32")
+            return g
+
+        def inflow_merge(g: pd.DataFrame) -> pd.DataFrame:
+            return g.groupby("entity_id", sort=False)["c"].sum().reset_index()
+
+        inflow = compact_nonempty(
+            hits.map_batches(inflow_partial, batch_format="pandas")
+            .groupby("_pkey")
+            .map_groups(inflow_merge, batch_format="pandas")
+        )
+
+        def new_rank(df: pd.DataFrame, _dg=dangling) -> pd.DataFrame:
+            c = df["c"].fillna(0.0).to_numpy(dtype="float64")
+            return pd.DataFrame(
+                {
+                    "entity_id": df["entity_id"],
+                    "out_w": df["out_w"].astype("float64"),
+                    "rank": base + damping * (c + _dg / n),
+                }
+            )
+
+        state = (
+            copartition_attach(
+                nodes, inflow, "entity_id", "entity_id", {"c": "c"},
+                partitions=parts, how="left",
+            )
+            .map_batches(new_rank, batch_format="pandas")
+            .materialize()
+        )
+
+    return state.map_batches(
+        lambda t: t.select(["entity_id", "rank"]), batch_format="pyarrow"
+    )
+
+
+def _pr_empty() -> pa.Table:
+    return pa.Table.from_pydict(
+        {"entity_id": pa.array([], pa.string()), "rank": pa.array([], pa.float64())}
+    )
+
+
+def top_pagerank(
+    paths: dict[str, str],
+    k: int = 20,
+    damping: float = 0.85,
+    iters: int = 10,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+) -> ray.data.Dataset:
+    """Top-k entities by PageRank (tie → entity_id), with names attached
+    by one co-partitioned lookup — the KG's 'most central' view, the
+    mention-count ``top_entities`` ranking's link-structure sibling."""
+    from ..ops.joins import copartition_attach
+
+    pr = pagerank(paths, damping=damping, iters=iters, cfg=cfg)
+    ents = read_stage(paths["entities"], columns=["entity_id", "name", "type"])
+    named = copartition_attach(
+        pr, ents, "entity_id", "entity_id", {"name": "name", "type": "type"},
+        partitions=_edge_parts(ents.count(), cfg), how="inner",
+    )
+    return named.sort(["rank", "entity_id"], descending=[True, False]).limit(k)
+
+
+def weakly_connected_components(
+    paths: dict[str, str], cfg: PipelineConfig = DEFAULT_CONFIG
+) -> ray.data.Dataset:
+    """Undirected components over the KG edges →
+    ``Dataset[(entity_id, component)]`` where ``component`` is the
+    minimum entity_id in the component (isolated entities label
+    themselves). Runs on ``connected_components_ds`` — the same
+    distributed min-label propagation (pointer jumping, hash-partitioned
+    label state) that canonicalization uses, so there is exactly one CC
+    implementation in the engine."""
+    from ..ops.joins import copartition_attach
+    from ..stages.canonicalize import connected_components_ds
+
+    edges = read_stage(paths["edges"], columns=["src_id", "dst_id"])
+    pairs = edges.map_batches(
+        lambda t: pa.Table.from_pydict({"x": t["src_id"], "y": t["dst_id"]}),
+        batch_format="pyarrow",
+    )
+    labels = connected_components_ds(pairs, cfg)  # (node, comp), edge nodes only
+    ents = read_stage(paths["entities"], columns=["entity_id"])
+    attached = copartition_attach(
+        ents, labels, "entity_id", "node", {"comp": "component"},
+        partitions=_edge_parts(edges.count(), cfg), how="left",
+    )
+    return attached.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "entity_id": df["entity_id"],
+                "component": df["component"].fillna(df["entity_id"]),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
+def component_sizes(
+    paths: dict[str, str], k: int = 20, cfg: PipelineConfig = DEFAULT_CONFIG
+) -> ray.data.Dataset:
+    """Top-k components by member count — the 'how fragmented is the
+    graph' summary (one aggregate over the WCC labels)."""
+    from ray.data.aggregate import Count
+
+    return (
+        weakly_connected_components(paths, cfg)
+        .groupby("component")
+        .aggregate(Count(alias_name="n_members"))
+        .sort(["n_members", "component"], descending=[True, False])
+        .limit(k)
+    )

@@ -118,6 +118,18 @@ def _t_domain_rollup(paths: dict[str, str]) -> list[dict]:
     return _rows(bottom_up_rollup(paths))
 
 
+def _t_pagerank(paths: dict[str, str], k: int = 20) -> list[dict]:
+    from .pipelines.graph_analytics import top_pagerank
+
+    return _rows(top_pagerank(paths, k=k))
+
+
+def _t_components(paths: dict[str, str], k: int = 20) -> list[dict]:
+    from .pipelines.graph_analytics import component_sizes
+
+    return _rows(component_sizes(paths, k=k))
+
+
 _ID = {"type": "string", "description": "entity_id (md5 hex)"}
 _K = {"type": "integer", "default": 10}
 _PAGE = {
@@ -172,6 +184,12 @@ TOOLS: dict[str, Tool] = {
         Tool("skeleton_tree",
              "Indented tree render of the corpus hierarchy (root/tld/domain)",
              _t_skeleton_tree, {"max_children": {"type": "integer", "default": 50}}),
+        Tool("top_pagerank",
+             "Top-k entities by PageRank (damped, weighted, size-tiered iteration)",
+             _t_pagerank, {"k": _K}),
+        Tool("graph_components",
+             "Top-k weakly-connected components by member count",
+             _t_components, {"k": _K}),
     ]
 }
 

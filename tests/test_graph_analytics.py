@@ -1,0 +1,138 @@
+"""Whole-graph analytics (PageRank, weakly-connected components) over a
+small built KG: spec checks against an independent in-test
+implementation, plus forced-tier parity (driver numpy vs distributed
+rounds must agree to float-summation-order tolerance)."""
+
+import dataclasses
+import shutil
+
+import numpy as np
+import pytest
+
+from blarify_ray.config import DEFAULT_CONFIG
+from blarify_ray.pipelines.graph_analytics import (
+    component_sizes,
+    pagerank,
+    top_pagerank,
+    weakly_connected_components,
+)
+from blarify_ray.pipelines.kg_build import build_kg
+from blarify_ray.state.manifest import read_stage
+
+N = 60
+OUT = "/tmp/blarify_ray_test_ga"
+DAMPING = 0.85
+ITERS = 10
+
+
+@pytest.fixture(scope="module")
+def built():
+    shutil.rmtree(OUT, ignore_errors=True)
+    return build_kg(OUT, N)
+
+
+def _graph(paths):
+    ents = sorted(
+        r["entity_id"] for r in read_stage(paths["entities"], columns=["entity_id"]).take_all()
+    )
+    edges = read_stage(paths["edges"], columns=["src_id", "dst_id", "weight"]).take_all()
+    return ents, edges
+
+
+def _reference_pagerank(ents, edges):
+    """Independent spec implementation (plain dict/numpy, no shared code
+    with the operator)."""
+    idx = {e: i for i, e in enumerate(ents)}
+    n = len(ents)
+    out_w = np.zeros(n)
+    for e in edges:
+        out_w[idx[e["src_id"]]] += e["weight"]
+    rank = np.full(n, 1.0 / n)
+    for _ in range(ITERS):
+        inflow = np.zeros(n)
+        for e in edges:
+            s = idx[e["src_id"]]
+            if out_w[s] > 0:
+                inflow[idx[e["dst_id"]]] += rank[s] * e["weight"] / out_w[s]
+        dangling = rank[out_w == 0].sum()
+        rank = (1 - DAMPING) / n + DAMPING * (inflow + dangling / n)
+    return {e: rank[i] for e, i in idx.items()}
+
+
+def test_pagerank_matches_reference(built):
+    ents, edges = _graph(built)
+    want = _reference_pagerank(ents, edges)
+    got = {
+        r["entity_id"]: r["rank"]
+        for r in pagerank(built, damping=DAMPING, iters=ITERS).take_all()
+    }
+    assert set(got) == set(want)
+    g = np.array([got[e] for e in ents])
+    w = np.array([want[e] for e in ents])
+    np.testing.assert_allclose(g, w, rtol=1e-9)
+    assert abs(g.sum() - 1.0) < 1e-9  # rank is a distribution
+
+
+def test_pagerank_forced_tier_parity(built):
+    driver = {
+        r["entity_id"]: r["rank"]
+        for r in pagerank(built, damping=DAMPING, iters=ITERS).take_all()
+    }
+    forced = dataclasses.replace(DEFAULT_CONFIG, pagerank_driver_max_edges=0)
+    dist = {
+        r["entity_id"]: r["rank"]
+        for r in pagerank(built, damping=DAMPING, iters=ITERS, cfg=forced).take_all()
+    }
+    assert set(dist) == set(driver)
+    keys = sorted(driver)
+    np.testing.assert_allclose(
+        np.array([dist[k] for k in keys]),
+        np.array([driver[k] for k in keys]),
+        rtol=1e-9,
+    )
+
+
+def test_top_pagerank_named_and_ordered(built):
+    rows = top_pagerank(built, k=10).take_all()
+    assert 0 < len(rows) <= 10
+    assert all(r["name"] for r in rows)
+    ranks = [r["rank"] for r in rows]
+    assert ranks == sorted(ranks, reverse=True)
+
+
+def _reference_wcc(ents, edges):
+    parent = {e: e for e in ents}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for e in edges:
+        a, b = find(e["src_id"]), find(e["dst_id"])
+        if a != b:
+            parent[max(a, b)] = min(a, b)
+    # component label = min member id
+    comp = {}
+    for e in ents:
+        comp.setdefault(find(e), []).append(e)
+    return {m: min(ms) for ms in comp.values() for m in ms}
+
+
+def test_wcc_matches_union_find(built):
+    ents, edges = _graph(built)
+    want = _reference_wcc(ents, edges)
+    got = {
+        r["entity_id"]: r["component"]
+        for r in weakly_connected_components(built).take_all()
+    }
+    assert got == want
+
+
+def test_component_sizes_sum_to_entity_count(built):
+    ents, _ = _graph(built)
+    rows = component_sizes(built, k=10_000).take_all()
+    assert sum(r["n_members"] for r in rows) == len(ents)
+    sizes = [(r["n_members"], r["component"]) for r in rows]
+    assert sizes == sorted(sizes, key=lambda s: (-s[0], s[1]))
