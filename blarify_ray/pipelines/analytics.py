@@ -965,3 +965,7 @@ ORACLE_SQL: dict[str, str] = {
 # a plain module import here (no attribute access) is safe in both
 # import orders despite the mutual dependency.
 from . import analytics_ext  # noqa: E402, F401
+
+# window/rank/rollup/quantile/co-occurrence battery — same self-register
+# contract as analytics_ext
+from . import analytics_win  # noqa: E402, F401

@@ -1,0 +1,398 @@
+"""Window / rank / rollup / quantile / co-occurrence battery — the
+oracle-checked analytics shapes round 2 didn't cover, each as the Ray
+pattern that survives 100 TB:
+
+- top3_orders_per_customer   per-partition ROW_NUMBER top-k: per-batch
+                             top-3 combiner (global top-k per key ⊆
+                             union of per-batch top-k) → ONE key-routed
+                             exchange → vectorized sort+head+cumcount
+- median_price_by_flag       EXACT distributed median: per-batch value
+                             -count partials (histogram combiner) →
+                             flag-routed exchange → weighted-quantile
+                             select on the |distinct values|-scale
+                             histogram (never sorts the fact table)
+- status_priority_rollup     GROUP BY ROLLUP: ONE distributed
+                             fine-grained aggregate; subtotal and
+                             grand-total rows derived from the
+                             group-scale result (no second fact scan)
+- parts_bought_together      co-occurrence self-join: order-routed
+                             co-partitioning, per-partition vectorized
+                             pair emission (pairs per order are
+                             basket-size-bounded), pair-keyed count
+                             exchange, global top-k
+- supplier_nation_share      percent-of-total window: supplier-keyed
+                             revenue exchange, nation totals derived
+                             from the supplier-scale aggregate and
+                             broadcast back (integer cents → exact
+                             float division, bit-identical to SQL)
+
+Conventions match the main battery (CLAUDE.md invariants): money as
+integer cents, half-away-from-zero rounding, CAST(... AS BIGINT)
+aggregates, column names and dtypes identical to the SQL.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from ..util import get_broadcast
+from .analytics import _round_half_away, _t
+
+# NOTE: analytics_ext helpers (_f64/_i64/_sorted_dim) are imported INSIDE
+# the functions that use them — a module-top import would re-enter
+# analytics_ext while it is still executing ITS top-level
+# `from .analytics import ...` (analytics imports this module at its
+# bottom), which faults on workers that unpickle a map fn whose root
+# import is analytics_ext.
+
+# hash-exchange width for the key-routed groupbys below (same role as
+# PipelineConfig.agg_partitions; local constant because the analytics
+# battery is cfg-free by contract with the driver harness)
+WIN_PARTS = 64
+
+
+def _route(df: pd.DataFrame, col: str, parts: int = WIN_PARTS) -> pd.DataFrame:
+    df["_pkey"] = (
+        pd.util.hash_array(df[col].to_numpy()) % parts
+    ).astype("int32")
+    return df
+
+
+# --- top3_orders_per_customer (ROW_NUMBER top-k per partition key) -----------
+
+TOP_PER_CUSTOMER = 3
+
+
+def q_top3_orders_per_customer(sf_dir: str):
+    """Each customer's top-3 orders by price with their rank. The
+    per-batch combiner already prunes to ≤3 rows per customer per batch
+    (the global top-k per key is a subset of the union of per-batch
+    top-ks), so the exchange moves ≤ 3·|customers| rows regardless of
+    fact size; the merge is one vectorized sort + groupby head + cumcount
+    per partition."""
+    orders = _t(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["o_custkey", "price_cents", "o_orderkey"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        return df.groupby("o_custkey", sort=False).head(TOP_PER_CUSTOMER)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "o_custkey": df["o_custkey"].to_numpy(np.int64),
+                "o_orderkey": df["o_orderkey"].to_numpy(np.int64),
+                "price_cents": _round_half_away(
+                    df["o_totalprice"].to_numpy(np.float64) * 100
+                ),
+            }
+        )
+        return _route(topk(df), "o_custkey")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = topk(g)
+        g["rnk"] = (g.groupby("o_custkey", sort=False).cumcount() + 1).astype(np.int64)
+        return g[["o_custkey", "o_orderkey", "price_cents", "rnk"]].reset_index(drop=True)
+
+    return (
+        orders.map_batches(partial, batch_format="pandas")
+        .groupby("_pkey")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+SQL_TOP3_PER_CUSTOMER = f"""
+SELECT o_custkey, o_orderkey, price_cents, rnk FROM (
+  SELECT o_custkey, o_orderkey,
+         CAST(ROUND(o_totalprice*100) AS BIGINT) AS price_cents,
+         ROW_NUMBER() OVER (
+           PARTITION BY o_custkey
+           ORDER BY CAST(ROUND(o_totalprice*100) AS BIGINT) DESC, o_orderkey
+         ) AS rnk
+  FROM orders)
+WHERE rnk <= {TOP_PER_CUSTOMER}
+"""
+
+# --- median_price_by_flag (exact distributed median via histograms) ----------
+
+
+def q_median_price_by_flag(sf_dir: str):
+    """Exact median lineitem price per returnflag WITHOUT sorting the
+    fact table: each batch emits a (flag, cents, n) value-count partial
+    (the histogram combiner — at most |distinct cents| rows leave a
+    batch), one flag-routed exchange lands each flag's full histogram in
+    one partition, and the median is a weighted-quantile select on the
+    histogram (cumsum + searchsorted). Matches DuckDB ``median`` on
+    BIGINT exactly: the mean of the lower/upper middle elements —
+    integer cents, so the double is exact."""
+    li = _t(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {
+                "flag": df["l_returnflag"].to_numpy(dtype=object),
+                "cents": _round_half_away(
+                    df["l_extendedprice"].to_numpy(np.float64) * 100
+                ),
+            }
+        )
+        g = d.groupby(["flag", "cents"], sort=False).size().reset_index(name="n")
+        return _route(g, "flag")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = {"l_returnflag": [], "n_items": [], "median_price_cents": []}
+        h = g.groupby(["flag", "cents"], sort=True)["n"].sum()
+        for flag, hist in h.groupby(level=0, sort=True):
+            vals = hist.index.get_level_values(1).to_numpy(np.int64)
+            cnts = hist.to_numpy(np.int64)  # vals ascending (sorted groupby)
+            cum = np.cumsum(cnts)
+            n = int(cum[-1])
+            lo = vals[np.searchsorted(cum, (n - 1) // 2 + 1)]
+            hi = vals[np.searchsorted(cum, n // 2 + 1)]
+            out["l_returnflag"].append(flag)
+            out["n_items"].append(n)
+            out["median_price_cents"].append((float(lo) + float(hi)) / 2.0)
+        return pd.DataFrame(
+            {
+                "l_returnflag": pd.Series(out["l_returnflag"], dtype=str),
+                "n_items": pd.Series(out["n_items"], dtype=np.int64),
+                "median_price_cents": pd.Series(out["median_price_cents"], dtype=np.float64),
+            }
+        )
+
+    return (
+        li.map_batches(partial, batch_format="pandas")
+        .groupby("_pkey")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+SQL_MEDIAN_BY_FLAG = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       median(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS median_price_cents
+FROM lineitem GROUP BY l_returnflag
+"""
+
+# --- status_priority_rollup (GROUP BY ROLLUP from one fine aggregate) --------
+
+
+def q_status_priority_rollup(sf_dir: str):
+    """ROLLUP(status, priority) counts + revenue. The fact table is
+    aggregated ONCE, distributed, to the fine (status, priority) grain;
+    the subtotal (priority=NULL) and grand-total rows are derived from
+    that group-scale result on the driver — the rollup costs no second
+    scan and no extra shuffle at any corpus size."""
+    from ray.data.aggregate import Count, Sum
+
+    orders = _t(sf_dir, "orders", ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+
+    def derive(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderstatus": df["o_orderstatus"],
+                "o_orderpriority": df["o_orderpriority"],
+                "cents": _round_half_away(df["o_totalprice"].to_numpy(np.float64) * 100),
+            }
+        )
+
+    fine = (
+        orders.map_batches(derive, batch_format="pandas")
+        .groupby(["o_orderstatus", "o_orderpriority"])
+        .aggregate(Count(alias_name="n_orders"), Sum("cents", alias_name="revenue_cents"))
+        .to_pandas()  # group-scale: |status| × |priority| rows
+    )
+    fine = fine.astype({"n_orders": np.int64, "revenue_cents": np.int64})
+    sub = (
+        fine.groupby("o_orderstatus", as_index=False)[["n_orders", "revenue_cents"]]
+        .sum()
+        .assign(o_orderpriority=None)
+    )
+    total = pd.DataFrame(
+        {
+            "o_orderstatus": [None],
+            "o_orderpriority": [None],
+            "n_orders": [fine["n_orders"].sum()],
+            "revenue_cents": [fine["revenue_cents"].sum()],
+        }
+    )
+    cols = ["o_orderstatus", "o_orderpriority", "n_orders", "revenue_cents"]
+    out = pd.concat([fine[cols], sub[cols], total[cols]], ignore_index=True)
+    return out.astype({"n_orders": np.int64, "revenue_cents": np.int64})
+
+
+SQL_STATUS_ROLLUP = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+"""
+
+# --- parts_bought_together (co-occurrence pairs within an order) --------------
+
+PAIR_TOPK = 25
+
+
+def q_parts_bought_together(sf_dir: str):
+    """Top-k part pairs co-occurring in the same order. Rows are routed
+    by orderkey (every basket lands whole in one partition), each
+    partition emits its distinct pairs via ONE vectorized self-merge
+    (pairs per order are basket-size-bounded — TPC-H baskets are ≤7
+    items; a skewed marketplace basket would need a per-order cap, which
+    would have to land in the oracle too), partial-counted, then summed
+    across partitions with a pair-keyed exchange and top-k'd on the
+    pair-scale result."""
+    from ray.data.aggregate import Sum
+
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def route(df: pd.DataFrame) -> pd.DataFrame:
+        return _route(df.drop_duplicates(), "l_orderkey")
+
+    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[["l_orderkey", "l_partkey"]].drop_duplicates()
+        m = g.merge(g, on="l_orderkey", suffixes=("_a", "_b"))
+        m = m[m["l_partkey_a"] < m["l_partkey_b"]]
+        p = (
+            m.groupby(["l_partkey_a", "l_partkey_b"], sort=False)
+            .size()
+            .reset_index(name="n_orders")
+        )
+        p.columns = ["part_a", "part_b", "n_orders"]
+        return p.astype({"part_a": np.int64, "part_b": np.int64, "n_orders": np.int64})
+
+    pairs = (
+        li.map_batches(route, batch_format="pandas")
+        .groupby("_pkey")
+        .map_groups(emit_pairs, batch_format="pandas")
+    )
+    return (
+        pairs.groupby(["part_a", "part_b"])
+        .aggregate(Sum("n_orders", alias_name="n_orders"))
+        .sort(["n_orders", "part_a", "part_b"], descending=[True, False, False])
+        .limit(PAIR_TOPK)
+    )
+
+
+SQL_PARTS_TOGETHER = f"""
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM op a JOIN op b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY part_a, part_b
+ORDER BY n_orders DESC, part_a, part_b LIMIT {PAIR_TOPK}
+"""
+
+# --- supplier_nation_share (percent-of-total window) ---------------------------
+
+
+def q_supplier_nation_share(sf_dir: str):
+    """Each supplier's revenue and its share of the supplier's nation
+    total — SUM OVER (PARTITION BY nation) as: one supplier-keyed
+    revenue exchange (per-batch bincount partials), nation totals
+    derived FROM the supplier-scale aggregate (nation-scale result,
+    broadcast back), and one exact integer→double division per row
+    (identical operands to the SQL, so the doubles are bit-equal)."""
+    from ray.data.aggregate import Sum
+
+    from .analytics_ext import _f64, _i64, _sorted_dim
+
+    li = _t(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice", "l_discount"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rev = _round_half_away(
+            _f64(pa.array(df["l_extendedprice"])) * (1 - _f64(pa.array(df["l_discount"]))) * 100
+        )
+        g = (
+            pd.DataFrame({"l_suppkey": df["l_suppkey"].to_numpy(np.int64), "rev": rev})
+            .groupby("l_suppkey", sort=False)["rev"]
+            .sum()
+            .reset_index(name="revenue_cents")
+        )
+        return g
+
+    by_supp = (
+        li.map_batches(partial, batch_format="pandas")
+        .groupby("l_suppkey")
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+    ).materialize()  # supplier-scale; reused for totals + output
+
+    sks, (snat,) = _sorted_dim(sf_dir, "supplier", "s_suppkey", ["s_nationkey"])
+    snat = snat.astype(np.int64)
+    dim_ref = ray.put((sks, snat))
+
+    def with_nation(df: pd.DataFrame) -> pd.DataFrame:
+        ks, nat = get_broadcast(dim_ref)
+        sk = _i64(pa.array(df["l_suppkey"]))
+        pos = np.searchsorted(ks, sk)
+        return pd.DataFrame(
+            {
+                "s_suppkey": sk,
+                "s_nationkey": nat[np.clip(pos, 0, len(ks) - 1)],
+                "revenue_cents": _i64(pa.array(df["revenue_cents"])),
+            }
+        )
+
+    supp = by_supp.map_batches(with_nation, batch_format="pandas")
+    totals = {
+        r["s_nationkey"]: r["sum(revenue_cents)"]
+        for r in supp.groupby("s_nationkey").sum("revenue_cents").take_all()
+    }  # nation-scale (≤ |nation| rows)
+    tot_ref = ray.put(totals)
+
+    def share(df: pd.DataFrame) -> pd.DataFrame:
+        t = get_broadcast(tot_ref)
+        denom = df["s_nationkey"].map(t).to_numpy(np.float64)
+        return pd.DataFrame(
+            {
+                "s_suppkey": df["s_suppkey"].to_numpy(np.int64),
+                "revenue_cents": df["revenue_cents"].to_numpy(np.int64),
+                "nation_share": df["revenue_cents"].to_numpy(np.int64) / denom,
+            }
+        )
+
+    return supp.map_batches(share, batch_format="pandas")
+
+
+SQL_SUPPLIER_SHARE = """
+WITH sr AS (
+  SELECT s_nationkey, s_suppkey,
+         CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  GROUP BY s_nationkey, s_suppkey)
+SELECT s_suppkey, revenue_cents,
+       revenue_cents / SUM(revenue_cents) OVER (PARTITION BY s_nationkey) AS nation_share
+FROM sr
+"""
+
+# ---------------------------------------------------------------------------
+
+QUERIES_WIN = {
+    "top3_orders_per_customer": q_top3_orders_per_customer,
+    "median_price_by_flag": q_median_price_by_flag,
+    "status_priority_rollup": q_status_priority_rollup,
+    "parts_bought_together": q_parts_bought_together,
+    "supplier_nation_share": q_supplier_nation_share,
+}
+
+ORACLE_SQL_WIN = {
+    "top3_orders_per_customer": SQL_TOP3_PER_CUSTOMER,
+    "median_price_by_flag": SQL_MEDIAN_BY_FLAG,
+    "status_priority_rollup": SQL_STATUS_ROLLUP,
+    "parts_bought_together": SQL_PARTS_TOGETHER,
+    "supplier_nation_share": SQL_SUPPLIER_SHARE,
+}
+
+# self-register into the main battery (same contract as analytics_ext)
+from .analytics import ORACLE_SQL as _MAIN_SQL  # noqa: E402
+from .analytics import QUERIES as _MAIN_QUERIES  # noqa: E402
+
+_MAIN_QUERIES.update(QUERIES_WIN)
+_MAIN_SQL.update(ORACLE_SQL_WIN)
