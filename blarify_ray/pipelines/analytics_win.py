@@ -372,6 +372,203 @@ SELECT s_suppkey, revenue_cents,
 FROM sr
 """
 
+# --- events_hopping_windows (overlapping sliding windows) ---------------------
+
+HOP_WIDTH_US = 3_600_000_000  # 1 h windows
+HOP_STEP_US = 1_800_000_000  # sliding by 30 min → every event in 2 windows
+
+
+def q_events_hopping_windows(sf_dir: str):
+    """Event counts per HOPPING window (width 1 h, step 30 min) — the
+    overlapping-window streaming construct tumbling ``events_hourly``
+    can't express. Each batch REPLICATES its events into the
+    width/step = 2 windows they belong to (vectorized epoch arithmetic),
+    partial-counts per window, and one window-keyed exchange sums the
+    window-scale partials. Replication factor is the constant
+    width/step, so the shuffle stays event-scale × 2 at any corpus
+    size — and the partial collapses it to windows-per-batch rows."""
+    from ray.data.aggregate import Sum
+
+    ev = _t(sf_dir, "events", ["ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        w1 = (t // HOP_STEP_US) * HOP_STEP_US
+        ws = np.concatenate([w1, w1 - HOP_STEP_US])
+        tt = np.concatenate([t, t])
+        ws = ws[(tt >= ws) & (tt < ws + HOP_WIDTH_US)]
+        vc = pd.Series(ws).value_counts()
+        return pd.DataFrame(
+            {
+                "window_start_us": vc.index.to_numpy(np.int64),
+                "n_events": vc.to_numpy(np.int64),
+            }
+        )
+
+    return (
+        ev.map_batches(partial, batch_format="pandas")
+        .groupby("window_start_us")
+        .aggregate(Sum("n_events", alias_name="n_events"))
+    )
+
+
+SQL_HOPPING_WINDOWS = f"""
+WITH e AS (SELECT epoch_us(ts) AS t FROM events),
+u AS (SELECT t,
+             unnest([(t//{HOP_STEP_US})*{HOP_STEP_US},
+                     (t//{HOP_STEP_US})*{HOP_STEP_US} - {HOP_STEP_US}]) AS window_start_us
+      FROM e)
+SELECT window_start_us, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM u
+WHERE t >= window_start_us AND t < window_start_us + {HOP_WIDTH_US}
+GROUP BY window_start_us
+"""
+
+# --- stratified_sample_docs (deterministic hash-mod sampling per stratum) -----
+
+SAMPLE_PER_SOURCE = 2
+_SAMPLE_MULT = 2654435761  # Knuth multiplicative hash, SQL-expressible
+_SAMPLE_MOD = 4294967296
+
+
+def q_stratified_sample_docs(sf_dir: str):
+    """Deterministic stratified sample: the SAMPLE_PER_SOURCE docs per
+    source with the smallest multiplicative hash — hash-mod sampling,
+    the reproducible (re-runnable, oracle-expressible) form of per-group
+    reservoir sampling a training-data pipeline needs for eval
+    held-outs. Same combiner shape as the top-k rank query: per-batch
+    top-k per source, then one source-routed exchange of ≤ k·|sources|
+    rows per batch."""
+    docs = _t(sf_dir, "documents", ["doc_id", "source"])
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["source", "h", "doc_id"], kind="mergesort")
+        return df.groupby("source", sort=False).head(SAMPLE_PER_SOURCE)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(np.int64)
+        d = pd.DataFrame(
+            {
+                "source": df["source"],
+                "doc_id": ids,
+                "h": (ids * _SAMPLE_MULT) % _SAMPLE_MOD,
+            }
+        )
+        return _route(topk(d), "source")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return topk(g)[["source", "doc_id", "h"]].reset_index(drop=True)
+
+    return (
+        docs.map_batches(partial, batch_format="pandas")
+        .groupby("_pkey")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+SQL_STRATIFIED_SAMPLE = f"""
+SELECT source, doc_id, h FROM (
+  SELECT source, doc_id,
+         (doc_id*{_SAMPLE_MULT})%{_SAMPLE_MOD} AS h,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY (doc_id*{_SAMPLE_MULT})%{_SAMPLE_MOD}, doc_id) AS rn
+  FROM documents)
+WHERE rn <= {SAMPLE_PER_SOURCE}
+"""
+
+# --- tfidf_top_terms (two-pass corpus statistic + per-doc rank) ----------------
+
+TFIDF_TOPK = 3
+
+
+def q_tfidf_top_terms(sf_dir: str):
+    """Per-document top-k terms by tf·(N/df) — the TF-IDF family with a
+    pure-arithmetic idf (N/df instead of log(N/df)) so the doubles are
+    bit-identical to SQL (IEEE division/multiplication are correctly
+    rounded; ``ln`` is not reproducible across libms). Three exchanges,
+    all bounded:
+    (1) tf: map-ONLY — each doc is one row, so per-doc term counts need
+        no shuffle; the result is materialized once (distinct (doc,term)
+        rows) because two consumers read it,
+    (2) df: per-batch per-term partials → one term-keyed exchange
+        (vocab-scale result),
+    (3) df back onto tf via a term-keyed ``copartition_attach``, then a
+        per-batch top-k-per-doc combiner → one doc-routed exchange of
+        ≤ k rows per doc per batch."""
+    from ray.data.aggregate import Sum
+
+    from ..ops.joins import copartition_attach
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = float(docs.count())
+
+    def tf_partial(df: pd.DataFrame) -> pd.DataFrame:
+        s = df.set_index("doc_id")["text"].str.split(" ").explode()
+        c = s.groupby([s.index, s.values]).size().reset_index()
+        c.columns = ["doc_id", "term", "tf"]
+        return c.astype({"doc_id": np.int64, "tf": np.int64})
+
+    tf = docs.map_batches(tf_partial, batch_format="pandas").materialize()
+
+    def df_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("term", sort=False).size().reset_index(name="df")
+        return g.astype({"df": np.int64})
+
+    dfc = (
+        tf.map_batches(df_partial, batch_format="pandas")
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="df"))
+    )
+    att = copartition_attach(tf, dfc, "term", "term", {"df": "df"})
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["doc_id", "score", "term"], ascending=[True, False, True], kind="mergesort"
+        )
+        return df.groupby("doc_id", sort=False).head(TFIDF_TOPK)
+
+    def score_partial(df: pd.DataFrame) -> pd.DataFrame:
+        tfv = df["tf"].to_numpy(np.float64)
+        dfv = df["df"].to_numpy(np.float64)
+        d = pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+                "term": df["term"],
+                "tf": df["tf"].to_numpy(np.int64),
+                "df": df["df"].to_numpy(np.int64),
+                "score": tfv * (n_docs / dfv),
+            }
+        )
+        return _route(topk(d), "doc_id")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return topk(g)[["doc_id", "term", "tf", "df", "score"]].reset_index(drop=True)
+
+    return (
+        att.map_batches(score_partial, batch_format="pandas")
+        .groupby("_pkey")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+SQL_TFIDF_TOP_TERMS = f"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM words GROUP BY doc_id, term),
+dfx AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+        FROM (SELECT DISTINCT doc_id, term FROM words) GROUP BY term),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+s AS (SELECT doc_id, term, tf, df,
+             tf * ((SELECT n FROM n) / df) AS score
+      FROM tf JOIN dfx USING (term))
+SELECT doc_id, term, tf, df, score FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, term) AS rn FROM s)
+WHERE rn <= {TFIDF_TOPK}
+"""
+
 # ---------------------------------------------------------------------------
 
 QUERIES_WIN = {
@@ -380,6 +577,9 @@ QUERIES_WIN = {
     "status_priority_rollup": q_status_priority_rollup,
     "parts_bought_together": q_parts_bought_together,
     "supplier_nation_share": q_supplier_nation_share,
+    "events_hopping_windows": q_events_hopping_windows,
+    "stratified_sample_docs": q_stratified_sample_docs,
+    "tfidf_top_terms": q_tfidf_top_terms,
 }
 
 ORACLE_SQL_WIN = {
@@ -388,6 +588,9 @@ ORACLE_SQL_WIN = {
     "status_priority_rollup": SQL_STATUS_ROLLUP,
     "parts_bought_together": SQL_PARTS_TOGETHER,
     "supplier_nation_share": SQL_SUPPLIER_SHARE,
+    "events_hopping_windows": SQL_HOPPING_WINDOWS,
+    "stratified_sample_docs": SQL_STRATIFIED_SAMPLE,
+    "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
 }
 
 # self-register into the main battery (same contract as analytics_ext)
