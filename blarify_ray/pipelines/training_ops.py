@@ -91,6 +91,27 @@ def q_approx_distinct_users(sf_dir: str):
     return pd.DataFrame({"n_users_approx": [int(round(est))]})
 
 
+def q_doc_length_quantiles(sf_dir: str):
+    """KLL quantile-sketch metrics: approximate p50/p90/p99 of document
+    length — blob-scale shuffle (one ~KiB sketch per batch), the raw
+    column never leaves the workers. Deterministic compaction → the same
+    estimate on every run (rows-only driver check is stable); accuracy
+    vs exact quantiles is pytest-verified (test_ops)."""
+    import pandas as pd
+
+    from ..ops.sketches import approx_quantiles
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["n_chars"])
+    est = approx_quantiles(docs, "n_chars", [0.5, 0.9, 0.99])
+    return pd.DataFrame(
+        {
+            "p50_chars": [est[0.5]],
+            "p90_chars": [est[0.9]],
+            "p99_chars": [est[0.99]],
+        }
+    )
+
+
 QUERIES = {
     "media_features": q_media_features,
     "approx_distinct_users": q_approx_distinct_users,
@@ -102,4 +123,5 @@ QUERIES = {
     "fingerprints_docs": q_fingerprints_docs,
     "vector_topk_ivf": q_vector_topk_ivf,
     "embedding_near_dup": q_embedding_near_dup,
+    "doc_length_quantiles": q_doc_length_quantiles,
 }

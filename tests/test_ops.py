@@ -254,3 +254,55 @@ def test_embedding_near_dup_forced_distributed_tier():
         for r in embedding_near_dup(ds, threshold=0.95, cfg=forced).take_all()
     }
     assert got == want and any({a, b} == {0, 7} for a, b in got)
+
+
+# --- QuantileSketch (KLL-style, deterministic compaction) -------------------
+
+
+def test_quantile_sketch_accuracy_merge_and_roundtrip():
+    from functools import reduce
+
+    from blarify_ray.ops.sketches import QuantileSketch
+
+    rng = np.random.default_rng(7)
+    vals = rng.normal(100.0, 25.0, 200_000)
+    sketches = []
+    for chunk in np.array_split(vals, 37):
+        s = QuantileSketch(256)
+        s.add(chunk)
+        sketches.append(s)
+    acc = reduce(lambda a, b: a.merge(b), sketches)
+    assert acc.total_weight() == len(vals)  # weight-exact compaction
+    for q in (0.01, 0.25, 0.5, 0.75, 0.99):
+        est = acc.quantile(q)
+        rank = float(np.mean(vals <= est))
+        assert abs(rank - q) < 0.025, (q, est, rank)
+    # serialize → deserialize reproduces the sketch exactly
+    clone = QuantileSketch.deserialize(acc.serialize())
+    assert clone.total_weight() == acc.total_weight()
+    assert all(
+        np.array_equal(a, b) for a, b in zip(acc.levels, clone.levels)
+    )
+    # deterministic: same data in the same chunks → identical estimates
+    s2 = reduce(
+        lambda a, b: a.merge(b),
+        [
+            (lambda s, c: (s.add(c), s)[1])(QuantileSketch(256), chunk)
+            for chunk in np.array_split(vals, 37)
+        ],
+    )
+    assert s2.quantile(0.5) == acc.quantile(0.5)
+
+
+def test_approx_quantiles_dataset_close_to_exact():
+    import pyarrow.parquet as pq
+
+    from blarify_ray.ops.sketches import approx_quantiles
+
+    path = "/root/testdata/sf0.001/documents.parquet"
+    ds = rd.read_parquet(path, columns=["n_chars"])
+    est = approx_quantiles(ds, "n_chars", [0.5, 0.9])
+    exact = np.asarray(pq.read_table(path, columns=["n_chars"])["n_chars"])
+    for q, e in est.items():
+        rank = float(np.mean(exact <= e))
+        assert abs(rank - q) < 0.05, (q, e, rank)
