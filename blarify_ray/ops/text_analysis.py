@@ -149,6 +149,172 @@ def fingerprints(ds: ray.data.Dataset, text_col: str, id_col: str) -> ray.data.D
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+# --- n-gram LM perplexity scoring (CCNet-style quality filter) --------------
+
+LM_SEP = 0  # document separator byte — windows crossing it are dropped
+
+
+def _gram_codes(buf, n: int):
+    """Vectorized byte-n-gram codes over a uint8 buffer: each window of n
+    consecutive bytes packs into one integer; windows containing the
+    document separator are masked out. Returns (codes:int64, valid:bool)
+    aligned to window start positions."""
+    import numpy as np
+
+    v = buf.astype(np.int64)
+    if len(v) < n:
+        return np.empty(0, np.int64), np.empty(0, bool)
+    code = v[: len(v) - n + 1].copy()
+    valid = v[: len(v) - n + 1] != LM_SEP
+    for i in range(1, n):
+        w = v[i : len(v) - n + 1 + i]
+        code = (code << 8) | w
+        valid &= w != LM_SEP
+    return code, valid
+
+
+def _batch_buffer(texts: list[str]):
+    """Concatenate a batch's texts into ONE uint8 buffer with separator
+    bytes, plus per-doc window offsets — so gram extraction and scoring
+    are single numpy passes over the whole batch, never per-row Python."""
+    import numpy as np
+
+    blobs = [t.encode("utf-8", errors="ignore") for t in texts]
+    lens = np.fromiter((len(b) for b in blobs), np.int64, count=len(blobs))
+    buf = np.frombuffer(b"\x00".join(blobs), dtype=np.uint8) if blobs else np.empty(0, np.uint8)
+    starts = np.zeros(len(blobs), np.int64)
+    if len(blobs) > 1:
+        starts[1:] = np.cumsum(lens[:-1] + 1)
+    return buf, starts, lens
+
+
+class ByteTrigramLM:
+    """Add-α-smoothed byte-trigram LM: P(c|ab) = (n_abc+α)/(n_ab+256α).
+    Model = two sorted (code, count) arrays — trigrams (top-k capped) and
+    bigram contexts — a few MB, broadcast once via ``ray.put``."""
+
+    ALPHA = 0.1
+
+    def __init__(self, tri_codes, tri_counts, bi_codes, bi_counts):
+        self.tri_codes, self.tri_counts = tri_codes, tri_counts
+        self.bi_codes, self.bi_counts = bi_codes, bi_counts
+
+    def bits_per_byte(self, buf, starts, lens):
+        """Mean -log2 P over each doc's trigram windows (vectorized:
+        searchsorted lookups + reduceat over doc boundaries)."""
+        import numpy as np
+
+        tri, tvalid = _gram_codes(buf, 3)
+        bi, _ = _gram_codes(buf, 2)
+
+        def lookup(codes, table, counts):
+            pos = np.searchsorted(table, codes)
+            pos_c = np.clip(pos, 0, max(len(table) - 1, 0))
+            hit = (table[pos_c] == codes) if len(table) else np.zeros(len(codes), bool)
+            return np.where(hit, counts[pos_c] if len(table) else 0, 0).astype(np.float64)
+
+        n3 = lookup(tri, self.tri_codes, self.tri_counts)
+        n2 = lookup(bi[: len(tri)], self.bi_codes, self.bi_counts)
+        p = (n3 + self.ALPHA) / (n2 + 256.0 * self.ALPHA)
+        bits = np.where(tvalid, -np.log2(p), 0.0)
+        # per-doc windows: doc i contributes windows [starts[i], starts[i]+max(len-2,0))
+        n_win = np.maximum(lens - 2, 0)
+        out_bits = np.zeros(len(starts))
+        nz = (n_win > 0) & (starts < len(bits))
+        if nz.any():
+            seg = np.add.reduceat(bits, starts[nz])
+            # reduceat sums to the NEXT start — windows between docs are
+            # masked to 0 by tvalid (separator windows), so the segment
+            # sum equals the doc's sum
+            out_bits[nz] = seg / n_win[nz]
+        return out_bits, n_win
+
+
+def train_byte_trigram_lm(
+    ds: ray.data.Dataset, text_col: str, top_k: int = 200_000
+) -> ByteTrigramLM:
+    """Distributed LM training: each batch emits (gram_code, n) count
+    partials for trigrams and bigram contexts (ONE vectorized pass over
+    the batch's concatenated byte buffer), one gram-keyed exchange sums
+    them, and the vocab-scale result (top-k trigrams by count + all
+    bigram contexts) is pulled to the driver — the corpus itself never
+    leaves the workers. The CCNet quality-filter shape: train once,
+    broadcast, score everything."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        buf, _, _ = _batch_buffer(t[text_col].to_pylist())
+        out_g, out_n = [], []
+        for n, tag in ((3, 1 << 40), (2, 2 << 40)):  # tag disambiguates gram length
+            codes, valid = _gram_codes(buf, n)
+            u, c = np.unique(codes[valid], return_counts=True)
+            out_g.append(u + tag)
+            out_n.append(c)
+        return pa.Table.from_pydict(
+            {
+                "g": pa.array(np.concatenate(out_g), pa.int64()),
+                "n": pa.array(np.concatenate(out_n), pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("g")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    import pyarrow.compute as pc
+
+    counts = counts.materialize()  # vocab-scale; two consumers below
+    tri = (
+        counts.map_batches(
+            lambda t: t.filter(pc.less(t["g"], 2 << 40)), batch_format="pyarrow"
+        )
+        .sort(["n", "g"], descending=[True, False])
+        .limit(top_k)
+        .take_all()
+    )
+    bi = counts.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["g"], 2 << 40)), batch_format="pyarrow"
+    ).take_all()
+
+    def arrays(rows, tag):
+        g = np.array([r["g"] - tag for r in rows], np.int64)
+        n = np.array([r["n"] for r in rows], np.int64)
+        srt = np.argsort(g, kind="mergesort")
+        return g[srt], n[srt]
+
+    return ByteTrigramLM(*arrays(tri, 1 << 40), *arrays(bi, 2 << 40))
+
+
+def lm_perplexity(
+    ds: ray.data.Dataset, lm: ByteTrigramLM, text_col: str, id_col: str
+) -> ray.data.Dataset:
+    """Score every document's bits-per-byte under a trained LM — pure map
+    pass, model broadcast once (``ray.put``), all-numpy scoring."""
+    import ray
+
+    ref = ray.put(lm)
+
+    def f(t: pa.Table) -> pa.Table:
+        from ..util import get_broadcast
+
+        m = get_broadcast(ref)
+        buf, starts, lens = _batch_buffer(t[text_col].to_pylist())
+        bpb, n_win = m.bits_per_byte(buf, starts, lens)
+        return pa.Table.from_pydict(
+            {
+                "id": t[id_col],
+                "bits_per_byte": pa.array(np.round(bpb, 6), pa.float64()),
+                "n_windows": pa.array(n_win, pa.int64()),
+            }
+        )
+
+    import numpy as np
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 # --- benchmark decontamination (verbatim-overlap scan) ----------------------
 
 def contamination(

@@ -91,6 +91,17 @@ def q_approx_distinct_users(sf_dir: str):
     return pd.DataFrame({"n_users_approx": [int(round(est))]})
 
 
+def q_lm_perplexity_docs(sf_dir: str):
+    """CCNet-style LM quality filter: train a byte-trigram LM on the
+    corpus (one distributed count pass, vocab-scale exchange), broadcast
+    it, score every doc's bits-per-byte in a second map-only pass."""
+    from ..ops.text_analysis import lm_perplexity, train_byte_trigram_lm
+
+    docs = _docs(sf_dir)
+    lm = train_byte_trigram_lm(docs, "text")
+    return lm_perplexity(docs, lm, "text", "doc_id")
+
+
 def q_doc_length_quantiles(sf_dir: str):
     """KLL quantile-sketch metrics: approximate p50/p90/p99 of document
     length — blob-scale shuffle (one ~KiB sketch per batch), the raw
@@ -124,4 +135,5 @@ QUERIES = {
     "vector_topk_ivf": q_vector_topk_ivf,
     "embedding_near_dup": q_embedding_near_dup,
     "doc_length_quantiles": q_doc_length_quantiles,
+    "lm_perplexity_docs": q_lm_perplexity_docs,
 }

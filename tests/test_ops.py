@@ -306,3 +306,45 @@ def test_approx_quantiles_dataset_close_to_exact():
     for q, e in est.items():
         rank = float(np.mean(exact <= e))
         assert abs(rank - q) < 0.05, (q, e, rank)
+
+
+# --- byte-trigram LM perplexity (CCNet-style quality filter) -----------------
+
+
+def test_lm_perplexity_separates_gibberish():
+    from blarify_ray.ops.text_analysis import lm_perplexity, train_byte_trigram_lm
+
+    normal = [
+        "the quick brown fox jumps over the lazy dog and the dog sleeps",
+        "a data pipeline reads web pages and extracts entities from text",
+        "the engine builds a knowledge graph over the page corpus daily",
+        "workers stream batches of documents through the extraction stage",
+    ] * 30
+    gibberish = "qzxjvw kqzpxv jvqzzx wwqkxj zzqvxp kjqwzx"
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(normal)]
+    rows.append({"doc_id": 999, "text": gibberish})
+    ds = rd.from_items(rows)
+    lm = train_byte_trigram_lm(ds, "text")
+    scored = {r["id"]: r["bits_per_byte"] for r in lm_perplexity(ds, lm, "text", "doc_id").take_all()}
+    normal_mean = np.mean([scored[i] for i in range(len(normal))])
+    assert scored[999] > normal_mean + 2.0, (scored[999], normal_mean)
+    # deterministic: retrain + rescore gives identical floats
+    lm2 = train_byte_trigram_lm(ds, "text")
+    scored2 = {r["id"]: r["bits_per_byte"] for r in lm_perplexity(ds, lm2, "text", "doc_id").take_all()}
+    assert scored2 == scored
+
+
+def test_lm_short_and_empty_docs():
+    from blarify_ray.ops.text_analysis import lm_perplexity, train_byte_trigram_lm
+
+    ds = rd.from_items(
+        [{"doc_id": 0, "text": "hello world this is fine"},
+         {"doc_id": 1, "text": ""},
+         {"doc_id": 2, "text": "ab"}]
+    )
+    lm = train_byte_trigram_lm(ds, "text")
+    rows = {r["id"]: r for r in lm_perplexity(ds, lm, "text", "doc_id").take_all()}
+    assert rows[1]["n_windows"] == 0 and rows[1]["bits_per_byte"] == 0.0
+    assert rows[2]["n_windows"] == 0
+    assert rows[0]["n_windows"] == len("hello world this is fine".encode()) - 2
+    assert rows[0]["bits_per_byte"] > 0
