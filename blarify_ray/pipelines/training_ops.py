@@ -102,6 +102,19 @@ def q_lm_perplexity_docs(sf_dir: str):
     return lm_perplexity(docs, lm, "text", "doc_id")
 
 
+def q_bpe_token_counts(sf_dir: str):
+    """Tokenizer-construction + counting: train a BPE vocab on the corpus
+    (distributed wordcount → driver merge learning on the vocab-scale
+    table, the Sennrich decomposition), broadcast the merge ranks, and
+    count tokens per document in one map pass (per-DISTINCT-word
+    encoding, factorized gather)."""
+    from ..ops.bpe import bpe_encode, train_bpe
+
+    docs = _docs(sf_dir)
+    merges = train_bpe(docs, "text", n_merges=128)
+    return bpe_encode(docs, merges, "text", "doc_id")
+
+
 def q_doc_length_quantiles(sf_dir: str):
     """KLL quantile-sketch metrics: approximate p50/p90/p99 of document
     length — blob-scale shuffle (one ~KiB sketch per batch), the raw
@@ -136,4 +149,5 @@ QUERIES = {
     "embedding_near_dup": q_embedding_near_dup,
     "doc_length_quantiles": q_doc_length_quantiles,
     "lm_perplexity_docs": q_lm_perplexity_docs,
+    "bpe_token_counts": q_bpe_token_counts,
 }
