@@ -65,11 +65,18 @@ def run_bench() -> dict:
 
     n_pages = pages_count_for_sf(SF_DIR) * PAGES_MULT
     corpus_dir = os.path.join(BENCH_ROOT, f"pages_n{n_pages}")
+    # ATOMIC corpus materialization: write to a tmp dir and rename — a
+    # killed run must never leave a partial corpus that a later run
+    # mistakes for the full one (that would silently benchmark a
+    # fraction of the pages)
     if not os.path.isdir(corpus_dir) or not any(
         f.endswith(".parquet") for f in os.listdir(corpus_dir)
     ):
+        tmp_dir = corpus_dir + ".tmp"
         shutil.rmtree(corpus_dir, ignore_errors=True)
-        write_pages_parquet(corpus_dir, n_pages)
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        write_pages_parquet(tmp_dir, n_pages)
+        os.rename(tmp_dir, corpus_dir)
 
     # warm-up (untimed): page cache — must touch the heavy html column,
     # not just pruned metadata — and the Ray worker pool, so the timed
@@ -79,6 +86,15 @@ def run_bench() -> dict:
     read_pages(corpus_dir, columns=["url", "html"]).map_batches(
         lambda t: t.select(["url"]).slice(0, 1), batch_format="pyarrow"
     ).count()
+    # corpus integrity gate (parquet metadata only): benchmarking a
+    # partial corpus must fail loudly, never report inflated rates
+    corpus_rows = sum(
+        f.count_rows() for f in pads.dataset(corpus_dir, format="parquet").get_fragments()
+    )
+    # the synth corpus has ≥ n_pages rows (duplicate crawls add extras)
+    assert corpus_rows >= n_pages, (
+        f"corpus at {corpus_dir} is partial: {corpus_rows} rows for {n_pages} pages"
+    )
 
     @ray.remote
     def _warm_worker() -> int:

@@ -169,6 +169,72 @@ def approx_quantiles(
     return {q: acc.quantile(q) for q in qs}
 
 
+class HeavyHitters:
+    """Misra–Gries summary with ``k`` counters (Misra & Gries 1982,
+    public): after any stream/merge sequence, every item with true count
+    > n/k survives, and each kept counter undercounts its item by at
+    most ``self.err`` (the accumulated decrement). Deterministic —
+    merging is counter addition followed by the (k+1)-th-largest
+    decrement rule."""
+
+    def __init__(self, k: int = 256, counts: dict | None = None, err: int = 0):
+        self.k = k
+        self.counts: dict = counts or {}
+        self.err = err
+
+    def _shrink(self) -> None:
+        if len(self.counts) <= self.k:
+            return
+        vals = sorted(self.counts.values(), reverse=True)
+        dec = vals[self.k]  # (k+1)-th largest: decrementing by it keeps ≤ k
+        self.counts = {w: c - dec for w, c in self.counts.items() if c > dec}
+        self.err += dec
+
+    def add_counts(self, items, ns) -> None:
+        for w, n in zip(items, ns):
+            self.counts[w] = self.counts.get(w, 0) + int(n)
+        self._shrink()
+
+    def merge(self, other: "HeavyHitters") -> "HeavyHitters":
+        out = HeavyHitters(self.k, dict(self.counts), self.err + other.err)
+        for w, c in other.counts.items():
+            out.counts[w] = out.counts.get(w, 0) + c
+        out._shrink()
+        return out
+
+    def top(self, n: int) -> list[tuple[str, int, int]]:
+        """→ [(item, count_lo, count_hi)]: true count ∈ [lo, hi]."""
+        items = sorted(self.counts.items(), key=lambda kv: (-kv[1], kv[0]))[:n]
+        return [(w, c, c + self.err) for w, c in items]
+
+
+def heavy_hitter_words(
+    ds: ray.data.Dataset, text_col: str, n: int = 50, k: int = 4096
+) -> list[tuple[str, int, int]]:
+    """Approximate top-n words by frequency: each batch computes EXACT
+    vectorized word counts (error-free Misra–Gries input) and emits one
+    truncated summary blob; the driver merges batch-count many blobs.
+    Unlike the exact ``word_topk`` (one vocab-keyed shuffle), this never
+    shuffles at all — the sketch pattern for dashboard-grade top-k."""
+    import json
+
+    def sketch(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        vc = pd.Series(t[text_col].to_pylist()).str.split(" ").explode().value_counts()
+        hh = HeavyHitters(k)
+        hh.add_counts(vc.index.tolist(), vc.to_numpy())
+        blob = json.dumps({"c": hh.counts, "e": hh.err})
+        return pa.Table.from_pydict({"blob": pa.array([blob], pa.string())})
+
+    blobs = ds.map_batches(sketch, batch_format="pyarrow").take_all()
+    acc = HeavyHitters(k)
+    for r in blobs:
+        d = json.loads(r["blob"])
+        acc = acc.merge(HeavyHitters(k, d["c"], d["e"]))
+    return acc.top(n)
+
+
 def approx_distinct(ds: ray.data.Dataset, col: str, b: int = 12) -> float:
     """Approximate COUNT(DISTINCT col): one HLL register blob per batch,
     merged on the driver (blobs are 4 KiB each)."""

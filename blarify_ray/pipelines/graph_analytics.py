@@ -45,6 +45,7 @@ def pagerank(
     paths: dict[str, str],
     damping: float = 0.85,
     iters: int = 10,
+    seeds: list[str] | None = None,
     cfg: PipelineConfig = DEFAULT_CONFIG,
 ) -> ray.data.Dataset:
     """PageRank over the directed KG multigraph → ``Dataset[(entity_id,
@@ -53,19 +54,30 @@ def pagerank(
     Spec (both tiers): node universe = the entities table; a node's rank
     splits across its out-edges proportionally to edge ``weight``
     (multi-edges sum); dangling mass (nodes with zero outgoing weight)
-    redistributes uniformly; ``rank' = (1-d)/N + d·(inflow +
-    dangling/N)`` for ``iters`` rounds from the uniform start.
+    redistributes onto the teleport vector; ``rank' = (1-d)·t + d·(inflow
+    + dangling·t)`` for ``iters`` rounds starting from ``t``.
+
+    ``seeds=None`` → the teleport vector ``t`` is uniform (classic
+    PageRank). ``seeds=[ids]`` → ``t`` is uniform over the seed set
+    (PERSONALIZED PageRank — random walk with restart, the
+    'related entities' ranking); the seed set is query-scale and ships
+    to workers as a broadcast id array, never as a shuffle.
     """
     edges = read_stage(paths["edges"], columns=["src_id", "dst_id", "weight"])
     ents = read_stage(paths["entities"], columns=["entity_id"])
     n_edges = edges.count()
+    seed_set = sorted(set(seeds)) if seeds else None
     if n_edges <= cfg.pagerank_driver_max_edges:
-        return _pagerank_driver(edges, ents, damping, iters)
-    return _pagerank_distributed(edges, ents, n_edges, damping, iters, cfg)
+        return _pagerank_driver(edges, ents, damping, iters, seed_set)
+    return _pagerank_distributed(edges, ents, n_edges, damping, iters, seed_set, cfg)
 
 
 def _pagerank_driver(
-    edges: ray.data.Dataset, ents: ray.data.Dataset, damping: float, iters: int
+    edges: ray.data.Dataset,
+    ents: ray.data.Dataset,
+    damping: float,
+    iters: int,
+    seeds: list[str] | None,
 ) -> ray.data.Dataset:
     """Driver tier: index-mapped numpy power iteration (one weighted
     ``bincount`` per round). Correct while the EDGE LIST fits on the
@@ -80,13 +92,18 @@ def _pagerank_driver(
     dst = np.fromiter((idx[r["dst_id"]] for r in er), dtype=np.int64, count=len(er))
     w = np.fromiter((r["weight"] for r in er), dtype=np.float64, count=len(er))
     out_w = np.bincount(src, weights=w, minlength=n)
-    rank = np.full(n, 1.0 / n)
-    base = (1.0 - damping) / n
+    tele = np.zeros(n)
+    if seeds is None:
+        tele[:] = 1.0 / n
+    else:
+        si = [idx[s] for s in seeds if s in idx]
+        tele[si] = 1.0 / len(si)
+    rank = tele.copy()
     for _ in range(iters):
         rate = np.divide(rank, out_w, out=np.zeros(n), where=out_w > 0)
         inflow = np.bincount(dst, weights=w * rate[src], minlength=n)
         dangling = rank[out_w == 0].sum()
-        rank = base + damping * (inflow + dangling / n)
+        rank = (1.0 - damping) * tele + damping * (inflow + dangling * tele)
     return ray.data.from_arrow(
         pa.Table.from_pydict(
             {"entity_id": pa.array(ids, pa.string()), "rank": pa.array(rank, pa.float64())}
@@ -100,6 +117,7 @@ def _pagerank_distributed(
     n_edges: int,
     damping: float,
     iters: int,
+    seeds: list[str] | None,
     cfg: PipelineConfig,
 ) -> ray.data.Dataset:
     """Distributed tier. Per round: (1) dangling mass = one column sum
@@ -135,18 +153,36 @@ def _pagerank_distributed(
         .groupby("_pkey")
         .map_groups(outw_merge, batch_format="pandas")
     )
+    # teleport column: uniform, or uniform over the (query-scale,
+    # broadcast) seed set — personalized PageRank's restart vector
+    if seeds is None:
+        def add_tele(df: pd.DataFrame) -> pd.DataFrame:
+            return df.assign(tele=np.float64(1.0 / n))
+    else:
+        seed_arr = pa.array(seeds, pa.string())
+        n_seeds = ents.map_batches(
+            lambda t: pa.Table.from_pydict(
+                {"m": pc.cast(pc.is_in(t["entity_id"], value_set=seed_arr), pa.int64())}
+            ),
+            batch_format="pyarrow",
+        ).sum("m")
+        if not n_seeds:
+            return ray.data.from_arrow(_pr_empty())
+
+        def add_tele(df: pd.DataFrame) -> pd.DataFrame:
+            m = df["entity_id"].isin(set(seeds)).to_numpy()
+            return df.assign(tele=np.where(m, 1.0 / n_seeds, 0.0))
+
     nodes = copartition_attach(
         ents, outw, "entity_id", "entity_id", {"out_w": "out_w"},
         partitions=parts, how="left",
     ).map_batches(
         lambda df: df.assign(out_w=df["out_w"].fillna(0.0).astype("float64")),
         batch_format="pandas",
-    ).materialize()
+    ).map_batches(add_tele, batch_format="pandas").materialize()
 
-    base = (1.0 - damping) / n
-    r0 = 1.0 / n
     state = nodes.map_batches(
-        lambda df: df.assign(rank=np.float64(r0)), batch_format="pandas"
+        lambda df: df.assign(rank=df["tele"].astype("float64")), batch_format="pandas"
     ).materialize()
 
     for _ in range(iters):
@@ -202,11 +238,13 @@ def _pagerank_distributed(
 
         def new_rank(df: pd.DataFrame, _dg=dangling) -> pd.DataFrame:
             c = df["c"].fillna(0.0).to_numpy(dtype="float64")
+            tele = df["tele"].to_numpy(dtype="float64")
             return pd.DataFrame(
                 {
                     "entity_id": df["entity_id"],
                     "out_w": df["out_w"].astype("float64"),
-                    "rank": base + damping * (c + _dg / n),
+                    "tele": tele,
+                    "rank": (1.0 - damping) * tele + damping * (c + _dg * tele),
                 }
             )
 
@@ -243,6 +281,35 @@ def top_pagerank(
     from ..ops.joins import copartition_attach
 
     pr = pagerank(paths, damping=damping, iters=iters, cfg=cfg)
+    ents = read_stage(paths["entities"], columns=["entity_id", "name", "type"])
+    named = copartition_attach(
+        pr, ents, "entity_id", "entity_id", {"name": "name", "type": "type"},
+        partitions=_edge_parts(ents.count(), cfg), how="inner",
+    )
+    return named.sort(["rank", "entity_id"], descending=[True, False]).limit(k)
+
+
+def related_entities(
+    paths: dict[str, str],
+    seed_ids: list[str],
+    k: int = 20,
+    damping: float = 0.85,
+    iters: int = 10,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+) -> ray.data.Dataset:
+    """Top-k entities most related to the seeds by personalized PageRank
+    (random walk with restart onto the seed set), seeds themselves
+    excluded — the link-structure 'similar nodes' query."""
+    pr = pagerank(paths, damping=damping, iters=iters, seeds=seed_ids, cfg=cfg)
+    seed_arr = pa.array(sorted(set(seed_ids)), pa.string())
+    pr = pr.map_batches(
+        lambda t: t.filter(
+            pc.invert(pc.is_in(t["entity_id"], value_set=seed_arr))
+        ),
+        batch_format="pyarrow",
+    )
+    from ..ops.joins import copartition_attach
+
     ents = read_stage(paths["entities"], columns=["entity_id", "name", "type"])
     named = copartition_attach(
         pr, ents, "entity_id", "entity_id", {"name": "name", "type": "type"},

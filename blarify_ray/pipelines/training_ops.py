@@ -102,6 +102,25 @@ def q_lm_perplexity_docs(sf_dir: str):
     return lm_perplexity(docs, lm, "text", "doc_id")
 
 
+def q_heavy_words_docs(sf_dir: str):
+    """Misra-Gries heavy-hitter words — the shuffle-FREE approximate
+    sibling of the exact (oracle-checked) word_topk: one summary blob
+    per batch, merged on the driver with deterministic error bounds.
+    Verified against the exact counts in pytest (test_ops)."""
+    import pandas as pd
+
+    from ..ops.sketches import heavy_hitter_words
+
+    top = heavy_hitter_words(_docs(sf_dir), "text", n=25)
+    return pd.DataFrame(
+        {
+            "word": [w for w, _, _ in top],
+            "count_lo": np.array([lo for _, lo, _ in top], np.int64),
+            "count_hi": np.array([hi for _, _, hi in top], np.int64),
+        }
+    )
+
+
 def q_bpe_token_counts(sf_dir: str):
     """Tokenizer-construction + counting: train a BPE vocab on the corpus
     (distributed wordcount → driver merge learning on the vocab-scale
@@ -150,4 +169,5 @@ QUERIES = {
     "doc_length_quantiles": q_doc_length_quantiles,
     "lm_perplexity_docs": q_lm_perplexity_docs,
     "bpe_token_counts": q_bpe_token_counts,
+    "heavy_words_docs": q_heavy_words_docs,
 }

@@ -130,6 +130,12 @@ def _t_components(paths: dict[str, str], k: int = 20) -> list[dict]:
     return _rows(component_sizes(paths, k=k))
 
 
+def _t_related(paths: dict[str, str], seed_ids: list[str], k: int = 20) -> list[dict]:
+    from .pipelines.graph_analytics import related_entities
+
+    return _rows(related_entities(paths, seed_ids, k=k))
+
+
 _ID = {"type": "string", "description": "entity_id (md5 hex)"}
 _K = {"type": "integer", "default": 10}
 _PAGE = {
@@ -190,6 +196,11 @@ TOOLS: dict[str, Tool] = {
         Tool("graph_components",
              "Top-k weakly-connected components by member count",
              _t_components, {"k": _K}),
+        Tool("related_entities",
+             "Top-k entities related to seed ids (personalized PageRank)",
+             _t_related,
+             {"seed_ids": {"type": "array", "items": {"type": "string"}}, "k": _K},
+             ("seed_ids",)),
     ]
 }
 

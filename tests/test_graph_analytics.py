@@ -136,3 +136,63 @@ def test_component_sizes_sum_to_entity_count(built):
     assert sum(r["n_members"] for r in rows) == len(ents)
     sizes = [(r["n_members"], r["component"]) for r in rows]
     assert sizes == sorted(sizes, key=lambda s: (-s[0], s[1]))
+
+
+def _reference_ppr(ents, edges, seeds):
+    idx = {e: i for i, e in enumerate(ents)}
+    n = len(ents)
+    out_w = np.zeros(n)
+    for e in edges:
+        out_w[idx[e["src_id"]]] += e["weight"]
+    tele = np.zeros(n)
+    si = [idx[s] for s in sorted(set(seeds)) if s in idx]
+    tele[si] = 1.0 / len(si)
+    rank = tele.copy()
+    for _ in range(ITERS):
+        inflow = np.zeros(n)
+        for e in edges:
+            s = idx[e["src_id"]]
+            if out_w[s] > 0:
+                inflow[idx[e["dst_id"]]] += rank[s] * e["weight"] / out_w[s]
+        dangling = rank[out_w == 0].sum()
+        rank = (1 - DAMPING) * tele + DAMPING * (inflow + dangling * tele)
+    return {e: rank[i] for e, i in idx.items()}
+
+
+def test_personalized_pagerank_matches_reference_and_tiers(built):
+    ents, edges = _graph(built)
+    seeds = [edges[0]["src_id"], edges[-1]["dst_id"]]
+    want = _reference_ppr(ents, edges, seeds)
+    got = {
+        r["entity_id"]: r["rank"]
+        for r in pagerank(built, damping=DAMPING, iters=ITERS, seeds=seeds).take_all()
+    }
+    keys = sorted(want)
+    np.testing.assert_allclose(
+        np.array([got[k] for k in keys]), np.array([want[k] for k in keys]), rtol=1e-9
+    )
+    # mass concentrates near the seeds vs uniform PageRank
+    assert sum(got[s] for s in set(seeds)) > 2.0 / len(ents)
+    forced = dataclasses.replace(DEFAULT_CONFIG, pagerank_driver_max_edges=0)
+    dist = {
+        r["entity_id"]: r["rank"]
+        for r in pagerank(
+            built, damping=DAMPING, iters=ITERS, seeds=seeds, cfg=forced
+        ).take_all()
+    }
+    np.testing.assert_allclose(
+        np.array([dist[k] for k in keys]), np.array([got[k] for k in keys]), rtol=1e-9
+    )
+
+
+def test_related_entities_excludes_seeds(built):
+    from blarify_ray.pipelines.graph_analytics import related_entities
+    from blarify_ray.state.manifest import read_stage
+
+    edge = read_stage(built["edges"]).take(1)[0]
+    seeds = [edge["src_id"]]
+    rows = related_entities(built, seeds, k=10).take_all()
+    assert rows and all(r["entity_id"] not in seeds for r in rows)
+    ranks = [r["rank"] for r in rows]
+    assert ranks == sorted(ranks, reverse=True)
+    assert all(r["name"] for r in rows)

@@ -348,3 +348,53 @@ def test_lm_short_and_empty_docs():
     assert rows[2]["n_windows"] == 0
     assert rows[0]["n_windows"] == len("hello world this is fine".encode()) - 2
     assert rows[0]["bits_per_byte"] > 0
+
+
+# --- Misra-Gries heavy hitters ------------------------------------------------
+
+
+def test_heavy_hitters_bounds_and_recovery():
+    from blarify_ray.ops.sketches import HeavyHitters
+
+    rng = np.random.default_rng(3)
+    # zipf-ish stream: planted heavy items + uniform noise
+    items = (["hot_a"] * 5000 + ["hot_b"] * 3000 + ["hot_c"] * 1500
+             + [f"w{i}" for i in rng.integers(0, 20_000, 30_000)])
+    rng.shuffle(items)
+    exact = {}
+    for w in items:
+        exact[w] = exact.get(w, 0) + 1
+    # feed through 23 chunked summaries merged pairwise
+    chunks = np.array_split(np.array(items, dtype=object), 23)
+    acc = HeavyHitters(512)
+    for ch in chunks:
+        import pandas as pd
+
+        vc = pd.Series(ch).value_counts()
+        s = HeavyHitters(512)
+        s.add_counts(vc.index.tolist(), vc.to_numpy())
+        acc = acc.merge(s)
+    top = acc.top(3)
+    assert [w for w, _, _ in top] == ["hot_a", "hot_b", "hot_c"]
+    for w, lo, hi in top:
+        assert lo <= exact[w] <= hi
+        assert hi - lo <= len(items) // 512  # MG error bound n/k
+
+
+def test_heavy_hitter_words_matches_exact_topk():
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from blarify_ray.ops.sketches import heavy_hitter_words
+
+    path = "/root/testdata/sf0.001/documents.parquet"
+    ds = rd.read_parquet(path, columns=["text"])
+    top = heavy_hitter_words(ds, "text", n=10, k=4096)
+    texts = pq.read_table(path, columns=["text"])["text"].to_pylist()
+    exact = pd.Series(texts).str.split(" ").explode().value_counts()
+    got = [w for w, _, _ in top]
+    # with k=4096 >> vocab the sketch is exact: counts and order match
+    want = [w for w, _ in sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:10]]
+    assert got == want
+    for w, lo, hi in top:
+        assert lo <= exact[w] <= hi
