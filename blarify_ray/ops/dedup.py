@@ -459,3 +459,86 @@ def simhash_near_dup(
         ),
         batch_format="pyarrow",
     )
+
+
+# --- exact n-gram span duplicates (ExactSubstr-style, Lee et al. 2022) -------
+
+NGRAM_SPAN_B = np.uint64(1_000_003)  # polynomial rolling-hash base
+
+
+def ngram_span_dups(
+    ds: ray.data.Dataset,
+    text_col: str,
+    id_col: str,
+    n_tokens: int = 20,
+    stride: int = 1,
+    max_bucket: int = 1000,
+    partitions: int = 64,
+) -> ray.data.Dataset:
+    """Cross-document duplicate SPANS: every (doc, token_pos) whose
+    ``n_tokens``-token window appears verbatim in ≥2 distinct documents —
+    the removal list of exact-substring dedup (the decontamination-grade
+    complement of MinHash: no similarity threshold, byte-exact windows).
+
+    Scale shape: each batch hashes every token ONCE
+    (``pd.util.hash_array`` over the exploded token column) and builds
+    window hashes with ``n_tokens`` vectorized polynomial steps — no
+    per-window Python, no window TEXT anywhere. The exchange moves
+    fixed-width (hash, doc, pos) int rows (window-scale ÷ ``stride``;
+    this volume is inherent to exact-substring dedup — suffix-array
+    builds move the same order of data), grouped by ``hash(h) %
+    partitions`` with a vectorized ≥2-distinct-docs filter per
+    partition. ``max_bucket`` caps pathological hashes (boilerplate
+    repeated in thousands of docs) exactly like the LSH hot-bucket
+    guard. Returns ds[(gram_hash, id, pos, n_docs)] sorted within
+    partitions by (gram_hash, id, pos).
+    """
+
+    def windows(df: pd.DataFrame) -> pd.DataFrame:
+        # raw split semantics (empty tokens kept): positions equal the
+        # split index, so a SQL oracle over string_split sees the SAME
+        # windows — only all-null rows (no text) are dropped
+        s = df.set_index(id_col)[text_col].str.split(" ").explode()
+        s = s[s.notna()]
+        if s.empty:
+            return pd.DataFrame(
+                {"h": pd.Series([], dtype=np.uint64),
+                 "id": pd.Series([], dtype=np.int64),
+                 "pos": pd.Series([], dtype=np.int64),
+                 "_pkey": pd.Series([], dtype="int32")}
+            )
+        th = pd.util.hash_array(s.to_numpy(dtype=object))  # uint64 per token
+        doc = s.index.to_numpy()
+        pos = pd.Series(1, index=s.index).groupby(level=0).cumcount().to_numpy()
+        L = len(th) - n_tokens + 1
+        if L <= 0:
+            return windows(df.iloc[0:0])
+        h = np.zeros(L, dtype=np.uint64)
+        for j in range(n_tokens):
+            h = h * NGRAM_SPAN_B + th[j : L + j]
+        same_doc = doc[:L] == doc[n_tokens - 1 :]
+        keep = same_doc & (pos[:L] % stride == 0)
+        out = pd.DataFrame(
+            {
+                "h": h[keep],
+                "id": doc[:L][keep].astype(np.int64),
+                "pos": pos[:L][keep].astype(np.int64),
+            }
+        )
+        out["_pkey"] = (out["h"] % np.uint64(partitions)).astype("int32")
+        return out
+
+    def dups(g: pd.DataFrame) -> pd.DataFrame:
+        nd = g.groupby("h")["id"].nunique()
+        hot = nd[(nd >= 2) & (nd <= max_bucket)]
+        keep = g[g["h"].isin(hot.index)].copy()
+        keep["n_docs"] = keep["h"].map(hot).astype(np.int64)
+        keep = keep.sort_values(["h", "id", "pos"], kind="mergesort")
+        keep["gram_hash"] = keep["h"].astype(np.uint64)
+        return keep[["gram_hash", "id", "pos", "n_docs"]].reset_index(drop=True)
+
+    return (
+        ds.map_batches(windows, batch_format="pandas")
+        .groupby("_pkey")
+        .map_groups(dups, batch_format="pandas")
+    )

@@ -569,6 +569,45 @@ SELECT doc_id, term, tf, df, score FROM (
 WHERE rn <= {TFIDF_TOPK}
 """
 
+# --- ngram_span_dups (exact-substring dedup removal list) ---------------------
+
+SPAN_N_TOKENS = 8
+
+
+def q_ngram_span_dups(sf_dir: str):
+    """Exact cross-document duplicate spans (ExactSubstr-style removal
+    list): every (doc, token_pos) whose 8-token window appears verbatim
+    in ≥2 docs. The operator ships fixed-width (hash, doc, pos) int rows
+    only (`ops/dedup.ngram_span_dups`); the oracle reconstructs the same
+    windows from string_split, so the hash-based distributed path is
+    verified against the text-exact SQL semantics."""
+    import pyarrow as pa
+
+    from ..ops.dedup import ngram_span_dups
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    out = ngram_span_dups(docs, "text", "doc_id", n_tokens=SPAN_N_TOKENS)
+    return out.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"doc_id": t["id"], "pos": t["pos"], "n_docs": t["n_docs"]}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_NGRAM_SPAN_DUPS = f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+w AS (
+  SELECT doc_id, gs.i - 1 AS pos,
+         array_to_string(toks[gs.i : gs.i + {SPAN_N_TOKENS - 1}], ' ') AS gram
+  FROM d, LATERAL (
+    SELECT unnest(generate_series(1, len(toks) - {SPAN_N_TOKENS - 1})) AS i) gs
+),
+g AS (SELECT gram, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM w
+      GROUP BY gram HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 1000)
+SELECT w.doc_id, w.pos, g.n_docs FROM w JOIN g USING (gram)
+"""
+
 # ---------------------------------------------------------------------------
 
 QUERIES_WIN = {
@@ -580,6 +619,7 @@ QUERIES_WIN = {
     "events_hopping_windows": q_events_hopping_windows,
     "stratified_sample_docs": q_stratified_sample_docs,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "ngram_span_dups": q_ngram_span_dups,
 }
 
 ORACLE_SQL_WIN = {
@@ -591,6 +631,7 @@ ORACLE_SQL_WIN = {
     "events_hopping_windows": SQL_HOPPING_WINDOWS,
     "stratified_sample_docs": SQL_STRATIFIED_SAMPLE,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
+    "ngram_span_dups": SQL_NGRAM_SPAN_DUPS,
 }
 
 # self-register into the main battery (same contract as analytics_ext)

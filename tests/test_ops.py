@@ -398,3 +398,33 @@ def test_heavy_hitter_words_matches_exact_topk():
     assert got == want
     for w, lo, hi in top:
         assert lo <= exact[w] <= hi
+
+
+# --- exact n-gram span duplicates ---------------------------------------------
+
+
+def test_ngram_span_dups_planted():
+    from blarify_ray.ops.dedup import ngram_span_dups
+
+    shared = " ".join(f"tok{i}" for i in range(25))
+    rng = np.random.default_rng(11)
+
+    def noise(n):
+        return " ".join(f"w{v}" for v in rng.integers(0, 10_000, n))
+
+    rows = [
+        {"doc_id": 0, "text": noise(30) + " " + shared + " " + noise(10)},
+        {"doc_id": 1, "text": shared + " " + noise(40)},
+        {"doc_id": 2, "text": noise(60)},
+        {"doc_id": 3, "text": "short"},
+    ]
+    ds = rd.from_items(rows)
+    out = ngram_span_dups(ds, "text", "doc_id", n_tokens=20).take_all()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["id"], []).append(r["pos"])
+    # the shared 25-token run yields 25-20+1 = 6 window positions per doc
+    assert sorted(by_doc[0]) == list(range(30, 36))  # after the 30 noise tokens
+    assert sorted(by_doc[1]) == list(range(0, 6))
+    assert 2 not in by_doc and 3 not in by_doc
+    assert all(r["n_docs"] == 2 for r in out)

@@ -89,6 +89,12 @@ def test_tool_registry_and_calls(built):
     assert detail["entity"]["entity_id"] == top[0]["entity_id"]
     mer = call_tool(built, "render_mermaid", {"entity_id": top[0]["entity_id"]})
     assert mer.startswith("graph TD")
+    pr = call_tool(built, "top_pagerank", {"k": 5})
+    assert pr and pr[0]["rank"] >= pr[-1]["rank"] and pr[0]["name"]
+    comp = call_tool(built, "graph_components", {"k": 5})
+    assert comp and comp[0]["n_members"] >= comp[-1]["n_members"]
+    rel = call_tool(built, "related_entities", {"seed_ids": [top[0]["entity_id"]], "k": 5})
+    assert all(r["entity_id"] != top[0]["entity_id"] for r in rel)
     with pytest.raises(KeyError):
         call_tool(built, "no_such_tool")
     assert set(TOOLS) == {s["name"] for s in specs}
