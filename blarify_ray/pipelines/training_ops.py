@@ -102,6 +102,77 @@ def q_lm_perplexity_docs(sf_dir: str):
     return lm_perplexity(docs, lm, "text", "doc_id")
 
 
+def q_clean_corpus_docs(sf_dir: str):
+    """The composed training-data CLEANING pipeline — the capstone that
+    chains the op families end-to-end the way a real corpus run would:
+
+      exact dedup → MinHash near-dup removal → language filter (en) →
+      quality floor → benchmark decontamination
+
+    Each op keeps its own scale shape (hash exchanges, ids-only LSH,
+    broadcast snippet scan); the composition communicates by doc-id
+    keep-sets (broadcast ``pc.is_in`` filters — id-scale, never text).
+    Returns the surviving (doc_id, lang_pred, quality) rows."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..ops.dedup import exact_dedup, minhash_near_dup
+    from ..ops.text_analysis import contamination
+
+    docs = _docs(sf_dir).materialize()  # corpus-scale input, read once
+
+    def ids_of(ds, col="doc_id"):
+        return {r[col] for r in ds.take_all()}  # id-scale only
+
+    survivors = ids_of(exact_dedup(docs, "text", "doc_id"))
+    near = minhash_near_dup(docs, "text", "doc_id")
+    survivors -= {r["id"] for r in near.take_all()}  # drop near-dups, keep canonicals
+
+    # decontamination: the same deterministic benchmark set as the
+    # oracle-checked benchmark_contamination query
+    from .analytics_ext import CONTAM_MOD, CONTAM_WORDS
+
+    def snippet_partial(df):
+        import pandas as pd
+
+        sel = df[df["doc_id"] % CONTAM_MOD == 0]
+        sn = sel["text"].str.split(" ").str[:CONTAM_WORDS].str.join(" ")
+        return pd.DataFrame({"snippet": sn.astype(str)})
+
+    snippets = [
+        r["snippet"]
+        for r in docs.map_batches(snippet_partial, batch_format="pandas").take_all()
+    ]
+    contaminated = ids_of(contamination(docs, "text", "doc_id", snippets))
+    # contaminated docs are dropped UNLESS they are the benchmark donors
+    survivors -= {d for d in contaminated if d % CONTAM_MOD != 0}
+
+    keep_arr = pa.array(sorted(survivors), pa.int64())
+
+    def label_filter(t: pa.Table) -> pa.Table:
+        from ..ops.text_analysis import lang_id_text, quality_features
+
+        t = t.filter(pc.is_in(t["doc_id"], value_set=keep_arr))
+        texts = t["text"].to_pylist()
+        langs = [lang_id_text(x)[0] for x in texts]
+        quals = [quality_features(x)["quality"] for x in texts]
+        out = pa.Table.from_pydict(
+            {
+                "doc_id": t["doc_id"],
+                "lang_pred": pa.array(langs, pa.string()),
+                "quality": pa.array(quals, pa.float64()),
+            }
+        )
+        return out.filter(
+            pc.and_(
+                pc.is_in(out["lang_pred"], value_set=pa.array(["en", "und"])),
+                pc.greater_equal(out["quality"], 0.25),
+            )
+        )
+
+    return docs.map_batches(label_filter, batch_format="pyarrow")
+
+
 def q_heavy_words_docs(sf_dir: str):
     """Misra-Gries heavy-hitter words — the shuffle-FREE approximate
     sibling of the exact (oracle-checked) word_topk: one summary blob
@@ -170,4 +241,5 @@ QUERIES = {
     "lm_perplexity_docs": q_lm_perplexity_docs,
     "bpe_token_counts": q_bpe_token_counts,
     "heavy_words_docs": q_heavy_words_docs,
+    "clean_corpus_docs": q_clean_corpus_docs,
 }

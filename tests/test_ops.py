@@ -428,3 +428,47 @@ def test_ngram_span_dups_planted():
     assert sorted(by_doc[1]) == list(range(0, 6))
     assert 2 not in by_doc and 3 not in by_doc
     assert all(r["n_docs"] == 2 for r in out)
+
+
+# --- composed cleaning pipeline -------------------------------------------------
+
+
+def test_clean_corpus_composition():
+    """The composed pipeline must equal the set-algebra of its parts,
+    computed independently here from the individual ops."""
+    from blarify_ray.ops.dedup import exact_dedup, minhash_near_dup
+    from blarify_ray.ops.text_analysis import (
+        contamination,
+        lang_id_text,
+        quality_features,
+    )
+    from blarify_ray.pipelines.analytics_ext import CONTAM_MOD, CONTAM_WORDS
+    from blarify_ray.pipelines.training_ops import q_clean_corpus_docs
+
+    SF = "/root/testdata/sf0.001"
+    got = {r["doc_id"] for r in q_clean_corpus_docs(SF).take_all()}
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(SF + "/documents.parquet", columns=["doc_id", "text"])
+    texts = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+    docs = rd.read_parquet(SF + "/documents.parquet", columns=["doc_id", "text"])
+    keep = {r["doc_id"] for r in exact_dedup(docs, "text", "doc_id").take_all()}
+    keep -= {r["id"] for r in minhash_near_dup(docs, "text", "doc_id").take_all()}
+    snippets = [
+        " ".join(texts[d].split(" ")[:CONTAM_WORDS])
+        for d in sorted(texts)
+        if d % CONTAM_MOD == 0
+    ]
+    contaminated = {
+        r["doc_id"] for r in contamination(docs, "text", "doc_id", snippets).take_all()
+    }
+    keep -= {d for d in contaminated if d % CONTAM_MOD != 0}
+    want = {
+        d
+        for d in keep
+        if lang_id_text(texts[d])[0] in ("en", "und")
+        and quality_features(texts[d])["quality"] >= 0.25
+    }
+    assert got == want
+    assert got  # the pipeline keeps a nonempty corpus
