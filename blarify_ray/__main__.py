@@ -30,7 +30,10 @@ def main(argv: list[str] | None = None) -> int:
 
     q = sub.add_parser("query", help="run a KG query against a built graph")
     q.add_argument("--out", required=True)
-    q.add_argument("--name", required=True, choices=["top", "entry-points", "skeleton", "rollup"])
+    q.add_argument(
+        "--name", required=True,
+        choices=["top", "entry-points", "skeleton", "rollup", "pagerank", "components"],
+    )
     q.add_argument("--num-cpus", type=int, default=None)
 
     t = sub.add_parser("tools", help="list or call agent tools over a built graph")
@@ -99,6 +102,14 @@ def main(argv: list[str] | None = None) -> int:
                 rows = gq.entry_points(paths).take_all()
             elif args.name == "skeleton":
                 rows = gq.skeleton(paths).take_all()
+            elif args.name == "pagerank":
+                from .pipelines.graph_analytics import top_pagerank
+
+                rows = top_pagerank(paths, k=10).take_all()
+            elif args.name == "components":
+                from .pipelines.graph_analytics import component_sizes
+
+                rows = component_sizes(paths, k=10).take_all()
             else:
                 rows = bottom_up_rollup(paths).take_all()
             for r in rows:
