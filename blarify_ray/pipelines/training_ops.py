@@ -115,11 +115,15 @@ def q_clean_corpus_docs(sf_dir: str):
     Returns the surviving (doc_id, lang_pred, quality) rows."""
     import pyarrow as pa
     import pyarrow.compute as pc
+    import ray
 
     from ..ops.dedup import exact_dedup, minhash_near_dup
     from ..ops.text_analysis import contamination
 
-    docs = _docs(sf_dir).materialize()  # corpus-scale input, read once
+    # each stage re-reads the pruned parquet scan — at corpus scale a
+    # materialize() here would pin the whole text column in the object
+    # store; re-scanning is the streaming-friendly choice
+    docs = _docs(sf_dir)
 
     def ids_of(ds, col="doc_id"):
         return {r[col] for r in ds.take_all()}  # id-scale only
@@ -147,12 +151,15 @@ def q_clean_corpus_docs(sf_dir: str):
     # contaminated docs are dropped UNLESS they are the benchmark donors
     survivors -= {d for d in contaminated if d % CONTAM_MOD != 0}
 
-    keep_arr = pa.array(sorted(survivors), pa.int64())
+    # keep-set is doc-id scale: broadcast ONCE via ray.put (a closure
+    # capture would re-ship it with every task)
+    keep_ref = ray.put(pa.array(sorted(survivors), pa.int64()))
 
     def label_filter(t: pa.Table) -> pa.Table:
         from ..ops.text_analysis import lang_id_text, quality_features
+        from ..util import get_broadcast
 
-        t = t.filter(pc.is_in(t["doc_id"], value_set=keep_arr))
+        t = t.filter(pc.is_in(t["doc_id"], value_set=get_broadcast(keep_ref)))
         texts = t["text"].to_pylist()
         langs = [lang_id_text(x)[0] for x in texts]
         quals = [quality_features(x)["quality"] for x in texts]
