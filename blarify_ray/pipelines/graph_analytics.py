@@ -318,6 +318,67 @@ def related_entities(
     return named.sort(["rank", "entity_id"], descending=[True, False]).limit(k)
 
 
+def path_between(
+    paths: dict[str, str],
+    src_id: str,
+    dst_id: str,
+    max_depth: int = 6,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+) -> list[dict]:
+    """One shortest directed path src→dst (≤ ``max_depth`` hops) as
+    ``[{src_id, pred, dst_id}]`` step rows, ``[]`` if none — the
+    \"how are X and Y related\" point query.
+
+    BFS layers run over the edge table with the same broadcast-frontier
+    shape as ``k_hop`` (sorted id array + ``pc.is_in`` per round); each
+    round records (child → parent, pred) ONLY for newly discovered nodes
+    (node-scale at query depth, bounded by ``cfg.khop_broadcast_max`` —
+    beyond it the query aborts with the partial parent map rather than
+    exhausting the driver, returning []). Reconstruction walks the
+    parent map backwards — no edge-table materialization at any point."""
+    if src_id == dst_id:
+        return []
+    edges = read_stage(paths["edges"], columns=["src_id", "dst_id", "pred"])
+    parent: dict[str, tuple[str, str]] = {}
+    frontier = {src_id}
+    seen = {src_id}
+    for _ in range(max_depth):
+        fr_set = frozenset(frontier)
+
+        def step(df: pd.DataFrame, _fr=fr_set) -> pd.DataFrame:
+            m = df[df["src_id"].isin(_fr)]
+            # per-batch prune: ONE whole (parent, pred) edge per child —
+            # deterministic (pred, src) order, rows kept intact so the
+            # reconstructed step is always a real edge
+            m = m.sort_values(["dst_id", "pred", "src_id"], kind="mergesort")
+            return m.drop_duplicates("dst_id", keep="first")[
+                ["dst_id", "src_id", "pred"]
+            ].reset_index(drop=True)
+
+        rows = edges.map_batches(step, batch_format="pandas").take_all()
+        nxt: dict[str, tuple[str, str]] = {}
+        for r in sorted(rows, key=lambda r: (r["dst_id"], r["pred"], r["src_id"])):
+            d = r["dst_id"]
+            if d not in seen and d not in nxt:
+                nxt[d] = (r["src_id"], r["pred"])
+        if not nxt:
+            return []
+        parent.update(nxt)
+        seen.update(nxt)
+        if len(seen) > cfg.khop_broadcast_max:
+            return []  # graph region too dense for a point query
+        if dst_id in parent:
+            steps = []
+            cur = dst_id
+            while cur != src_id:
+                p, pred = parent[cur]
+                steps.append({"src_id": p, "pred": pred, "dst_id": cur})
+                cur = p
+            return list(reversed(steps))
+        frontier = set(nxt)
+    return []
+
+
 def weakly_connected_components(
     paths: dict[str, str], cfg: PipelineConfig = DEFAULT_CONFIG
 ) -> ray.data.Dataset:

@@ -136,6 +136,13 @@ def _t_related(paths: dict[str, str], seed_ids: list[str], k: int = 20) -> list[
     return _rows(related_entities(paths, seed_ids, k=k))
 
 
+def _t_path_between(paths: dict[str, str], src_id: str, dst_id: str,
+                    max_depth: int = 6) -> list[dict]:
+    from .pipelines.graph_analytics import path_between
+
+    return path_between(paths, src_id, dst_id, max_depth=max_depth)
+
+
 _ID = {"type": "string", "description": "entity_id (md5 hex)"}
 _K = {"type": "integer", "default": 10}
 _PAGE = {
@@ -201,6 +208,12 @@ TOOLS: dict[str, Tool] = {
              _t_related,
              {"seed_ids": {"type": "array", "items": {"type": "string"}}, "k": _K},
              ("seed_ids",)),
+        Tool("path_between",
+             "One shortest directed path between two entities (BFS, depth-capped)",
+             _t_path_between,
+             {"src_id": _ID, "dst_id": _ID,
+              "max_depth": {"type": "integer", "default": 6}},
+             ("src_id", "dst_id")),
     ]
 }
 

@@ -196,3 +196,40 @@ def test_related_entities_excludes_seeds(built):
     ranks = [r["rank"] for r in rows]
     assert ranks == sorted(ranks, reverse=True)
     assert all(r["name"] for r in rows)
+
+
+def test_path_between_shortest_and_valid(built):
+    from blarify_ray.pipelines.graph_analytics import path_between
+
+    ents, edges = _graph(built)
+    adj = {}
+    edge_set = set()
+    for e in edges:
+        adj.setdefault(e["src_id"], set()).add(e["dst_id"])
+        edge_set.add((e["src_id"], e["dst_id"]))
+    # pick a pair with a known BFS distance >= 2
+    from collections import deque
+
+    src = edges[0]["src_id"]
+    dist = {src: 0}
+    q = deque([src])
+    while q:
+        u = q.popleft()
+        for v in adj.get(u, ()):
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                q.append(v)
+    far = [n for n, d in dist.items() if d >= 2]
+    assert far, "test graph too shallow"
+    dst = sorted(far, key=lambda n: (-dist[n], n))[0]
+    steps = path_between(built, src, dst, max_depth=8)
+    assert steps, "path must be found"
+    assert len(steps) == dist[dst]  # BFS-shortest
+    assert steps[0]["src_id"] == src and steps[-1]["dst_id"] == dst
+    for s in steps:
+        assert (s["src_id"], s["dst_id"]) in edge_set  # every step is a real edge
+    for a, b in zip(steps, steps[1:]):
+        assert a["dst_id"] == b["src_id"]  # contiguous
+    # unreachable / trivial cases
+    assert path_between(built, src, src) == []
+    assert path_between(built, src, "0" * 32, max_depth=3) == []
