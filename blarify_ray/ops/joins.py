@@ -316,3 +316,65 @@ def interval_join(
         return pd.concat(outs, ignore_index=True)
 
     return pt.union(it).groupby("_pkey").map_groups(match, batch_format="pandas")
+
+
+def interval_self_join(
+    ds: "ray.data.Dataset",
+    key: str,
+    ts_col: str,
+    id_col: str,
+    window_us: int,
+    partitions: int = 64,
+) -> "ray.data.Dataset":
+    """Stream-stream WINDOW self-join: all ordered pairs (a, b) with the
+    same key and ``0 < ts_b - ts_a <= window_us`` — the bounded-interval
+    join of streaming engines (CEP bursts, retry detection, session
+    stitching), distinct from ``asof_join`` (which keeps ONE match).
+
+    Scale shape: rows are hash-co-partitioned by key (every key's events
+    land whole in one partition), and each partition runs a BANDING
+    join — an event in time-bucket k (bucket width = window) can only
+    pair with events in buckets k and k+1, so two vectorized pandas
+    merges + one filter produce exactly the window pairs with NO per-key
+    Python and no quadratic blowup beyond events-per-key-per-window
+    (the inherent output size of the operator).
+
+    Returns ds[(key, id_a, id_b, gap_us)].
+    """
+    import pandas as pd
+
+    def route(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_pkey"] = (
+            pd.util.hash_array(df[key].to_numpy()) % partitions
+        ).astype("int32")
+        return df
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        t = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        base = pd.DataFrame(
+            {"k": g[key].to_numpy(), "i": g[id_col].to_numpy(np.int64), "t": t}
+        )
+        b = t // window_us
+        left = base.assign(jb=b)
+        # right side appears under its own bucket AND the previous one,
+        # so every (a in k) × (b in k or k+1) candidate meets in a merge
+        cand = pd.concat([base.assign(jb=b), base.assign(jb=b - 1)], ignore_index=True)
+        m = left.merge(cand, on=["k", "jb"], suffixes=("_a", "_b"))
+        gap = m["t_b"] - m["t_a"]
+        m = m[(gap > 0) & (gap <= window_us)]
+        out = pd.DataFrame(
+            {
+                key: m["k"].to_numpy(),
+                "id_a": m["i_a"].to_numpy(np.int64),
+                "id_b": m["i_b"].to_numpy(np.int64),
+                "gap_us": (m["t_b"] - m["t_a"]).to_numpy(np.int64),
+            }
+        )
+        return out.sort_values([key, "id_a", "id_b"], kind="mergesort").reset_index(drop=True)
+
+    return (
+        ds.map_batches(route, batch_format="pandas")
+        .groupby("_pkey")
+        .map_groups(pairs, batch_format="pandas")
+    )

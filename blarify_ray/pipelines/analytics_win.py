@@ -608,6 +608,34 @@ g AS (SELECT gram, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM w
 SELECT w.doc_id, w.pos, g.n_docs FROM w JOIN g USING (gram)
 """
 
+# --- event_bursts (stream-stream bounded-interval self-join) ------------------
+
+BURST_WINDOW_US = 3_600_000_000  # pairs within 1 h
+
+
+def q_event_bursts(sf_dir: str):
+    """All same-user event pairs within a 1-hour window — the
+    stream-stream interval join (`ops/joins.interval_self_join`): user-
+    co-partitioned banding join, two vectorized merges per partition, no
+    per-key Python. asof_join keeps one match; this keeps them all."""
+    from ..ops.joins import interval_self_join
+
+    ev = _t(sf_dir, "events", ["user_id", "event_id", "ts"])
+    out = interval_self_join(ev, "user_id", "ts", "event_id", BURST_WINDOW_US)
+    return out.map_batches(
+        lambda df: df.rename(columns={"id_a": "event_a", "id_b": "event_b"}),
+        batch_format="pandas",
+    )
+
+
+SQL_EVENT_BURSTS = f"""
+SELECT a.user_id, a.event_id AS event_a, b.event_id AS event_b,
+       epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+FROM events a JOIN events b
+  ON a.user_id = b.user_id AND b.ts > a.ts
+ AND epoch_us(b.ts) - epoch_us(a.ts) <= {BURST_WINDOW_US}
+"""
+
 # ---------------------------------------------------------------------------
 
 QUERIES_WIN = {
@@ -620,6 +648,7 @@ QUERIES_WIN = {
     "stratified_sample_docs": q_stratified_sample_docs,
     "tfidf_top_terms": q_tfidf_top_terms,
     "ngram_span_dups": q_ngram_span_dups,
+    "event_bursts": q_event_bursts,
 }
 
 ORACLE_SQL_WIN = {
@@ -632,6 +661,7 @@ ORACLE_SQL_WIN = {
     "stratified_sample_docs": SQL_STRATIFIED_SAMPLE,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "ngram_span_dups": SQL_NGRAM_SPAN_DUPS,
+    "event_bursts": SQL_EVENT_BURSTS,
 }
 
 # self-register into the main battery (same contract as analytics_ext)

@@ -151,3 +151,34 @@ def test_most_specific_join_prefers_narrowest():
     # (2,12,x=5): no containing interval → dropped
     assert df["pid"].tolist() == [10, 11]
     assert df["tag"].tolist() == ["narrow", "wide"]
+
+
+def test_interval_self_join_boundaries():
+    """Banding join must keep pairs at exactly gap == window, drop
+    gap == 0, and find pairs whose bucket indices differ by one."""
+    import numpy as np
+
+    from blarify_ray.ops.joins import interval_self_join
+
+    W = 1_000_000  # 1 s window
+    base = np.datetime64("2021-01-01T00:00:00", "us")
+    rows = [
+        # user 1: chain crossing bucket edges
+        {"user_id": 1, "event_id": 1, "ts": base},
+        {"user_id": 1, "event_id": 2, "ts": base + np.timedelta64(999_999, "us")},
+        {"user_id": 1, "event_id": 3, "ts": base + np.timedelta64(1_000_000, "us")},  # == W from e1
+        {"user_id": 1, "event_id": 4, "ts": base + np.timedelta64(2_000_001, "us")},  # > W from e3
+        # same timestamp → gap 0 → excluded
+        {"user_id": 2, "event_id": 5, "ts": base},
+        {"user_id": 2, "event_id": 6, "ts": base},
+        # different users never pair
+        {"user_id": 3, "event_id": 7, "ts": base},
+        {"user_id": 4, "event_id": 8, "ts": base + np.timedelta64(1, "us")},
+    ]
+    ds = rd.from_items(rows)
+    got = {
+        (r["user_id"], r["id_a"], r["id_b"]): r["gap_us"]
+        for r in interval_self_join(ds, "user_id", "ts", "event_id", W).take_all()
+    }
+    assert set(got) == {(1, 1, 2), (1, 1, 3), (1, 2, 3)}
+    assert got[(1, 1, 3)] == W  # inclusive upper bound
