@@ -25,6 +25,22 @@ pattern that survives 100 TB:
                              from the supplier-scale aggregate and
                              broadcast back (integer cents → exact
                              float division, bit-identical to SQL)
+- events_hopping_windows     OVERLAPPING sliding windows: constant
+                             width/step replication + window-keyed
+                             exchange of per-batch partial counts
+- stratified_sample_docs     deterministic hash-mod sampling per
+                             stratum (SQL-expressible multiplicative
+                             hash; top-k-per-key combiner)
+- tfidf_top_terms            two-pass corpus statistic: map-only tf,
+                             term-keyed df exchange, co-partitioned
+                             attach, per-doc top-k combiner
+                             (pure-arithmetic idf → bit-exact doubles)
+- ngram_span_dups            exact-substring dedup removal list:
+                             vectorized rolling-hash windows, fixed-
+                             width int exchange, hot-gram cap
+- event_bursts               stream-stream bounded-interval self-join:
+                             key-co-partitioned banding join (bucket k
+                             pairs with k and k+1 only)
 
 Conventions match the main battery (CLAUDE.md invariants): money as
 integer cents, half-away-from-zero rounding, CAST(... AS BIGINT)
