@@ -39,6 +39,26 @@ from ..stages.mentions import detect_and_link, triples_projection
 from ..state.manifest import lineage_hash, read_manifest, read_stage, run_stage
 
 
+def tee_batch(t: pa.Table, out_dir: str) -> pa.Table:
+    """Side-output one batch of the fused S1+S2 stream into the docs
+    checkpoint with a DETERMINISTIC per-batch filename: urls are unique
+    across the deduped docs stream, so (first url, last url, row count)
+    identifies the batch — a Ray task RETRY re-executes the same batch
+    and OVERWRITES its part instead of appending a duplicate (uuid names
+    silently duplicated doc rows in the committed checkpoint)."""
+    import hashlib
+
+    if t.num_rows == 0:
+        return t
+    urls = t["url"]
+    h = hashlib.md5()
+    h.update(str(urls[0]).encode())
+    h.update(str(urls[-1]).encode())
+    h.update(str(t.num_rows).encode())
+    pq.write_table(t, os.path.join(out_dir, f"part-{h.hexdigest()}.parquet"))
+    return t
+
+
 def build_kg(
     out_dir: str,
     n_pages: int,
@@ -90,22 +110,7 @@ def build_kg(
             ds = pages if pages is not None else synth_pages(n_pages, cfg)
 
             def tee(t: pa.Table, _dir=docs_tmp) -> pa.Table:
-                import hashlib
-
-                # deterministic per-batch filename: urls are unique across
-                # the deduped docs stream, so the batch's url content
-                # identifies it — a Ray task RETRY re-executes the same
-                # batch and OVERWRITES its part instead of appending a
-                # duplicate (uuid names silently duplicated doc rows)
-                if t.num_rows == 0:
-                    return t
-                urls = t["url"]
-                h = hashlib.md5()
-                h.update(str(urls[0]).encode())
-                h.update(str(urls[-1]).encode())
-                h.update(str(t.num_rows).encode())
-                pq.write_table(t, os.path.join(_dir, f"part-{h.hexdigest()}.parquet"))
-                return t
+                return tee_batch(t, _dir)
 
             docs_ds = extract_and_dedup(ds, cfg).map_batches(
                 tee, batch_format="pyarrow", batch_size=8192

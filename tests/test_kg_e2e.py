@@ -218,3 +218,27 @@ def test_partitioned_sorted_output(built):
     for f in sorted(files):
         ids.extend(pq.read_table(f, columns=["entity_id"])["entity_id"].to_pylist())
     assert ids == sorted(ids)
+
+
+def test_tee_batch_retry_overwrites_not_appends(tmp_path):
+    """Fused-stage docs tee: a Ray task retry re-executes the same batch;
+    the deterministic filename must make that an overwrite, never a
+    duplicate part (uuid names silently duplicated doc rows)."""
+    import os
+
+    import pyarrow as pa
+
+    from blarify_ray.pipelines.kg_build import tee_batch
+
+    d = str(tmp_path)
+    batch = pa.table({"url": ["u1", "u2", "u3"], "text": ["a", "b", "c"]})
+    tee_batch(batch, d)
+    tee_batch(batch, d)  # simulated retry
+    files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+    assert len(files) == 1
+    other = pa.table({"url": ["u4"], "text": ["d"]})
+    tee_batch(other, d)
+    assert len([f for f in os.listdir(d) if f.endswith(".parquet")]) == 2
+    empty = batch.slice(0, 0)
+    assert tee_batch(empty, d).num_rows == 0  # no file for empty batches
+    assert len([f for f in os.listdir(d) if f.endswith(".parquet")]) == 2
