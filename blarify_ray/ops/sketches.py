@@ -169,6 +169,57 @@ def approx_quantiles(
     return {q: acc.quantile(q) for q in qs}
 
 
+def grouped_quantiles(
+    ds: ray.data.Dataset,
+    key_col: str,
+    val_col: str,
+    qs: list[float],
+    k: int = 256,
+    partitions: int = 64,
+) -> ray.data.Dataset:
+    """Per-key approximate quantiles: each batch emits one serialized
+    KLL sketch PER KEY present in the batch (key-scale blob rows, never
+    the raw values), one key-routed exchange merges each key's blobs,
+    and the output is one row per key with a column per requested
+    quantile. The grouped form of ``approx_quantiles`` — same sketch,
+    same determinism."""
+    import pandas as pd
+
+    qcols = [f"p{int(q * 100)}" for q in qs]
+
+    def sketch_partial(df: pd.DataFrame) -> pd.DataFrame:
+        out_k, out_b = [], []
+        for key, vals in df.groupby(key_col, sort=False)[val_col]:
+            s = QuantileSketch(k)
+            s.add(vals.to_numpy(np.float64))
+            out_k.append(key)
+            out_b.append(s.serialize())
+        g = pd.DataFrame({key_col: out_k, "blob": out_b})
+        g["_pkey"] = (
+            pd.util.hash_array(g[key_col].to_numpy()) % partitions
+        ).astype("int32")
+        return g
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        rows: dict = {key_col: []}
+        for c in qcols:
+            rows[c] = []
+        for key, blobs in g.groupby(key_col, sort=True)["blob"]:
+            acc = QuantileSketch(k)
+            for b in blobs:
+                acc = acc.merge(QuantileSketch.deserialize(b))
+            rows[key_col].append(key)
+            for q, c in zip(qs, qcols):
+                rows[c].append(acc.quantile(q))
+        return pd.DataFrame(rows)
+
+    return (
+        ds.map_batches(sketch_partial, batch_format="pandas")
+        .groupby("_pkey")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
 class HeavyHitters:
     """Misra–Gries summary with ``k`` counters (Misra & Gries 1982,
     public): after any stream/merge sequence, every item with true count

@@ -180,6 +180,18 @@ def q_clean_corpus_docs(sf_dir: str):
     return docs.map_batches(label_filter, batch_format="pyarrow")
 
 
+def q_source_length_quantiles(sf_dir: str):
+    """Per-source p50/p90 document length via GROUPED KLL sketches —
+    key-scale blob rows through one key-routed exchange; the raw length
+    column never shuffles. Accuracy pytest-verified per group."""
+    from ..ops.sketches import grouped_quantiles
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["source", "n_chars"]
+    )
+    return grouped_quantiles(docs, "source", "n_chars", [0.5, 0.9])
+
+
 def q_heavy_words_docs(sf_dir: str):
     """Misra-Gries heavy-hitter words — the shuffle-FREE approximate
     sibling of the exact (oracle-checked) word_topk: one summary blob
@@ -249,4 +261,5 @@ QUERIES = {
     "bpe_token_counts": q_bpe_token_counts,
     "heavy_words_docs": q_heavy_words_docs,
     "clean_corpus_docs": q_clean_corpus_docs,
+    "source_length_quantiles": q_source_length_quantiles,
 }

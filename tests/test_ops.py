@@ -472,3 +472,24 @@ def test_clean_corpus_composition():
     }
     assert got == want
     assert got  # the pipeline keeps a nonempty corpus
+
+
+def test_grouped_quantiles_per_key_accuracy():
+    import pyarrow.parquet as pq
+
+    from blarify_ray.ops.sketches import grouped_quantiles
+
+    path = "/root/testdata/sf0.001/documents.parquet"
+    ds = rd.read_parquet(path, columns=["source", "n_chars"])
+    rows = grouped_quantiles(ds, "source", "n_chars", [0.5, 0.9]).take_all()
+    t = pq.read_table(path, columns=["source", "n_chars"])
+    import pandas as pd
+
+    df = t.to_pandas()
+    by_src = dict(tuple(df.groupby("source")["n_chars"]))
+    assert set(r["source"] for r in rows) == set(by_src)
+    for r in rows:
+        vals = by_src[r["source"]].to_numpy()
+        for q, col in ((0.5, "p50"), (0.9, "p90")):
+            rank = float(np.mean(vals <= r[col]))
+            assert abs(rank - q) <= 0.08, (r["source"], q, r[col], rank)
