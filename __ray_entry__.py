@@ -188,9 +188,18 @@ def _q_kg_skeleton_tree(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    """Ordered so the 40 DuckDB-oracle-backed queries come FIRST: the
+    round driver records at most ~50 entries per sweep, so oracle queries
+    (the hard correctness signal) must land driver rows before the
+    rows-only KG/training entries."""
     from blarify_ray.pipelines import analytics, training_ops
 
-    q: dict[str, Callable[[str], Any]] = {
+    q: dict[str, Callable[[str], Any]] = {}
+    oracle_keys = set(analytics.ORACLE_SQL)
+    for name, fn in analytics.QUERIES.items():
+        if name in oracle_keys:
+            q[name] = fn
+    kg: dict[str, Callable[[str], Any]] = {
         "kg_docs": _q_kg_docs,
         "kg_mentions": _q_kg_mentions,
         "kg_triples": _q_kg_triples,
@@ -211,7 +220,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pagerank": _q_kg_pagerank,
         "kg_components": _q_kg_components,
     }
-    q.update(analytics.QUERIES)
+    q.update(kg)
+    for name, fn in analytics.QUERIES.items():
+        if name not in q:
+            q[name] = fn
     q.update(training_ops.QUERIES)
     return q
 
