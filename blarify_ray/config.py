@@ -147,6 +147,10 @@ class PipelineConfig:
     # node-state dataset. Identical spec both tiers (forced-tier tested
     # to float-summation-order tolerance).
     pagerank_driver_max_edges: int = 2_000_000
+    # ... and below this many NODES: the driver tier pulls the entities
+    # table via take_all, so an entity-heavy/edge-sparse KG (many
+    # isolated nodes) must not select it on edge count alone.
+    pagerank_driver_max_nodes: int = 4_000_000
     # k-hop frontier tier: a frontier (plus seen set) smaller than this
     # is broadcast as a sorted id array and applied with ``pc.is_in``;
     # above it the expansion switches to a co-partitioned semi-join of

@@ -149,7 +149,9 @@ def bpe_encode(
 
         rank = get_broadcast(rank_ref)
         s = df[text_col].str.split(" ").explode()
-        s = s[s != ""]
+        # drop null-text rows too: a NaN surviving into factorize gets
+        # code -1, which would silently index the LAST unique word
+        s = s[s.notna() & (s != "")]
         doc_idx = s.index.to_numpy()
         codes, uniq = pd.factorize(s.to_numpy(dtype=object))
         tok_per_uniq = np.fromiter(

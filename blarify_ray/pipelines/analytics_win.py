@@ -463,11 +463,15 @@ def q_stratified_sample_docs(sf_dir: str):
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         ids = df["doc_id"].to_numpy(np.int64)
+        # hash in uint64 so wraparound is DEFINED for doc_id > ~3.4e9
+        # (int64 would overflow silently); (x*M mod 2^64) mod 2^32 ==
+        # exact-product mod 2^32, which is what the HUGEINT oracle computes
+        h = (ids.astype(np.uint64) * np.uint64(_SAMPLE_MULT)) % np.uint64(_SAMPLE_MOD)
         d = pd.DataFrame(
             {
                 "source": df["source"],
                 "doc_id": ids,
-                "h": (ids * _SAMPLE_MULT) % _SAMPLE_MOD,
+                "h": h.astype(np.int64),  # < 2^32, fits BIGINT
             }
         )
         return _route(topk(d), "source")
@@ -485,10 +489,10 @@ def q_stratified_sample_docs(sf_dir: str):
 SQL_STRATIFIED_SAMPLE = f"""
 SELECT source, doc_id, h FROM (
   SELECT source, doc_id,
-         (doc_id*{_SAMPLE_MULT})%{_SAMPLE_MOD} AS h,
+         CAST((CAST(doc_id AS HUGEINT)*{_SAMPLE_MULT})%{_SAMPLE_MOD} AS BIGINT) AS h,
          ROW_NUMBER() OVER (
            PARTITION BY source
-           ORDER BY (doc_id*{_SAMPLE_MULT})%{_SAMPLE_MOD}, doc_id) AS rn
+           ORDER BY (CAST(doc_id AS HUGEINT)*{_SAMPLE_MULT})%{_SAMPLE_MOD}, doc_id) AS rn
   FROM documents)
 WHERE rn <= {SAMPLE_PER_SOURCE}
 """

@@ -67,7 +67,10 @@ def pagerank(
     ents = read_stage(paths["entities"], columns=["entity_id"])
     n_edges = edges.count()
     seed_set = sorted(set(seeds)) if seeds else None
-    if n_edges <= cfg.pagerank_driver_max_edges:
+    if (
+        n_edges <= cfg.pagerank_driver_max_edges
+        and ents.count() <= cfg.pagerank_driver_max_nodes
+    ):
         return _pagerank_driver(edges, ents, damping, iters, seed_set)
     return _pagerank_distributed(edges, ents, n_edges, damping, iters, seed_set, cfg)
 
@@ -97,6 +100,8 @@ def _pagerank_driver(
         tele[:] = 1.0 / n
     else:
         si = [idx[s] for s in seeds if s in idx]
+        if not si:  # no seed exists in the graph — match the distributed tier
+            return ray.data.from_arrow(_pr_empty())
         tele[si] = 1.0 / len(si)
     rank = tele.copy()
     for _ in range(iters):
@@ -365,8 +370,8 @@ def path_between(
             return []
         parent.update(nxt)
         seen.update(nxt)
-        if len(seen) > cfg.khop_broadcast_max:
-            return []  # graph region too dense for a point query
+        # reconstruct BEFORE the size-cap abort: a path discovered in the
+        # round that crosses the cap is still a valid result
         if dst_id in parent:
             steps = []
             cur = dst_id
@@ -375,6 +380,8 @@ def path_between(
                 steps.append({"src_id": p, "pred": pred, "dst_id": cur})
                 cur = p
             return list(reversed(steps))
+        if len(seen) > cfg.khop_broadcast_max:
+            return []  # graph region too dense for a point query
         frontier = set(nxt)
     return []
 

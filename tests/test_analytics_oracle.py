@@ -49,6 +49,40 @@ def test_query_matches_oracle(name):
             assert a.astype(str).tolist() == b.astype(str).tolist(), f"column {c} differs"
 
 
+def test_stratified_sample_large_ids_match_oracle(tmp_path):
+    """doc_id > ~3.4e9 overflows int64 in `id * 2654435761`; the engine
+    hashes in uint64 (defined wraparound mod 2^32) and the oracle in
+    HUGEINT — both must agree on the same large-id table."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from blarify_ray.pipelines.analytics_win import (
+        SQL_STRATIFIED_SAMPLE,
+        q_stratified_sample_docs,
+    )
+
+    rng = np.random.RandomState(7)
+    ids = np.unique(rng.randint(2**33, 2**62, size=200).astype(np.int64))
+    tbl = pa.Table.from_pydict(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "source": pa.array([f"s{i % 5}" for i in range(len(ids))], pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    got = _normalize(q_stratified_sample_docs(str(tmp_path)).to_pandas())
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = _normalize(con.sql(SQL_STRATIFIED_SAMPLE).df())
+    assert got["h"].max() < 2**32 and got["h"].min() >= 0
+    pd.testing.assert_frame_equal(
+        got.astype(str), want.astype(str), check_names=False
+    )
+
+
 def test_order_priority_join_tiers_identical(monkeypatch):
     """Forced-tier: the distributed Dataset.join tier must produce the
     broadcast map-side tier's exact rows (both == the oracle)."""

@@ -95,6 +95,22 @@ def test_train_and_encode_dataset():
     assert out[1]["n_tokens"] < char_tokens
 
 
+def test_encode_null_text_counts_zero():
+    """A NULL text row must count 0 words / 0 tokens — a NaN surviving
+    into factorize used to get code -1 and silently index the LAST
+    unique word."""
+    import pandas as pd
+
+    df = pd.DataFrame(
+        {"doc_id": [0, 1, 2], "text": ["low lower", None, "newest"]}
+    )
+    ds = rd.from_pandas(df)
+    merges = train_bpe(ds, "text", n_merges=4)
+    out = {r["id"]: r for r in bpe_encode(ds, merges, "text", "doc_id").take_all()}
+    assert out[1]["n_words"] == 0 and out[1]["n_tokens"] == 0
+    assert out[0]["n_words"] == 2 and out[2]["n_words"] == 1
+
+
 def test_bpe_corpus_scale_sanity():
     ds = rd.read_parquet("/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"])
     merges = train_bpe(ds, "text", n_merges=64)

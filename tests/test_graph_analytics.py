@@ -185,6 +185,36 @@ def test_personalized_pagerank_matches_reference_and_tiers(built):
     )
 
 
+def test_ppr_nonexistent_seed_empty_both_tiers(built):
+    """A seed id absent from the graph must yield an EMPTY result in both
+    tiers (the driver tier used to divide by a zero-length seed set)."""
+    ghost = ["f" * 32]
+    assert pagerank(built, seeds=ghost).take_all() == []
+    forced = dataclasses.replace(DEFAULT_CONFIG, pagerank_driver_max_edges=0)
+    assert pagerank(built, seeds=ghost, cfg=forced).take_all() == []
+
+
+def test_pagerank_driver_tier_gated_on_node_count(built):
+    """An entity-heavy/edge-sparse KG must not select the driver tier on
+    edge count alone: forcing the NODE bound to 0 must route to the
+    distributed tier and still produce the same ranks."""
+    driver = {
+        r["entity_id"]: r["rank"]
+        for r in pagerank(built, damping=DAMPING, iters=ITERS).take_all()
+    }
+    forced = dataclasses.replace(DEFAULT_CONFIG, pagerank_driver_max_nodes=0)
+    dist = {
+        r["entity_id"]: r["rank"]
+        for r in pagerank(built, damping=DAMPING, iters=ITERS, cfg=forced).take_all()
+    }
+    keys = sorted(driver)
+    np.testing.assert_allclose(
+        np.array([dist[k] for k in keys]),
+        np.array([driver[k] for k in keys]),
+        rtol=1e-9,
+    )
+
+
 def test_related_entities_excludes_seeds(built):
     from blarify_ray.pipelines.graph_analytics import related_entities
     from blarify_ray.state.manifest import read_stage
@@ -233,3 +263,13 @@ def test_path_between_shortest_and_valid(built):
     # unreachable / trivial cases
     assert path_between(built, src, src) == []
     assert path_between(built, src, "0" * 32, max_depth=3) == []
+    # a path discovered in the round that CROSSES the broadcast cap is
+    # still returned (reconstruction runs before the size-cap abort):
+    # cap = |seen| after the penultimate round, so the final round both
+    # finds dst and exceeds the cap
+    cap = sum(1 for d in dist.values() if d <= dist[dst] - 1)
+    assert sum(1 for d in dist.values() if d <= dist[dst]) > cap
+    tiny = dataclasses.replace(DEFAULT_CONFIG, khop_broadcast_max=cap)
+    capped = path_between(built, src, dst, max_depth=8, cfg=tiny)
+    assert capped and len(capped) == dist[dst]
+    assert capped[0]["src_id"] == src and capped[-1]["dst_id"] == dst
