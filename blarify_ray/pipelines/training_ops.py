@@ -102,6 +102,15 @@ def q_lm_perplexity_docs(sf_dir: str):
     return lm_perplexity(docs, lm, "text", "doc_id")
 
 
+# Size tier for the composed cleaning pipeline: below this many
+# exact-dedup survivors the keep-set composes on the driver (id-scale
+# Python sets, one ray.put broadcast); above it everything composes as
+# co-partitioned semi-/anti-joins — NO id universe ever materializes on
+# the driver (at 10^12 docs the survivor set IS corpus cardinality).
+# Both tiers produce identical rows (forced-tier tested).
+CLEAN_CORPUS_BROADCAST_MAX = 5_000_000
+
+
 def q_clean_corpus_docs(sf_dir: str):
     """The composed training-data CLEANING pipeline — the capstone that
     chains the op families end-to-end the way a real corpus run would:
@@ -111,13 +120,17 @@ def q_clean_corpus_docs(sf_dir: str):
 
     Each op keeps its own scale shape (hash exchanges, ids-only LSH,
     broadcast snippet scan); the composition communicates by doc-id
-    keep-sets (broadcast ``pc.is_in`` filters — id-scale, never text).
+    tables — broadcast ``pc.is_in`` filters under
+    ``CLEAN_CORPUS_BROADCAST_MAX`` survivors, co-partitioned
+    semi-/anti-joins above (the drop sides are key-unique id tables, so
+    each composition step is one ``copartition_attach`` marker pass).
     Returns the surviving (doc_id, lang_pred, quality) rows."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import ray
 
     from ..ops.dedup import exact_dedup, minhash_near_dup
+    from ..ops.joins import copartition_attach
     from ..ops.text_analysis import contamination
 
     # each stage re-reads the pruned parquet scan — at corpus scale a
@@ -125,12 +138,8 @@ def q_clean_corpus_docs(sf_dir: str):
     # store; re-scanning is the streaming-friendly choice
     docs = _docs(sf_dir)
 
-    def ids_of(ds, col="doc_id"):
-        return {r[col] for r in ds.take_all()}  # id-scale only
-
-    survivors = ids_of(exact_dedup(docs, "text", "doc_id"))
-    near = minhash_near_dup(docs, "text", "doc_id")
-    survivors -= {r["id"] for r in near.take_all()}  # drop near-dups, keep canonicals
+    kept_ids = exact_dedup(docs, "text", "doc_id").select_columns(["doc_id"])
+    near = minhash_near_dup(docs, "text", "doc_id")  # (id, dup_of) drop rows
 
     # decontamination: the same deterministic benchmark set as the
     # oracle-checked benchmark_contamination query
@@ -147,25 +156,73 @@ def q_clean_corpus_docs(sf_dir: str):
         r["snippet"]
         for r in docs.map_batches(snippet_partial, batch_format="pandas").take_all()
     ]
-    contaminated = ids_of(contamination(docs, "text", "doc_id", snippets))
     # contaminated docs are dropped UNLESS they are the benchmark donors
-    survivors -= {d for d in contaminated if d % CONTAM_MOD != 0}
+    def nondonor(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"].combine_chunks(), dtype=np.int64)
+        return t.filter(pa.array(ids % CONTAM_MOD != 0)).select(["doc_id"])
 
-    # keep-set is doc-id scale: broadcast ONCE via ray.put (a closure
-    # capture would re-ship it with every task)
-    keep_ref = ray.put(pa.array(sorted(survivors), pa.int64()))
+    contam_drop = contamination(docs, "text", "doc_id", snippets).map_batches(
+        nondonor, batch_format="pyarrow"
+    )
+
+    if kept_ids.count() <= CLEAN_CORPUS_BROADCAST_MAX:
+        # broadcast tier: id-scale driver sets, ONE ray.put (a closure
+        # capture would re-ship the set with every task)
+        survivors = {r["doc_id"] for r in kept_ids.take_all()}
+        survivors -= {r["id"] for r in near.take_all()}
+        survivors -= {r["doc_id"] for r in contam_drop.take_all()}
+        keep_ref = ray.put(pa.array(sorted(survivors), pa.int64()))
+
+        def bcast_prune(t: pa.Table) -> pa.Table:
+            from ..util import get_broadcast
+
+            return t.filter(
+                pc.is_in(t["doc_id"], value_set=get_broadcast(keep_ref))
+            )
+
+        pruned = docs.map_batches(bcast_prune, batch_format="pyarrow")
+    else:
+        # distributed tier: two anti-join marker passes over the id-only
+        # survivor table, then one semi-join to pull the surviving docs —
+        # the drop tables and the survivor table are all key-unique, and
+        # no id set ever lands on the driver
+        near_ids = near.map_batches(
+            lambda t: pa.Table.from_pydict(
+                {"doc_id": t["id"], "_m": pa.array(np.ones(t.num_rows, np.int8))}
+            ),
+            batch_format="pyarrow",
+        )
+        drop_ids = contam_drop.map_batches(
+            lambda t: t.append_column("_m", pa.array(np.ones(t.num_rows, np.int8))),
+            batch_format="pyarrow",
+        )
+        surv = kept_ids
+        for drops in (near_ids, drop_ids):
+            surv = copartition_attach(
+                surv, drops, "doc_id", "doc_id", {"_m": "_m"}, how="left"
+            ).map_batches(
+                lambda t: t.filter(pc.is_null(t["_m"])).select(["doc_id"]),
+                batch_format="pyarrow",
+            )
+        surv = surv.map_batches(
+            lambda t: t.append_column("_keep", pa.array(np.ones(t.num_rows, np.int8))),
+            batch_format="pyarrow",
+        )
+        pruned = copartition_attach(
+            docs, surv, "doc_id", "doc_id", {"_keep": "_keep"}, how="inner"
+        ).map_batches(
+            lambda t: t.select(["doc_id", "text"]), batch_format="pyarrow"
+        )
 
     def label_filter(t: pa.Table) -> pa.Table:
         from ..ops.text_analysis import lang_id_text, quality_features
-        from ..util import get_broadcast
 
-        t = t.filter(pc.is_in(t["doc_id"], value_set=get_broadcast(keep_ref)))
         texts = t["text"].to_pylist()
         langs = [lang_id_text(x)[0] for x in texts]
         quals = [quality_features(x)["quality"] for x in texts]
         out = pa.Table.from_pydict(
             {
-                "doc_id": t["doc_id"],
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
                 "lang_pred": pa.array(langs, pa.string()),
                 "quality": pa.array(quals, pa.float64()),
             }
@@ -177,7 +234,7 @@ def q_clean_corpus_docs(sf_dir: str):
             )
         )
 
-    return docs.map_batches(label_filter, batch_format="pyarrow")
+    return pruned.map_batches(label_filter, batch_format="pyarrow")
 
 
 def q_source_length_quantiles(sf_dir: str):

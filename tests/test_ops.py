@@ -474,6 +474,24 @@ def test_clean_corpus_composition():
     assert got  # the pipeline keeps a nonempty corpus
 
 
+def test_clean_corpus_forced_distributed_tier(monkeypatch):
+    """Forcing the semi-/anti-join tier (no driver keep-set) must produce
+    the broadcast tier's exact rows."""
+    from blarify_ray.pipelines import training_ops
+
+    SF = "/root/testdata/sf0.001"
+    bcast = {
+        (r["doc_id"], r["lang_pred"], r["quality"])
+        for r in training_ops.q_clean_corpus_docs(SF).take_all()
+    }
+    monkeypatch.setattr(training_ops, "CLEAN_CORPUS_BROADCAST_MAX", 0)
+    dist = {
+        (r["doc_id"], r["lang_pred"], r["quality"])
+        for r in training_ops.q_clean_corpus_docs(SF).take_all()
+    }
+    assert dist == bcast and bcast
+
+
 def test_grouped_quantiles_per_key_accuracy():
     import pyarrow.parquet as pq
 
