@@ -48,6 +48,13 @@ def q_fingerprints_docs(sf_dir: str):
 
 
 def q_vector_topk_ivf(sf_dir: str):
+    """ANN over the embeddings table through the PERSISTED IVF layout:
+    train → hive-partitioned inverted-list write (zero-shuffle) → a
+    search that reads only the ``nprobe`` centroid dirs — the
+    touch-a-fraction scale path, not a filtered full scan."""
+    import shutil
+    import tempfile
+
     emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
     qtbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
     qvec = None
@@ -56,8 +63,12 @@ def q_vector_topk_ivf(sf_dir: str):
             qvec = np.asarray(v, dtype=np.float64)
             break
     idx = IvfIndex.train(emb, n_centroids=16)
-    assigned = idx.assign(emb).materialize()
-    hits = idx.search(assigned, qvec, k=10, nprobe=6)
+    layout = tempfile.mkdtemp(prefix="ivf_", dir="/tmp")
+    try:
+        idx.write_partitioned(emb, layout)
+        hits = idx.search_partitioned(layout, qvec, k=10, nprobe=6)
+    finally:
+        shutil.rmtree(layout, ignore_errors=True)
     import pandas as pd
 
     return pd.DataFrame({"vec_id": [i for i, _ in hits], "rank": list(range(1, len(hits) + 1))})

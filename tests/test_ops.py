@@ -103,6 +103,28 @@ def test_ivf_recall():
     assert len(exact & approx) / 10 >= 0.8
 
 
+def test_ivf_partitioned_layout_prunes_and_matches(tmp_path):
+    """The persisted centroid-partitioned layout must (a) read ONLY the
+    nprobe partition dirs, (b) return the exact rows the in-memory probe
+    filter returns, (c) keep recall ≥ 0.8 vs brute force."""
+    import os
+
+    ds, m = _emb_ds(n=200)
+    idx = IvfIndex.train(ds, n_centroids=8)
+    layout = idx.write_partitioned(ds, str(tmp_path / "ivf"))
+    all_dirs = {d for d in os.listdir(layout) if d.startswith("centroid=")}
+    assert len(all_dirs) > 4  # the layout is genuinely split
+    dirs = idx.probe_dirs(layout, m[0], nprobe=4)
+    assert 0 < len(dirs) <= 4  # a probe touches only nprobe dirs
+    assert {os.path.basename(d) for d in dirs} <= all_dirs
+    got = idx.search_partitioned(layout, m[0], k=10, nprobe=4)
+    assigned = idx.assign(ds).materialize()
+    want = idx.search(assigned, m[0], k=10, nprobe=4)
+    assert [(i, round(s, 9)) for i, s in got] == [(i, round(s, 9)) for i, s in want]
+    exact = {i for i, _ in knn_bruteforce(ds, m[0], k=10)[0]}
+    assert len(exact & {i for i, _ in got}) / 10 >= 0.8
+
+
 def test_embedding_near_dup():
     ds, _ = _emb_ds()
     pairs = embedding_near_dup(ds, threshold=0.95).take_all()
