@@ -42,7 +42,7 @@ import ray
 import ray.data
 
 from ..config import DEFAULT_CONFIG, PipelineConfig
-from ..minhash import band_hashes, make_perms, minhash_signature
+from ..minhash import make_perms, shingle_hash32
 
 
 def exact_dedup(
@@ -94,25 +94,49 @@ def minhash_band_rows(
     """IDs-ONLY LSH band rows: (pkey, band_id, band_hash, id). The text
     and the signature never enter the shuffle — at 100 TB the banding
     exchange moves ~32 small ints per document, not 32 copies of the
-    document."""
+    document.
+
+    The hot inner loop is vectorized batch-wise (the canonicalize-stage
+    pattern): signatures come out as ONE (n_docs × n_perms) matrix via a
+    concatenated-shingle ``np.minimum.reduceat`` sweep, banding as one
+    (n_docs × n_bands) FNV pass — bit-identical per row to the scalar
+    ``minhash_signature``/``band_hashes`` (empty docs get the all-max
+    sentinel signature)."""
+    from ..minhash import band_hashes_batch
+
+    n_perms = len(perms[0])
 
     def sig_rows(t: pa.Table) -> pa.Table:
         a, b = perms
-        out = {"pkey": [], "band_id": [], "band_hash": [], "id": []}
-        for i, text in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
-            sh = _word_shingles(text, shingle_words)
-            sig = minhash_signature(sh, a, b)
-            for band_id, bh in enumerate(band_hashes(sig, cfg.lsh_bands)):
-                out["pkey"].append(bh % cfg.agg_partitions)
-                out["band_id"].append(band_id)
-                out["band_hash"].append(bh)
-                out["id"].append(i)
+        ids = np.asarray(t[id_col].combine_chunks(), dtype=np.int64)
+        texts = t[text_col].to_pylist()
+        codes = [
+            np.fromiter(
+                (shingle_hash32(s) for s in sorted(sh)), np.uint64, count=len(sh)
+            )
+            for sh in (_word_shingles(x, shingle_words) for x in texts)
+        ]
+        sigs = np.full((len(texts), n_perms), np.iinfo(np.uint64).max, np.uint64)
+        ne = np.fromiter((len(c) > 0 for c in codes), bool, count=len(codes))
+        if ne.any():
+            kept = [c for c in codes if len(c)]
+            lens = np.fromiter((len(c) for c in kept), np.int64, count=len(kept))
+            flat = np.concatenate(kept)
+            starts = np.zeros(len(kept), np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            m = (a[:, None] * flat[None, :] + b[:, None]) % np.uint64((1 << 31) - 1)
+            sigs[ne] = np.minimum.reduceat(m, starts, axis=1).T
+        bands = band_hashes_batch(sigs, cfg.lsh_bands)  # (n_docs, n_bands)
+        bh = bands.reshape(-1)  # doc-major, band order — the scalar loop's order
         return pa.Table.from_pydict(
-            out,
-            schema=pa.schema(
-                [("pkey", pa.int32()), ("band_id", pa.int32()),
-                 ("band_hash", pa.uint64()), ("id", pa.int64())]
-            ),
+            {
+                "pkey": pa.array((bh % np.uint64(cfg.agg_partitions)).astype(np.int32)),
+                "band_id": pa.array(
+                    np.tile(np.arange(cfg.lsh_bands, dtype=np.int32), len(texts))
+                ),
+                "band_hash": pa.array(bh, pa.uint64()),
+                "id": pa.array(np.repeat(ids, cfg.lsh_bands)),
+            }
         )
 
     return ds.map_batches(sig_rows, batch_format="pyarrow")

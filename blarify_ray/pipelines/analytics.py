@@ -118,24 +118,30 @@ def q_top_customer_revenue(sf_dir: str):
     rev = orders.map_batches(derive, batch_format="pyarrow").groupby("o_custkey").aggregate(
         Sum("cents", alias_name="revenue_cents")
     )
-    # broadcast the small dimension table (customer) — no shuffle join
-    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_name"])
-    names = dict(zip(cust["c_custkey"].to_pylist(), cust["c_name"].to_pylist()))
-
-    def attach(t: pa.Table) -> pa.Table:
-        keys = t["o_custkey"].to_pylist()
-        return pa.Table.from_pydict(
-            {
-                "c_custkey": pa.array(keys, pa.int64()),
-                "c_name": pa.array([names[k] for k in keys], pa.string()),
-                "revenue_cents": t["revenue_cents"],
-            }
-        )
-
-    return (
-        rev.map_batches(attach, batch_format="pyarrow")
-        .sort(["revenue_cents", "c_custkey"], descending=[True, False])
+    # top-10 FIRST, names after: the dimension table is never read on the
+    # driver and never broadcast — the final k keys prune one distributed
+    # customer scan (``pc.is_in`` over a k-element array), so this shape
+    # holds at any customer-table scale
+    top = (
+        rev.sort(["revenue_cents", "o_custkey"], descending=[True, False])
         .limit(10)
+        .to_pandas()  # result-scale (k rows)
+    )
+    key_arr = pa.array(top["o_custkey"].to_numpy(np.int64), pa.int64())
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_name"])
+    hits = cust.map_batches(
+        lambda t, _k=key_arr: t.filter(pc.is_in(t["c_custkey"], value_set=_k)),
+        batch_format="pyarrow",
+    ).take_all()  # ≤ k rows
+    names = {r["c_custkey"]: r["c_name"] for r in hits}
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            "c_custkey": top["o_custkey"].to_numpy(np.int64),
+            "c_name": [names[k] for k in top["o_custkey"]],
+            "revenue_cents": top["revenue_cents"].to_numpy(np.int64),
+        }
     )
 
 

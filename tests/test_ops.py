@@ -68,6 +68,31 @@ def test_minhash_band_rows_carry_ids_only():
     assert set(bands.schema().names) == {"pkey", "band_id", "band_hash", "id"}
 
 
+def test_minhash_band_rows_bit_identical_to_scalar():
+    """The vectorized batch banding must reproduce the scalar
+    minhash_signature/band_hashes loop byte-for-byte (incl. the empty-doc
+    all-max sentinel and the doc-major band-row order)."""
+    from blarify_ray.config import DEFAULT_CONFIG as CFG
+    from blarify_ray.minhash import band_hashes, make_perms, minhash_signature
+    from blarify_ray.ops.dedup import _word_shingles, minhash_band_rows
+
+    docs = [(1, BASE), (2, NEAR), (3, ""), (4, "one two"), (5, BASE)]
+    perms = make_perms(CFG.minhash_perms, seed="blarify-ray:docdedup")
+    want = []
+    for i, text in docs:
+        sig = minhash_signature(_word_shingles(text, 3), *perms)
+        for band_id, bh in enumerate(band_hashes(sig, CFG.lsh_bands)):
+            want.append((bh % CFG.agg_partitions, band_id, bh, i))
+    ds = rd.from_arrow(
+        pa.table({"doc_id": [i for i, _ in docs], "text": [t for _, t in docs]})
+    )
+    got = [
+        (r["pkey"], r["band_id"], r["band_hash"], r["id"])
+        for r in minhash_band_rows(ds, "text", "doc_id", CFG, 3, perms).take_all()
+    ]
+    assert got == want
+
+
 def test_simhash_near_dup():
     pairs = simhash_near_dup(_docs(), "text", "doc_id", max_hamming=6).take_all()
     got = {(r["a"], r["b"]) for r in pairs}
