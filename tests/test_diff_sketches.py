@@ -37,6 +37,35 @@ def test_entity_diff_added_deleted_modified():
             assert r["n_mentions_new"] is None
 
 
+def test_entity_diff_relative_across_environments():
+    """Two snapshots of the SAME content built under DIFFERENT
+    GraphEnvironments: the env-prefixed diff sees disjoint id universes
+    (everything ADDED+DELETED), the relative diff (md5(type/name), env
+    prefix stripped — relative_id_calculator analog) sees no change; a
+    content change shows up as MODIFIED under its relative id."""
+    import dataclasses
+
+    from blarify_ray.config import DEFAULT_CONFIG, GraphEnvironment
+
+    a, b = "/tmp/blarify_diff_env_a", "/tmp/blarify_diff_env_b"
+    shutil.rmtree(a, ignore_errors=True)
+    shutil.rmtree(b, ignore_errors=True)
+    pa_ = build_kg(a, N)
+    cfg2 = dataclasses.replace(
+        DEFAULT_CONFIG, env=GraphEnvironment(environment="staging")
+    )
+    pb = build_kg(b, N, cfg=cfg2)
+    # env-prefixed ids are disjoint → the plain diff is all ADDED/DELETED
+    plain = entity_diff(pa_, pb).take_all()
+    assert plain and {r["change"] for r in plain} == {"ADDED", "DELETED"}
+    # relative ids strip the env prefix → identical content, empty diff
+    assert entity_diff(pa_, pb, relative=True).count() == 0
+    # a content change in the staging snapshot surfaces as MODIFIED
+    pb = incremental_update(b, N, [6, 20], content_seed=99, cfg=cfg2)
+    rel = entity_diff(pa_, pb, relative=True).take_all()
+    assert rel and "MODIFIED" in {r["change"] for r in rel}
+
+
 def test_hll_accuracy_and_merge():
     n = 20_000
     ds = rd.from_arrow(pa.table({"v": [f"user-{i % 5000}" for i in range(n)]}))
