@@ -46,6 +46,14 @@ def entity_content(name: str, etype: str, aliases: list[str], n_mentions: int) -
     )[0]
 
 
+def entity_content_key(name: str, etype: str, aliases: list[str], n_mentions: int) -> str:
+    """Fingerprint of the doc-layer INPUT tuple for one entity — the
+    delta-rebuild change detector (the service fingerprints are guarded
+    separately by the stage manifest)."""
+    blob = repr((name, etype, [str(a) for a in aliases], int(n_mentions)))
+    return hashlib.md5(blob.encode("utf-8")).hexdigest()
+
+
 class DocLayerBuilder:
     """Actor-pool stage: summary + embedding per entity through the
     service ABCs, with a per-actor content-hash cache (embed-once dedup,
@@ -89,8 +97,29 @@ class DocLayerBuilder:
                 "content_embedding": pa.FixedSizeListArray.from_arrays(
                     pa.array(flat, pa.float32()), dim
                 ),
+                "content_key": pa.array(
+                    [
+                        entity_content_key(
+                            r["name"], r["type"], r["aliases"], r["n_mentions"]
+                        )
+                        for r in rows
+                    ],
+                    pa.string(),
+                ),
             }
         )
+
+
+_ENT_COLS = ["entity_id", "name", "type", "aliases", "n_mentions"]
+_LAYER_COLS = [
+    "entity_id", "name", "info_type", "layer", "content",
+    "content_embedding", "content_key",
+]
+
+# a delta rebuild broadcasts the changed-id and dropped-id sets (both
+# DELTA-scale — the whole point of targeted invalidation); if an update
+# touched more ids than this, a full rebuild is cheaper and bounded
+DOC_DELTA_BROADCAST_MAX = 5_000_000
 
 
 def build_doc_layer(
@@ -99,9 +128,9 @@ def build_doc_layer(
     summarizer: Summarizer | None = None,
     embedder: Embedder | None = None,
 ) -> ray.data.Dataset:
-    """Streaming (un-checkpointed) form — used by the stage producer and
-    directly by tests."""
-    ents = read_stage(paths["entities"], columns=["entity_id", "name", "type", "aliases", "n_mentions"])
+    """Streaming (un-checkpointed) FULL form — used by the stage producer
+    and directly by tests."""
+    ents = read_stage(paths["entities"], columns=_ENT_COLS)
     return ents.map_batches(
         DocLayerBuilder,
         fn_constructor_kwargs={"summarizer": summarizer, "embedder": embedder},
@@ -110,6 +139,128 @@ def build_doc_layer(
         concurrency=pool_size(4),
         num_cpus=1,
     )
+
+
+def _norm_emb(t: pa.Table) -> pa.Table:
+    """Normalize the embedding column to list<float32> so carried-forward
+    (parquet-read) and freshly-built (FixedSizeList) rows union cleanly."""
+    import pyarrow.compute as pc
+
+    i = t.schema.get_field_index("content_embedding")
+    return t.set_column(
+        i, "content_embedding", pc.cast(t["content_embedding"], pa.list_(pa.float32()))
+    ).select(_LAYER_COLS)
+
+
+def build_doc_layer_delta(
+    paths: dict[str, str],
+    prev_layer_path: str,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    summarizer: Summarizer | None = None,
+    embedder: Embedder | None = None,
+) -> ray.data.Dataset | None:
+    """TARGETED invalidation (the reference resets processing state only
+    for changed nodes and resumes, ``documentation_creator.py:213-260``,
+    ``batch_processing_queries.py:350-402``): re-summarize/re-embed ONLY
+    entities whose input tuple changed since the previous checkpoint;
+    carry every unchanged row forward untouched (the carried rows never
+    meet the services — at entity-scale × an LLM call, this is the
+    difference between minutes and days on an incremental update).
+
+    Scale shape: two co-partitioned attaches over (entity_id,
+    content_key) PROJECTIONS (fixed-width, never the embedding), then
+    delta-scale id broadcasts prune two map-only scans. Returns ``None``
+    when the delta exceeds ``DOC_DELTA_BROADCAST_MAX`` (caller falls back
+    to the bounded full rebuild)."""
+    import pyarrow.compute as pc
+    import ray as _ray
+
+    from ..ops.joins import copartition_attach
+    from ..util import get_broadcast
+
+    def keyed_ents(t: pa.Table) -> pa.Table:
+        keys = [
+            entity_content_key(n, ty, a, m)
+            for n, ty, a, m in zip(
+                t["name"].to_pylist(), t["type"].to_pylist(),
+                t["aliases"].to_pylist(), t["n_mentions"].to_pylist(),
+            )
+        ]
+        return pa.Table.from_pydict(
+            {"entity_id": t["entity_id"], "content_key": pa.array(keys, pa.string())}
+        )
+
+    keyed = read_stage(paths["entities"], columns=_ENT_COLS).map_batches(
+        keyed_ents, batch_format="pyarrow"
+    )
+    prev_keys = read_stage(prev_layer_path, columns=["entity_id", "content_key"])
+
+    # ids to REBUILD: new or input-changed entities
+    changed = copartition_attach(
+        keyed, prev_keys, "entity_id", "entity_id", {"content_key": "_prev_key"},
+        how="left",
+    ).map_batches(
+        lambda t: t.filter(
+            pc.or_kleene(
+                pc.is_null(t["_prev_key"]),
+                pc.not_equal(t["content_key"], t["_prev_key"]),
+            )
+        ).select(["entity_id"]),
+        batch_format="pyarrow",
+    )
+    # previous rows to DROP: deleted or changed entities
+    drop = copartition_attach(
+        prev_keys, keyed, "entity_id", "entity_id", {"content_key": "_new_key"},
+        how="left",
+    ).map_batches(
+        lambda t: t.filter(
+            pc.or_kleene(
+                pc.is_null(t["_new_key"]),
+                pc.not_equal(t["content_key"], t["_new_key"]),
+            )
+        ).select(["entity_id"]),
+        batch_format="pyarrow",
+    )
+
+    changed_ids = sorted(r["entity_id"] for r in changed.take_all())
+    if len(changed_ids) > DOC_DELTA_BROADCAST_MAX:
+        return None
+    drop_ids = sorted(r["entity_id"] for r in drop.take_all())
+    if len(drop_ids) > DOC_DELTA_BROADCAST_MAX:
+        return None
+    changed_ref = _ray.put(pa.array(changed_ids, pa.string()))
+    drop_ref = _ray.put(pa.array(drop_ids, pa.string()))
+
+    def prune_changed(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.is_in(t["entity_id"], value_set=get_broadcast(changed_ref))
+        )
+
+    rebuilt = (
+        read_stage(paths["entities"], columns=_ENT_COLS)
+        .map_batches(prune_changed, batch_format="pyarrow")
+        .map_batches(
+            DocLayerBuilder,
+            fn_constructor_kwargs={"summarizer": summarizer, "embedder": embedder},
+            batch_format="pyarrow",
+            batch_size=1024,
+            concurrency=pool_size(4),
+            num_cpus=1,
+        )
+        .map_batches(_norm_emb, batch_format="pyarrow")
+    )
+
+    def prune_carried(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.invert(pc.is_in(t["entity_id"], value_set=get_broadcast(drop_ref)))
+        )
+
+    carried = (
+        read_stage(prev_layer_path, columns=_LAYER_COLS)
+        .map_batches(prune_carried, batch_format="pyarrow")
+        .map_batches(_norm_emb, batch_format="pyarrow")
+    )
+    return carried.union(rebuilt)
 
 
 def ensure_doc_layer(
@@ -122,8 +273,14 @@ def ensure_doc_layer(
     dirs. Lineage = entities stage lineage × service fingerprints (plus
     the package code digest via ``lineage_hash``), so a new build, a
     swapped service impl, or a code change each invalidate the cache.
-    Returns ``(stage_path, skipped)`` — ``skipped`` is True when the
-    existing checkpoint was reused (no re-embed)."""
+
+    Invalidation is TARGETED: when the entities lineage changed but the
+    services (and code) did not, the producer delta-rebuilds against the
+    previous checkpoint — only changed entities are re-summarized /
+    re-embedded (``build_doc_layer_delta``); a service/code change or a
+    missing base forces the full rebuild. Returns ``(stage_path,
+    skipped)`` — ``skipped`` is True when the existing checkpoint was
+    reused as-is (no work at all)."""
     out_dir = os.path.dirname(paths["entities"].rstrip(os.sep))
     ent_man = read_manifest(out_dir, "entities") or {}
     s = summarizer or _DEFAULT_SUMMARIZER
@@ -131,11 +288,33 @@ def ensure_doc_layer(
     lin = lineage_hash(
         "doc_layer", ent_man.get("lineage", "none"), s.fingerprint(), e.fingerprint()
     )
+    # svc_key goes through lineage_hash, so it also carries the package
+    # code digest — a code change disables delta reuse of an old base
+    svc_key = lineage_hash("doc_layer_services", s.fingerprint(), e.fingerprint())
+    prev_man = read_manifest(out_dir, "doc_layer")
+    layer_dir = os.path.join(out_dir, "doc_layer")
+    can_delta = bool(
+        prev_man
+        and prev_man.get("lineage") != lin
+        and prev_man.get("svc_key") == svc_key
+        and os.path.isdir(layer_dir)
+    )
+    # mutated by produce(); run_stage merges it into the manifest AFTER
+    # the producer runs, so the recorded "delta" reflects what happened
+    metrics = {"svc_key": svc_key, "delta": False}
 
     def produce(tmp: str) -> None:
-        build_doc_layer(paths, cfg, summarizer, embedder).write_parquet(tmp)
+        ds = None
+        if can_delta:
+            ds = build_doc_layer_delta(paths, layer_dir, cfg, summarizer, embedder)
+            metrics["delta"] = ds is not None
+        if ds is None:
+            ds = build_doc_layer(paths, cfg, summarizer, embedder).map_batches(
+                _norm_emb, batch_format="pyarrow"
+            )
+        ds.write_parquet(tmp)
 
-    return run_stage(out_dir, "doc_layer", lin, produce)
+    return run_stage(out_dir, "doc_layer", lin, produce, metrics=metrics)
 
 
 def _read_layer(

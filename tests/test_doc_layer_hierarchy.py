@@ -67,6 +67,110 @@ def test_doc_layer_checkpoint_no_reembed(built):
     assert os.path.getmtime(os.path.join(path, "_MANIFEST.json")) == before
 
 
+class MarkerEmbedder:
+    """HashEmbedder variant whose first component is a run marker:
+    carried-forward rows keep the OLD marker, recomputed rows get the NEW
+    one — direct evidence of which rows met the embedder. Same
+    fingerprint for any marker (class qualname/dim), so the delta path
+    treats two instances as the same service."""
+
+    def __new__(cls, marker):
+        from blarify_ray.pipelines.doc_layer import EMBED_DIM
+        from blarify_ray.services import HashEmbedder
+
+        class _Marker(HashEmbedder):
+            def __init__(self, m):
+                super().__init__(EMBED_DIM)
+                self.m = m
+
+            def _embed_batch(self, texts):
+                out = super()._embed_batch(texts)
+                out[:, 0] = self.m
+                return out
+
+            def fingerprint(self):
+                return f"MarkerEmbedder/d{self.dim}"
+
+        return _Marker(marker)
+
+
+def test_doc_layer_delta_rebuild_targets_changed_entities():
+    """Targeted invalidation: after an incremental corpus update, only
+    entities whose inputs changed are re-embedded; unchanged rows are
+    carried forward byte-identical (they never meet the embedder)."""
+    import json
+    import os
+
+    from blarify_ray.pipelines.doc_layer import (
+        ensure_doc_layer,
+        entity_content_key,
+    )
+    from blarify_ray.pipelines.incremental import incremental_update
+
+    out = "/tmp/blarify_ray_test_dl_delta"
+    shutil.rmtree(out, ignore_errors=True)
+    p1 = build_kg(out, N)
+    path1, _ = ensure_doc_layer(p1, embedder=MarkerEmbedder(1.0))
+    rows1 = {r["entity_id"]: r for r in read_stage(path1).take_all()}
+    assert all(r["content_embedding"][0] == 1.0 for r in rows1.values())
+    keys1 = {
+        r["entity_id"]: entity_content_key(
+            r["name"], r["type"], r["aliases"], r["n_mentions"]
+        )
+        for r in read_stage(p1["entities"]).take_all()
+    }
+
+    p2 = incremental_update(out, N, [6, 20], content_seed=99)
+    path2, skipped = ensure_doc_layer(p2, embedder=MarkerEmbedder(2.0))
+    assert not skipped
+    with open(os.path.join(path2, "_MANIFEST.json")) as f:
+        assert json.load(f)["delta"] is True
+    keys2 = {
+        r["entity_id"]: entity_content_key(
+            r["name"], r["type"], r["aliases"], r["n_mentions"]
+        )
+        for r in read_stage(p2["entities"]).take_all()
+    }
+    rows2 = {r["entity_id"]: r for r in read_stage(path2).take_all()}
+    assert set(rows2) == set(keys2)  # one row per current entity, none deleted
+    unchanged = {e for e, k in keys2.items() if keys1.get(e) == k}
+    changed = set(keys2) - unchanged
+    assert unchanged and changed, "update must change SOME but not ALL entities"
+    for e in unchanged:  # carried forward byte-identical, old marker
+        assert rows2[e]["content_embedding"][0] == 1.0
+        assert list(rows2[e]["content_embedding"]) == list(rows1[e]["content_embedding"])
+        assert rows2[e]["content"] == rows1[e]["content"]
+    for e in changed:  # recomputed with the new run's embedder
+        assert rows2[e]["content_embedding"][0] == 2.0
+
+
+def test_doc_layer_delta_equals_full_rebuild():
+    """With the default services, the delta-built checkpoint must equal a
+    from-scratch full build row-for-row, and search works over it."""
+    from blarify_ray.pipelines.doc_layer import build_doc_layer, ensure_doc_layer
+    from blarify_ray.pipelines.incremental import incremental_update
+
+    out = "/tmp/blarify_ray_test_dl_delta2"
+    shutil.rmtree(out, ignore_errors=True)
+    p1 = build_kg(out, N)
+    ensure_doc_layer(p1)
+    p2 = incremental_update(out, N, [6, 20], content_seed=99)
+    path2, _ = ensure_doc_layer(p2)
+
+    def as_set(rows):
+        return {
+            (r["entity_id"], r["content"], tuple(r["content_embedding"]))
+            for r in rows
+        }
+
+    assert as_set(read_stage(path2).take_all()) == as_set(
+        build_doc_layer(p2).take_all()
+    )
+    target = build_doc_layer(p2).take_all()[0]
+    hits = doc_search(p2, target["content"], k=3).take_all()
+    assert hits[0]["entity_id"] == target["entity_id"]
+
+
 def test_service_retry_and_fallback_chain():
     """Summarizer/Embedder ABC semantics: retry covers transient provider
     failures, the chain falls through to the next provider on permanent
