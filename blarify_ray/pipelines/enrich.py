@@ -47,6 +47,11 @@ EXTERNAL_EDGES = pa.schema(
         ("kind", pa.string()),
         ("title", pa.string()),
         ("ts", pa.int64()),
+        # the record's SCOPE over the entity's mention-position space
+        # (sentence index half-open range) — the line-range of a commit
+        # in the reference's blame (``tools/get_blame_info.py``)
+        ("span_start", pa.int32()),
+        ("span_end", pa.int32()),
         ("bucket", pa.int32()),
     ]
 )
@@ -60,18 +65,30 @@ def synth_external_records(n_records: int, n_pages: int) -> ray.data.Dataset:
     from ..corpus import entity_universe
 
     ents = entity_universe(n_pages)
-    rows: dict[str, list] = {k: [] for k in ("ext_id", "kind", "ts", "title", "target_surface")}
+    rows: dict[str, list] = {
+        k: []
+        for k in (
+            "ext_id", "kind", "ts", "title", "target_surface",
+            "span_start", "span_end",
+        )
+    }
     for i in range(n_records):
         e = ents[(i * 13) % len(ents)]
         surf = e.aliases[i % len(e.aliases)]
         if i % 7 == 3:
             surf = f"zz unknown {i}"
         kind = "change" if i % 3 else "review"
+        # the record's scope over sentence positions: changes are narrow,
+        # reviews wide (the commit-hunk vs PR-scope analog)
+        start = (i * 3) % 15
+        width = 2 if kind == "change" else 8
         rows["ext_id"].append(f"ext-{i:06d}")
         rows["kind"].append(kind)
         rows["ts"].append(1_700_000_000 + i * 60)
         rows["title"].append(f"{kind} #{i}: {surf}")
         rows["target_surface"].append(surf)
+        rows["span_start"].append(start)
+        rows["span_end"].append(min(start + width, 20))
     return ray.data.from_arrow(
         pa.Table.from_pydict(
             rows,
@@ -80,6 +97,7 @@ def synth_external_records(n_records: int, n_pages: int) -> ray.data.Dataset:
                     ("ext_id", pa.string()), ("kind", pa.string()),
                     ("ts", pa.int64()), ("title", pa.string()),
                     ("target_surface", pa.string()),
+                    ("span_start", pa.int32()), ("span_end", pa.int32()),
                 ]
             ),
         )
@@ -107,9 +125,10 @@ def attach_external(
 
         known = get_broadcast(known_ref)
         edges: dict[str, list] = {k: [] for k in EXTERNAL_EDGES.names}
-        for ext, kind, ts, title, surf in zip(
+        for ext, kind, ts, title, surf, sp0, sp1 in zip(
             t["ext_id"].to_pylist(), t["kind"].to_pylist(), t["ts"].to_pylist(),
             t["title"].to_pylist(), t["target_surface"].to_pylist(),
+            t["span_start"].to_pylist(), t["span_end"].to_pylist(),
         ):
             hit = known.get(normalize_surface(surf))
             if hit is None:
@@ -124,6 +143,8 @@ def attach_external(
             edges["kind"].append(kind)
             edges["title"].append(title)
             edges["ts"].append(ts)
+            edges["span_start"].append(sp0)
+            edges["span_end"].append(sp1)
             edges["bucket"].append(id_bucket(kg_id, nb))
         return pa.Table.from_pydict(edges, schema=EXTERNAL_EDGES)
 
@@ -170,5 +191,116 @@ def external_edges_view(path: str) -> ray.data.Dataset:
 
     return read_stage(
         os.path.join(path, "edges"),
-        columns=["src_id", "dst_id", "pred", "ext_id", "kind", "title", "ts"],
+        columns=[
+            "src_id", "dst_id", "pred", "ext_id", "kind", "title", "ts",
+            "span_start", "span_end",
+        ],
     )
+
+
+def blame_info(
+    paths: dict[str, str], eid: str, cfg: PipelineConfig = DEFAULT_CONFIG
+) -> dict:
+    """Per-entity change history + most-specific attribution — the
+    ``tools/get_blame_info.py`` analog (who changed this entity, ordered,
+    most-specific first):
+
+    - ``history``: every MODIFIED_BY record attached to the entity,
+      ordered newest-first (ties → narrowest span, then ext_id) — read
+      from ONE bucket dir of the external edges (the point-lookup prune,
+      same layout as ``node_detail``);
+    - ``attribution``: each of the entity's mention positions attributed
+      to the MOST SPECIFIC change record whose span contains it
+      (``ops.joins.most_specific_join`` — the reference keeps the match
+      with minimum specificity level, ``relationship_creator.py:320-378``),
+      the blame-per-line view.
+
+    Scale shape: history is a one-bucket read; the mention scan is
+    column-pruned and filtered map-only (the entity's canonical name is
+    a query-scale closure constant); the interval join co-partitions
+    record intervals (query-scale here) with the entity's mention points.
+    """
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ..ops.joins import most_specific_join
+    from ..pipelines.graph_queries import node_detail
+    from ..state.manifest import read_stage
+
+    out_dir = os.path.dirname(paths["entities"].rstrip(os.sep))
+    ext_dir = os.path.join(out_dir, "external", "edges")
+    detail = node_detail(paths, eid, cfg)
+    ent = detail.get("entity")
+    if ent is None or not os.path.isdir(ext_dir):
+        return {"entity": ent, "history": [], "attribution": []}
+
+    b = id_bucket(eid, cfg.num_buckets)
+    hist_rows: list[dict] = []
+    bucket_dir = os.path.join(ext_dir, f"bucket={b}")
+    if os.path.isdir(bucket_dir):
+        for fn in sorted(os.listdir(bucket_dir)):
+            if not fn.endswith(".parquet"):
+                continue
+            t = pq.read_table(os.path.join(bucket_dir, fn))
+            hist_rows.extend(t.filter(pc.equal(t["src_id"], eid)).to_pylist())
+    hist_rows.sort(
+        key=lambda r: (-r["ts"], r["span_end"] - r["span_start"], r["ext_id"])
+    )
+    for r in hist_rows:
+        r.pop("bucket", None)
+    if not hist_rows:
+        return {"entity": ent, "history": [], "attribution": []}
+
+    # the entity's mention positions: resolved mentions carrying the
+    # canonical (name, type) — a pruned map-only scan
+    name, etype = ent["name"], ent["type"]
+
+    def pts(t: pa.Table) -> pa.Table:
+        m = t.filter(
+            pc.and_(
+                pc.and_(pc.equal(t["key"], name), pc.equal(t["etype"], etype)),
+                t["resolved"],
+            )
+        )
+        return pa.Table.from_pydict(
+            {
+                "entity_id": pa.array([eid] * m.num_rows, pa.string()),
+                "url": m["url"],
+                "sent_id": pc.cast(m["sent_id"], pa.int64()),
+            }
+        )
+
+    points = read_stage(
+        paths["mentions"], columns=["url", "sent_id", "key", "etype", "resolved"]
+    ).map_batches(pts, batch_format="pyarrow")
+    intervals = ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "entity_id": pa.array([eid] * len(hist_rows), pa.string()),
+                "span_start": pa.array(
+                    [int(r["span_start"]) for r in hist_rows], pa.int64()
+                ),
+                "span_end": pa.array(
+                    [int(r["span_end"]) for r in hist_rows], pa.int64()
+                ),
+                "ext_id": pa.array([r["ext_id"] for r in hist_rows], pa.string()),
+                "kind": pa.array([r["kind"] for r in hist_rows], pa.string()),
+                "ts": pa.array([r["ts"] for r in hist_rows], pa.int64()),
+            }
+        )
+    )
+    attributed = most_specific_join(
+        points, intervals, key="entity_id", point_col="sent_id",
+        start_col="span_start", end_col="span_end",
+        payload_cols=["ext_id", "kind", "ts"], tie_cols=["ext_id"],
+    ).take_all()
+    attributed = [
+        {
+            "url": r["url"], "sent_id": r["sent_id"],
+            "ext_id": r["ext_id"], "kind": r["kind"], "ts": r["ts"],
+        }
+        for r in attributed
+        if r.get("ext_id") is not None
+    ]
+    attributed.sort(key=lambda r: (r["url"], r["sent_id"], r["ext_id"]))
+    return {"entity": ent, "history": hist_rows, "attribution": attributed}

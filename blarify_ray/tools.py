@@ -143,6 +143,12 @@ def _t_path_between(paths: dict[str, str], src_id: str, dst_id: str,
     return path_between(paths, src_id, dst_id, max_depth=max_depth)
 
 
+def _t_blame(paths: dict[str, str], entity_id: str) -> dict:
+    from .pipelines.enrich import blame_info
+
+    return blame_info(paths, entity_id)
+
+
 _ID = {"type": "string", "description": "entity_id (md5 hex)"}
 _K = {"type": "integer", "default": 10}
 _PAGE = {
@@ -214,6 +220,10 @@ TOOLS: dict[str, Tool] = {
              {"src_id": _ID, "dst_id": _ID,
               "max_depth": {"type": "integer", "default": 6}},
              ("src_id", "dst_id")),
+        Tool("get_blame_info",
+             "Per-entity change history (MODIFIED_BY, newest first) plus "
+             "most-specific-span attribution of each mention position",
+             _t_blame, {"entity_id": _ID}, ("entity_id",)),
     ]
 }
 

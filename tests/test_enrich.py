@@ -62,3 +62,69 @@ def test_external_attachment_unmatched_drop_idempotence():
     assert os.path.getmtime(os.path.join(path2, "_MANIFEST.json")) == mtime
     rows2 = external_edges_view(path2).take_all()
     assert sorted(map(str, rows)) == sorted(map(str, rows2))
+
+
+def test_blame_info_tool_golden():
+    """get_blame_info (18th tool, tools/get_blame_info.py analog): history
+    ordered newest-first with narrowest-span tiebreak, and each mention
+    position attributed to the MOST SPECIFIC covering record — verified
+    against a hand-computed reference from the raw tables."""
+    from blarify_ray.pipelines.enrich import blame_info
+    from blarify_ray.pipelines.kg_build import build_kg
+    from blarify_ray.tools import call_tool, list_tools
+
+    out = "/tmp/blarify_ray_test_blame"
+    n = 60
+    shutil.rmtree(out, ignore_errors=True)
+    paths = build_kg(out, n)
+    ents_u = entity_universe(n)
+    known = known_alias_norms(Gazetteer(ents_u))
+    recs = synth_external_records(200, n)
+    ext = attach_external(out, recs, known, source_fingerprint="blame-t")
+    edges = external_edges_view(ext).take_all()
+
+    # pick the entity with the most records that also exists in the KG
+    from collections import Counter
+
+    kg_ids = {
+        r["entity_id"]
+        for r in read_stage(paths["entities"], columns=["entity_id"]).take_all()
+    }
+    counts = Counter(r["src_id"] for r in edges if r["src_id"] in kg_ids)
+    assert counts, "no external record attached to a built entity"
+    eid = counts.most_common(1)[0][0]
+
+    assert any(t["name"] == "get_blame_info" for t in list_tools())
+    got = call_tool(paths, "get_blame_info", {"entity_id": eid})
+    assert got["entity"]["entity_id"] == eid
+
+    # history: exactly this entity's records, ordered (ts desc, width, ext_id)
+    want_hist = sorted(
+        (r for r in edges if r["src_id"] == eid),
+        key=lambda r: (-r["ts"], r["span_end"] - r["span_start"], r["ext_id"]),
+    )
+    assert [h["ext_id"] for h in got["history"]] == [h["ext_id"] for h in want_hist]
+
+    # attribution: hand-computed most-specific covering record per mention
+    ent = got["entity"]
+    mentions = read_stage(
+        paths["mentions"], columns=["url", "sent_id", "key", "etype", "resolved"]
+    ).take_all()
+    pts = [
+        (m["url"], m["sent_id"])
+        for m in mentions
+        if m["resolved"] and m["key"] == ent["name"] and m["etype"] == ent["type"]
+    ]
+    want = {}
+    for url, sid in pts:
+        cover = [
+            h for h in want_hist if h["span_start"] <= sid < h["span_end"]
+        ]
+        if cover:
+            best = min(
+                cover,
+                key=lambda h: (h["span_end"] - h["span_start"], h["span_start"], h["ext_id"]),
+            )
+            want[(url, sid)] = best["ext_id"]
+    got_attr = {(r["url"], r["sent_id"]): r["ext_id"] for r in got["attribution"]}
+    assert got_attr == want and want  # nonempty, exact
