@@ -975,3 +975,6 @@ from . import analytics_ext  # noqa: E402, F401
 # window/rank/rollup/quantile/co-occurrence battery — same self-register
 # contract as analytics_ext
 from . import analytics_win  # noqa: E402, F401
+
+# collocation / duplication-stat / lag-window battery — same contract
+from . import analytics_rank  # noqa: E402, F401
