@@ -26,6 +26,10 @@ def main(argv: list[str] | None = None) -> int:
     u.add_argument("--out", required=True)
     u.add_argument("--pages", type=int, required=True)
     u.add_argument("--indices", required=True, help="comma-separated page indices")
+    u.add_argument(
+        "--content-seed", type=int, default=None,
+        help="simulate changed page content (None = identical re-fetch)",
+    )
     u.add_argument("--num-cpus", type=int, default=None)
 
     q = sub.add_parser("query", help="run a KG query against a built graph")
@@ -45,6 +49,15 @@ def main(argv: list[str] | None = None) -> int:
     m = sub.add_parser("serve-mcp", help="MCP-style JSON-RPC loop over stdio")
     m.add_argument("--out", required=True)
     m.add_argument("--num-cpus", type=int, default=None)
+
+    d = sub.add_parser("diff", help="ADDED/DELETED/MODIFIED between two built graphs")
+    d.add_argument("--old", required=True, help="older build's output directory")
+    d.add_argument("--new", required=True, help="newer build's output directory")
+    d.add_argument(
+        "--relative", action="store_true",
+        help="join on env-independent relative ids (cross-environment diff)",
+    )
+    d.add_argument("--num-cpus", type=int, default=None)
 
     args = p.parse_args(argv)
 
@@ -72,8 +85,17 @@ def main(argv: list[str] | None = None) -> int:
             from .pipelines.incremental import incremental_update
 
             idx = [int(x) for x in args.indices.split(",") if x]
-            paths = incremental_update(args.out, args.pages, idx)
+            paths = incremental_update(
+                args.out, args.pages, idx, content_seed=args.content_seed
+            )
             print(json.dumps({"status": "ok", "stages": paths}))
+        elif args.cmd == "diff":
+            from .pipelines.graph_diff import entity_diff
+
+            po = {"entities": f"{args.old}/entities"}
+            pn = {"entities": f"{args.new}/entities"}
+            for r in entity_diff(po, pn, relative=args.relative).take_all():
+                print(json.dumps(r, default=str))
         elif args.cmd in ("tools", "serve-mcp"):
             from . import tools as toolmod
 
