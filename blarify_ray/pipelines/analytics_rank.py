@@ -91,6 +91,7 @@ def q_bigram_pmi_top(sf_dir: str):
         docs.map_batches(bi_partial, batch_format="pandas")
         .groupby("bigram")
         .aggregate(Sum("c", alias_name="c_ab"))
+        .materialize()  # vocab-scale; consumed twice (sum + downstream)
     )
     n_bi = bigrams.sum("c_ab") or 0
 

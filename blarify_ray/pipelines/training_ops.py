@@ -149,7 +149,10 @@ def q_clean_corpus_docs(sf_dir: str):
     # store; re-scanning is the streaming-friendly choice
     docs = _docs(sf_dir)
 
-    kept_ids = exact_dedup(docs, "text", "doc_id").select_columns(["doc_id"])
+    # id-scale; materialized because it is consumed twice (the tier count
+    # + the keep-set composition) — recomputing would re-run the corpus
+    # md5 pass; id blocks spill fine at scale
+    kept_ids = exact_dedup(docs, "text", "doc_id").select_columns(["doc_id"]).materialize()
     near = minhash_near_dup(docs, "text", "doc_id")  # (id, dup_of) drop rows
 
     # decontamination: the same deterministic benchmark set as the
