@@ -252,27 +252,36 @@ def blame_info(
         return {"entity": ent, "history": [], "attribution": []}
 
     # the entity's mention positions: resolved mentions carrying the
-    # canonical (name, type) — a pruned map-only scan
-    name, etype = ent["name"], ent["type"]
+    # canonical (name, type), read from ONE bucket dir of the lazily
+    # built mentions_by_entity hive index (never a corpus-scale scan)
+    from ..pipelines.graph_queries import ensure_mentions_by_entity
 
-    def pts(t: pa.Table) -> pa.Table:
-        m = t.filter(
-            pc.and_(
-                pc.and_(pc.equal(t["key"], name), pc.equal(t["etype"], etype)),
-                t["resolved"],
+    name, etype = ent["name"], ent["type"]
+    idx_dir = ensure_mentions_by_entity(paths, cfg)
+    pt_rows = {"entity_id": [], "url": [], "sent_id": []}
+    bdir = os.path.join(idx_dir, f"bucket={b}")
+    if os.path.isdir(bdir):
+        for fn in sorted(os.listdir(bdir)):
+            if not fn.endswith(".parquet"):
+                continue
+            t = pq.read_table(
+                os.path.join(bdir, fn), columns=["url", "sent_id", "key", "etype"]
             )
-        )
-        return pa.Table.from_pydict(
+            m = t.filter(
+                pc.and_(pc.equal(t["key"], name), pc.equal(t["etype"], etype))
+            )
+            pt_rows["entity_id"].extend([eid] * m.num_rows)
+            pt_rows["url"].extend(m["url"].to_pylist())
+            pt_rows["sent_id"].extend(int(x) for x in m["sent_id"].to_pylist())
+    points = ray.data.from_arrow(
+        pa.Table.from_pydict(
             {
-                "entity_id": pa.array([eid] * m.num_rows, pa.string()),
-                "url": m["url"],
-                "sent_id": pc.cast(m["sent_id"], pa.int64()),
+                "entity_id": pa.array(pt_rows["entity_id"], pa.string()),
+                "url": pa.array(pt_rows["url"], pa.string()),
+                "sent_id": pa.array(pt_rows["sent_id"], pa.int64()),
             }
         )
-
-    points = read_stage(
-        paths["mentions"], columns=["url", "sent_id", "key", "etype", "resolved"]
-    ).map_batches(pts, batch_format="pyarrow")
+    )
     intervals = ray.data.from_arrow(
         pa.Table.from_pydict(
             {

@@ -40,6 +40,54 @@ def _bucket_files(stage_path: str, bucket: int) -> list[str]:
     return [os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
 
 
+def ensure_mentions_by_entity(
+    paths: dict[str, str], cfg: PipelineConfig = DEFAULT_CONFIG
+) -> str:
+    """Entity-bucketed hive index of RESOLVED mentions — the
+    ``edges_by_dst`` pattern applied to the mentions table: one
+    ZERO-SHUFFLE streaming pass buckets each resolved mention by the
+    md5-id of its canonical (etype, key), and the hive write splits per
+    bucket dir, so per-entity point lookups (blame, mention lists) read
+    ONE bucket instead of scanning the corpus-scale table.
+
+    Built LAZILY on first use (not in ``build_kg`` — point indexes
+    shouldn't tax the build path) and manifest-tracked: lineage chains
+    off the mentions stage manifest, so it rebuilds exactly when the
+    mentions do."""
+    from ..ids import entity_id as eid_of
+    from ..state.manifest import lineage_hash, read_manifest, run_stage
+
+    out_dir = os.path.dirname(paths["mentions"].rstrip(os.sep))
+    men_man = read_manifest(out_dir, "mentions") or {}
+    lin = lineage_hash(
+        "mentions_by_entity", men_man.get("lineage", "none"),
+        cfg.num_buckets, cfg.env.prefix,
+    )
+
+    def produce(tmp: str) -> None:
+        def rebucket(t: pa.Table) -> pa.Table:
+            t = t.filter(t["resolved"])
+            # memoized md5 per distinct (etype, key) — vocabulary-scale
+            b = [
+                id_bucket(eid_of(cfg.env, et, k), cfg.num_buckets)
+                for et, k in zip(t["etype"].to_pylist(), t["key"].to_pylist())
+            ]
+            t = t.append_column("bucket", pa.array(b, pa.int32()))
+            return t.sort_by(
+                [("key", "ascending"), ("url", "ascending"), ("sent_id", "ascending")]
+            )
+
+        read_stage(
+            paths["mentions"],
+            columns=["url", "sent_id", "key", "etype", "resolved"],
+        ).map_batches(rebucket, batch_format="pyarrow").write_parquet(
+            tmp, partition_cols=["bucket"]
+        )
+
+    path, _ = run_stage(out_dir, "mentions_by_entity", lin, produce)
+    return path
+
+
 def node_detail(
     paths: dict[str, str], eid: str, cfg: PipelineConfig = DEFAULT_CONFIG
 ) -> dict:

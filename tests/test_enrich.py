@@ -64,6 +64,46 @@ def test_external_attachment_unmatched_drop_idempotence():
     assert sorted(map(str, rows)) == sorted(map(str, rows2))
 
 
+def test_mentions_by_entity_index_parity_and_reuse():
+    """The lazily built mentions_by_entity hive index must hold exactly
+    the resolved mention rows, bucketed by the canonical entity id, and
+    a second ensure call must reuse the checkpoint (no rebuild)."""
+    from blarify_ray.ids import entity_id as eid_of
+    from blarify_ray.ids import id_bucket
+    from blarify_ray.pipelines.graph_queries import ensure_mentions_by_entity
+    from blarify_ray.pipelines.kg_build import build_kg
+
+    out = "/tmp/blarify_ray_test_mbe"
+    n = 60
+    shutil.rmtree(out, ignore_errors=True)
+    paths = build_kg(out, n)
+    idx = ensure_mentions_by_entity(paths)
+    got = {
+        (r["url"], r["sent_id"], r["key"], r["etype"])
+        for r in read_stage(idx, columns=["url", "sent_id", "key", "etype"]).take_all()
+    }
+    mentions = read_stage(
+        paths["mentions"], columns=["url", "sent_id", "key", "etype", "resolved"]
+    ).take_all()
+    want = {
+        (m["url"], m["sent_id"], m["key"], m["etype"])
+        for m in mentions
+        if m["resolved"]
+    }
+    assert got == want and got
+    # bucket dirs match the canonical entity id's bucket
+    sample = next(m for m in mentions if m["resolved"])
+    b = id_bucket(eid_of(DEFAULT_CONFIG.env, sample["etype"], sample["key"]),
+                  DEFAULT_CONFIG.num_buckets)
+    rows = read_stage(os.path.join(idx, f"bucket={b}"),
+                      columns=["key", "etype"]).take_all()
+    assert any(r["key"] == sample["key"] and r["etype"] == sample["etype"] for r in rows)
+    # idempotent reuse
+    mtime = os.path.getmtime(os.path.join(idx, "_MANIFEST.json"))
+    assert ensure_mentions_by_entity(paths) == idx
+    assert os.path.getmtime(os.path.join(idx, "_MANIFEST.json")) == mtime
+
+
 def test_blame_info_tool_golden():
     """get_blame_info (18th tool, tools/get_blame_info.py analog): history
     ordered newest-first with narrowest-span tiebreak, and each mention
