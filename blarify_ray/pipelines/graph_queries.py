@@ -79,13 +79,42 @@ def ensure_mentions_by_entity(
 
         read_stage(
             paths["mentions"],
-            columns=["url", "sent_id", "key", "etype", "resolved"],
+            columns=["url", "sent_id", "surface", "key", "etype", "resolved"],
         ).map_batches(rebucket, batch_format="pyarrow").write_parquet(
             tmp, partition_cols=["bucket"]
         )
 
     path, _ = run_stage(out_dir, "mentions_by_entity", lin, produce)
     return path
+
+
+def entity_mentions(
+    paths: dict[str, str], eid: str, limit: int = 100,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+) -> list[dict]:
+    """Usage sites of an entity — every resolved mention occurrence
+    ``(url, sent_id, surface)``, ordered — the find-references surface
+    (``queries.py`` reference-listing analog). Point lookup: reads ONE
+    bucket dir of the ``mentions_by_entity`` index."""
+    ent = node_detail(paths, eid, cfg).get("entity")
+    if ent is None:
+        return []
+    idx_dir = ensure_mentions_by_entity(paths, cfg)
+    b = id_bucket(eid, cfg.num_buckets)
+    rows: list[dict] = []
+    for f in _bucket_files(idx_dir, b):
+        t = pq.read_table(f, columns=["url", "sent_id", "surface", "key", "etype"])
+        m = t.filter(
+            pc.and_(pc.equal(t["key"], ent["name"]), pc.equal(t["etype"], ent["type"]))
+        )
+        rows.extend(
+            {"url": u, "sent_id": int(s), "surface": sf}
+            for u, s, sf in zip(
+                m["url"].to_pylist(), m["sent_id"].to_pylist(), m["surface"].to_pylist()
+            )
+        )
+    rows.sort(key=lambda r: (r["url"], r["sent_id"], r["surface"]))
+    return rows[:limit]
 
 
 def node_detail(

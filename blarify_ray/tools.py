@@ -149,6 +149,12 @@ def _t_blame(paths: dict[str, str], entity_id: str) -> dict:
     return blame_info(paths, entity_id)
 
 
+def _t_entity_mentions(paths: dict[str, str], entity_id: str, limit: int = 100) -> list[dict]:
+    from .pipelines.graph_queries import entity_mentions
+
+    return entity_mentions(paths, entity_id, limit=limit)
+
+
 _ID = {"type": "string", "description": "entity_id (md5 hex)"}
 _K = {"type": "integer", "default": 10}
 _PAGE = {
@@ -224,6 +230,12 @@ TOOLS: dict[str, Tool] = {
              "Per-entity change history (MODIFIED_BY, newest first) plus "
              "most-specific-span attribution of each mention position",
              _t_blame, {"entity_id": _ID}, ("entity_id",)),
+        Tool("get_entity_mentions",
+             "Usage sites of an entity: resolved mention occurrences "
+             "(url, sentence, surface), bucket-pruned point lookup",
+             _t_entity_mentions,
+             {"entity_id": _ID, "limit": {"type": "integer", "default": 100}},
+             ("entity_id",)),
     ]
 }
 

@@ -83,7 +83,8 @@ def test_mentions_by_entity_index_parity_and_reuse():
         for r in read_stage(idx, columns=["url", "sent_id", "key", "etype"]).take_all()
     }
     mentions = read_stage(
-        paths["mentions"], columns=["url", "sent_id", "key", "etype", "resolved"]
+        paths["mentions"],
+        columns=["url", "sent_id", "surface", "key", "etype", "resolved"],
     ).take_all()
     want = {
         (m["url"], m["sent_id"], m["key"], m["etype"])
@@ -102,6 +103,27 @@ def test_mentions_by_entity_index_parity_and_reuse():
     mtime = os.path.getmtime(os.path.join(idx, "_MANIFEST.json"))
     assert ensure_mentions_by_entity(paths) == idx
     assert os.path.getmtime(os.path.join(idx, "_MANIFEST.json")) == mtime
+
+    # usage-sites tool (19th): index lookup == full-scan golden
+    from blarify_ray.tools import call_tool, list_tools
+
+    ents = read_stage(paths["entities"], columns=["entity_id", "name", "type"]).take_all()
+    target = max(
+        ents,
+        key=lambda e: sum(
+            1 for m in mentions
+            if m["resolved"] and m["key"] == e["name"] and m["etype"] == e["type"]
+        ),
+    )
+    assert any(t["name"] == "get_entity_mentions" for t in list_tools())
+    got_sites = call_tool(paths, "get_entity_mentions", {"entity_id": target["entity_id"]})
+    want_sites = sorted(
+        (m["url"], m["sent_id"], m["surface"])
+        for m in mentions
+        if m["resolved"] and m["key"] == target["name"] and m["etype"] == target["type"]
+    )[:100]
+    assert [(r["url"], r["sent_id"], r["surface"]) for r in got_sites] == want_sites
+    assert got_sites
 
 
 def test_blame_info_tool_golden():
