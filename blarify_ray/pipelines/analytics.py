@@ -978,3 +978,6 @@ from . import analytics_win  # noqa: E402, F401
 
 # collocation / duplication-stat / lag-window battery — same contract
 from . import analytics_rank  # noqa: E402, F401
+
+# cohort / gaps-and-islands / set-similarity battery — same contract
+from . import analytics_cohort  # noqa: E402, F401
