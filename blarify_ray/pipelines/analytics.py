@@ -36,6 +36,7 @@ import os
 import re
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -44,6 +45,21 @@ import ray.data as rd
 
 def _t(sf_dir: str, name: str, columns: list[str] | None = None) -> rd.Dataset:
     return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
+
+
+ROUTE_PARTS = 64
+
+
+def _route(df: pd.DataFrame, col: str, parts: int = ROUTE_PARTS) -> pd.DataFrame:
+    """Attach the hash-partition key for the per-batch-partial →
+    ``groupby("_pkey").map_groups(merge)`` aggregation pattern (ONE
+    Python call per hash partition, vectorized merge inside — see
+    CLAUDE.md). Shared by every battery module; changing the routing
+    hash here keeps all batteries partitioning identically."""
+    df["_pkey"] = (
+        pd.util.hash_array(df[col].to_numpy()) % parts
+    ).astype("int32")
+    return df
 
 
 def _round_half_away(v: np.ndarray) -> np.ndarray:

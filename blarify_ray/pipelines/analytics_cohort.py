@@ -27,17 +27,9 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from .analytics import _t
+from .analytics import _route, _t
 
-COHORT_PARTS = 64
 _US_PER_DAY = 86_400_000_000
-
-
-def _route(df: pd.DataFrame, col: str, parts: int = COHORT_PARTS) -> pd.DataFrame:
-    df["_pkey"] = (
-        pd.util.hash_array(df[col].to_numpy()) % parts
-    ).astype("int32")
-    return df
 
 
 # --- cohort_retention (first-order-year cohort × active year) -----------------

@@ -22,18 +22,10 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-import ray.data as rd
 
-from .analytics import _t
+from .analytics import _route, _t
 
 RANK_PARTS = 64
-
-
-def _route(df: pd.DataFrame, col: str, parts: int = RANK_PARTS) -> pd.DataFrame:
-    df["_pkey"] = (
-        pd.util.hash_array(df[col].to_numpy()) % parts
-    ).astype("int32")
-    return df
 
 
 # --- bigram_pmi_top (collocation mining: PMI-style lift) ---------------------
@@ -44,9 +36,11 @@ PMI_MIN_COUNT = 5
 
 def q_bigram_pmi_top(sf_dir: str):
     """Top-k corpus bigrams by lift ``(N_bi · c_ab) / (c_a · c_b)`` —
-    PMI's argument with the log dropped (pure BIGINT products + ONE
-    double division → bit-identical to the SQL oracle; ``ln`` is not
-    reproducible across libms).
+    PMI's argument with the log dropped. Both products and the division
+    are computed in DOUBLE in the SAME order on both sides (IEEE ops are
+    deterministic → bit-identical to the SQL oracle; ``ln`` is not
+    reproducible across libms, and an int64 product would silently wrap
+    at web scale where ``n_bi · c_ab`` can exceed 2^63).
 
     Scale shape: per-batch value_counts partials for bigrams AND
     unigrams (vocab-scale rows leave each batch, not token-scale), one
@@ -116,13 +110,13 @@ def q_bigram_pmi_top(sf_dir: str):
     )
 
     def score(df: pd.DataFrame) -> pd.DataFrame:
-        num = np.int64(n_bi) * df["c_ab"].to_numpy(np.int64)
-        den = df["c_a"].to_numpy(np.int64) * df["c_b"].to_numpy(np.int64)
+        num = np.float64(n_bi) * df["c_ab"].to_numpy(np.float64)
+        den = df["c_a"].to_numpy(np.float64) * df["c_b"].to_numpy(np.float64)
         return pd.DataFrame(
             {
                 "bigram": df["bigram"],
                 "c_ab": df["c_ab"].to_numpy(np.int64),
-                "lift": num.astype(np.float64) / den.astype(np.float64),
+                "lift": num / den,
             }
         )
 
@@ -145,7 +139,8 @@ uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM
         (SELECT unnest(toks) AS w FROM l) GROUP BY w),
 nbi AS (SELECT CAST(SUM(len(toks) - 1) AS BIGINT) AS n FROM l WHERE len(toks) >= 2)
 SELECT bc.bigram, bc.c_ab,
-       CAST(nbi.n * bc.c_ab AS DOUBLE) / CAST(ua.c * ub.c AS DOUBLE) AS lift
+       CAST(nbi.n AS DOUBLE) * CAST(bc.c_ab AS DOUBLE)
+         / (CAST(ua.c AS DOUBLE) * CAST(ub.c AS DOUBLE)) AS lift
 FROM bc, nbi
 JOIN uni ua ON ua.w = string_split(bc.bigram, ' ')[1]
 JOIN uni ub ON ub.w = string_split(bc.bigram, ' ')[2]

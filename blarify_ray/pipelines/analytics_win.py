@@ -55,7 +55,7 @@ import pyarrow as pa
 import ray
 
 from ..util import get_broadcast
-from .analytics import _round_half_away, _t
+from .analytics import _round_half_away, _route, _t
 
 # NOTE: analytics_ext helpers (_f64/_i64/_sorted_dim) are imported INSIDE
 # the functions that use them — a module-top import would re-enter
@@ -64,17 +64,7 @@ from .analytics import _round_half_away, _t
 # bottom), which faults on workers that unpickle a map fn whose root
 # import is analytics_ext.
 
-# hash-exchange width for the key-routed groupbys below (same role as
-# PipelineConfig.agg_partitions; local constant because the analytics
-# battery is cfg-free by contract with the driver harness)
-WIN_PARTS = 64
-
-
-def _route(df: pd.DataFrame, col: str, parts: int = WIN_PARTS) -> pd.DataFrame:
-    df["_pkey"] = (
-        pd.util.hash_array(df[col].to_numpy()) % parts
-    ).astype("int32")
-    return df
+# hash routing (_route) is shared across batteries — see analytics._route
 
 
 # --- top3_orders_per_customer (ROW_NUMBER top-k per partition key) -----------

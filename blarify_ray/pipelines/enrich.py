@@ -224,13 +224,12 @@ def blame_info(
     import pyarrow.parquet as pq
 
     from ..ops.joins import most_specific_join
-    from ..pipelines.graph_queries import node_detail
+    from ..pipelines.graph_queries import entity_row
     from ..state.manifest import read_stage
 
     out_dir = os.path.dirname(paths["entities"].rstrip(os.sep))
     ext_dir = os.path.join(out_dir, "external", "edges")
-    detail = node_detail(paths, eid, cfg)
-    ent = detail.get("entity")
+    ent = entity_row(paths, eid, cfg)
     if ent is None or not os.path.isdir(ext_dir):
         return {"entity": ent, "history": [], "attribution": []}
 
@@ -254,12 +253,14 @@ def blame_info(
     # the entity's mention positions: resolved mentions carrying the
     # canonical (name, type), read from ONE bucket dir of the lazily
     # built mentions_by_entity hive index (never a corpus-scale scan)
-    from ..pipelines.graph_queries import ensure_mentions_by_entity
+    from ..pipelines.graph_queries import _rel_bucket, ensure_mentions_by_entity
 
     name, etype = ent["name"], ent["type"]
     idx_dir = ensure_mentions_by_entity(paths, cfg)
     pt_rows = {"entity_id": [], "url": [], "sent_id": []}
-    bdir = os.path.join(idx_dir, f"bucket={b}")
+    # the mentions index buckets by the env-independent relative id
+    b_men = _rel_bucket(etype, name, cfg.num_buckets)
+    bdir = os.path.join(idx_dir, f"bucket={b_men}")
     if os.path.isdir(bdir):
         for fn in sorted(os.listdir(bdir)):
             if not fn.endswith(".parquet"):

@@ -23,6 +23,8 @@ from __future__ import annotations
 
 import os
 
+import functools
+
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -40,6 +42,16 @@ def _bucket_files(stage_path: str, bucket: int) -> list[str]:
     return [os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
 
 
+@functools.lru_cache(maxsize=1 << 16)
+def _rel_bucket(etype: str, key: str, num_buckets: int) -> int:
+    """Bucket of the ENV-INDEPENDENT relative id (md5 of ``type/name``)
+    — memoized per distinct (etype, key), i.e. vocabulary-scale.
+    Module-level so Ray map fns that close over it stay picklable."""
+    from .graph_diff import relative_entity_id
+
+    return id_bucket(relative_entity_id(etype, key), num_buckets)
+
+
 def ensure_mentions_by_entity(
     paths: dict[str, str], cfg: PipelineConfig = DEFAULT_CONFIG
 ) -> str:
@@ -53,23 +65,29 @@ def ensure_mentions_by_entity(
     Built LAZILY on first use (not in ``build_kg`` — point indexes
     shouldn't tax the build path) and manifest-tracked: lineage chains
     off the mentions stage manifest, so it rebuilds exactly when the
-    mentions do."""
-    from ..ids import entity_id as eid_of
+    mentions do.
+
+    Buckets derive from the ENV-INDEPENDENT relative id (md5 of
+    ``type/name``, ``relative_id_calculator.py`` analog) — the mention
+    rows carry no environment, so coupling the bucket to ``cfg.env``
+    would silently empty every lookup against a KG built under a
+    non-default ``GraphEnvironment``."""
     from ..state.manifest import lineage_hash, read_manifest, run_stage
 
     out_dir = os.path.dirname(paths["mentions"].rstrip(os.sep))
     men_man = read_manifest(out_dir, "mentions") or {}
     lin = lineage_hash(
         "mentions_by_entity", men_man.get("lineage", "none"),
-        cfg.num_buckets, cfg.env.prefix,
+        cfg.num_buckets, "relative-v2",
     )
+    nb = cfg.num_buckets
 
     def produce(tmp: str) -> None:
         def rebucket(t: pa.Table) -> pa.Table:
             t = t.filter(t["resolved"])
             # memoized md5 per distinct (etype, key) — vocabulary-scale
             b = [
-                id_bucket(eid_of(cfg.env, et, k), cfg.num_buckets)
+                _rel_bucket(et, k, nb)
                 for et, k in zip(t["etype"].to_pylist(), t["key"].to_pylist())
             ]
             t = t.append_column("bucket", pa.array(b, pa.int32()))
@@ -94,13 +112,16 @@ def entity_mentions(
 ) -> list[dict]:
     """Usage sites of an entity — every resolved mention occurrence
     ``(url, sent_id, surface)``, ordered — the find-references surface
-    (``queries.py`` reference-listing analog). Point lookup: reads ONE
-    bucket dir of the ``mentions_by_entity`` index."""
-    ent = node_detail(paths, eid, cfg).get("entity")
+    (``queries.py`` reference-listing analog). Point lookup: a
+    one-bucket entity-row read, then ONE bucket dir of the
+    ``mentions_by_entity`` index (keyed by the env-independent relative
+    id) — never a full node_detail (whose inbound-edge fallback can be
+    a corpus-scale scan)."""
+    ent = entity_row(paths, eid, cfg)
     if ent is None:
         return []
     idx_dir = ensure_mentions_by_entity(paths, cfg)
-    b = id_bucket(eid, cfg.num_buckets)
+    b = _rel_bucket(ent["type"], ent["name"], cfg.num_buckets)
     rows: list[dict] = []
     for f in _bucket_files(idx_dir, b):
         t = pq.read_table(f, columns=["url", "sent_id", "surface", "key", "etype"])
@@ -117,6 +138,21 @@ def entity_mentions(
     return rows[:limit]
 
 
+def entity_row(
+    paths: dict[str, str], eid: str, cfg: PipelineConfig = DEFAULT_CONFIG
+) -> dict | None:
+    """One-bucket point read of a single entity row (no edges) — the
+    cheap lookup for callers that only need name/type (mention lists,
+    blame attribution)."""
+    b = id_bucket(eid, cfg.num_buckets)
+    for f in _bucket_files(paths["entities"], b):
+        t = pq.read_table(f)
+        m = t.filter(pc.equal(t["entity_id"], eid))
+        if m.num_rows:
+            return m.to_pylist()[0]
+    return None
+
+
 def node_detail(
     paths: dict[str, str], eid: str, cfg: PipelineConfig = DEFAULT_CONFIG
 ) -> dict:
@@ -126,13 +162,7 @@ def node_detail(
     one — BOTH directions are then one-bucket reads, never a full-table
     scan. Falls back to a filtered scan for pre-index builds."""
     b = id_bucket(eid, cfg.num_buckets)
-    ent = None
-    for f in _bucket_files(paths["entities"], b):
-        t = pq.read_table(f)
-        m = t.filter(pc.equal(t["entity_id"], eid))
-        if m.num_rows:
-            ent = m.to_pylist()[0]
-            break
+    ent = entity_row(paths, eid, cfg)
     if ent is None:
         return {"entity": None, "outbound": [], "inbound": []}
     out = []

@@ -68,7 +68,6 @@ def test_mentions_by_entity_index_parity_and_reuse():
     """The lazily built mentions_by_entity hive index must hold exactly
     the resolved mention rows, bucketed by the canonical entity id, and
     a second ensure call must reuse the checkpoint (no rebuild)."""
-    from blarify_ray.ids import entity_id as eid_of
     from blarify_ray.ids import id_bucket
     from blarify_ray.pipelines.graph_queries import ensure_mentions_by_entity
     from blarify_ray.pipelines.kg_build import build_kg
@@ -92,9 +91,12 @@ def test_mentions_by_entity_index_parity_and_reuse():
         if m["resolved"]
     }
     assert got == want and got
-    # bucket dirs match the canonical entity id's bucket
+    # bucket dirs match the ENV-INDEPENDENT relative id's bucket (the
+    # index must not couple to cfg.env — mention rows carry no env)
+    from blarify_ray.pipelines.graph_diff import relative_entity_id
+
     sample = next(m for m in mentions if m["resolved"])
-    b = id_bucket(eid_of(DEFAULT_CONFIG.env, sample["etype"], sample["key"]),
+    b = id_bucket(relative_entity_id(sample["etype"], sample["key"]),
                   DEFAULT_CONFIG.num_buckets)
     rows = read_stage(os.path.join(idx, f"bucket={b}"),
                       columns=["key", "etype"]).take_all()
@@ -190,3 +192,45 @@ def test_blame_info_tool_golden():
             want[(url, sid)] = best["ext_id"]
     got_attr = {(r["url"], r["sent_id"]): r["ext_id"] for r in got["attribution"]}
     assert got_attr == want and want  # nonempty, exact
+
+
+def test_entity_mentions_cross_environment_build():
+    """Regression: the mentions index must bucket by the ENV-INDEPENDENT
+    relative id. A KG built under a non-default GraphEnvironment, queried
+    through the tool surface (which never passes cfg), must still return
+    the usage sites — the env-coupled bucketing silently returned []."""
+    import dataclasses
+
+    from blarify_ray.config import GraphEnvironment
+    from blarify_ray.pipelines.kg_build import build_kg
+    from blarify_ray.tools import call_tool
+
+    out = "/tmp/blarify_ray_test_mbe_env"
+    n = 60
+    shutil.rmtree(out, ignore_errors=True)
+    cfg = dataclasses.replace(
+        DEFAULT_CONFIG, env=GraphEnvironment(environment="staging")
+    )
+    paths = build_kg(out, n, cfg=cfg)
+    mentions = read_stage(
+        paths["mentions"],
+        columns=["url", "sent_id", "surface", "key", "etype", "resolved"],
+    ).take_all()
+    ents = read_stage(
+        paths["entities"], columns=["entity_id", "name", "type"]
+    ).take_all()
+    target = max(
+        ents,
+        key=lambda e: sum(
+            1 for m in mentions
+            if m["resolved"] and m["key"] == e["name"] and m["etype"] == e["type"]
+        ),
+    )
+    got = call_tool(paths, "get_entity_mentions", {"entity_id": target["entity_id"]})
+    want = sorted(
+        (m["url"], m["sent_id"], m["surface"])
+        for m in mentions
+        if m["resolved"] and m["key"] == target["name"] and m["etype"] == target["type"]
+    )[:100]
+    assert [(r["url"], r["sent_id"], r["surface"]) for r in got] == want
+    assert got
