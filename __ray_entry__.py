@@ -179,6 +179,18 @@ def _q_kg_components(sf_dir: str):
     return component_sizes(_kg_paths(sf_dir), k=20)
 
 
+def _q_kg_triangles(sf_dir: str):
+    from blarify_ray.pipelines.graph_analytics import triangle_census
+
+    return triangle_census(_kg_paths(sf_dir))
+
+
+def _q_kg_kcore(sf_dir: str):
+    from blarify_ray.pipelines.graph_analytics import k_core_entities
+
+    return k_core_entities(_kg_paths(sf_dir), k=2)
+
+
 def _q_kg_skeleton_tree(sf_dir: str):
     import pandas as pd
 
@@ -219,6 +231,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_skeleton_tree": _q_kg_skeleton_tree,
         "kg_pagerank": _q_kg_pagerank,
         "kg_components": _q_kg_components,
+        "kg_triangles": _q_kg_triangles,
+        "kg_kcore": _q_kg_kcore,
     }
     q.update(kg)
     for name, fn in analytics.QUERIES.items():

@@ -157,6 +157,13 @@ class PipelineConfig:
     # the edge table against a frontier dataset (hub-node safety: the
     # frontier never has to fit on the driver).
     khop_broadcast_max: int = 1_000_000
+    # Whole-graph algorithm tier (triangle counting, k-core): below this
+    # many deduplicated undirected edges the algorithm runs on the driver
+    # in vectorized pandas/numpy (bucketed so the wedge self-merge never
+    # materializes all wedges at once); above it the same plan runs as
+    # co-partitioned exchanges over edge/degree datasets. Identical
+    # output both tiers (forced-tier tested).
+    graph_driver_max_edges: int = 500_000
 
     # hot-bucket guard (skew handling): an LSH bucket with more members
     # than this is skipped entirely — deterministic, applied identically

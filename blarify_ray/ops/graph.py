@@ -1,0 +1,395 @@
+"""Distributed graph algorithms over plain edge-pair datasets.
+
+The KG-side whole-graph family (``pipelines/graph_analytics.py`` —
+PageRank, WCC) ranks and partitions nodes; this module adds the
+STRUCTURE statistics a web-scale graph pipeline needs: exact triangle
+counting (the global-clustering / transitivity building block) and
+k-core extraction (the dense-subgraph filter). The reference computes
+its graph statistics driver-side after loading the whole graph from
+Neo4j (``blarify/repositories/graph_db_manager/queries.py:1692-1849``);
+here both algorithms are size-tiered the engine's usual way:
+
+- **Driver tier** (≤ ``cfg.graph_driver_max_edges`` deduplicated
+  undirected edges): vectorized pandas/numpy on the driver. The wedge
+  self-merge is bucketed by source node so peak memory is one bucket's
+  wedges, never the full wedge set.
+- **Distributed tier**: the same plan as co-partitioned exchanges —
+  degree table via per-batch partials + one node-keyed merge, edge
+  orientation by (degree, id) via two ``copartition_attach`` lookups,
+  wedge emission per source-routed partition (one vectorized self-merge
+  per hash partition, NOT per node), and wedge↔edge closure matching on
+  a composite key through one more co-partitioning. Raw node ids are
+  the only payload that moves; every exchange is edge- or wedge-scale.
+
+Triangle counting uses degree orientation (each undirected edge points
+from its lower-(degree, id) endpoint), which bounds out-degrees by
+O(√m) on arboricity-bounded graphs — the standard guarantee that the
+wedge set stays near-linear on web-like graphs. A deliberately skewed
+clique-heavy graph still emits its true wedge count (exactness is kept;
+there is no sampling knob), so the partitioning assumption is: wedges
+of one hash partition fit in a worker's heap.
+
+Both tiers produce identical results (forced-tier tested); triangles
+are each counted exactly once (at their lowest-ordered vertex).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from ..config import DEFAULT_CONFIG, PipelineConfig
+from ..util import compact_nonempty
+
+#: number of source-hash buckets the DRIVER tier loops over so the wedge
+#: self-merge materializes one bucket at a time (bounded peak memory).
+_DRIVER_WEDGE_BUCKETS = 16
+
+
+def _hash_vals(vals: np.ndarray) -> np.ndarray:
+    """Stable uint64 hash for int or string node-id arrays."""
+    if vals.dtype.kind not in ("i", "u"):
+        vals = vals.astype(object)
+    return pd.util.hash_array(vals)
+
+
+def _parts_for(n_edges: int, cfg: PipelineConfig) -> int:
+    return max(1, min(cfg.agg_partitions, n_edges // cfg.cc_rows_per_partition + 1))
+
+
+def canonical_edges(
+    pairs: ray.data.Dataset, parts: int
+) -> ray.data.Dataset:
+    """Undirected simple edges from a directed/multi pair dataset with
+    columns ``x, y``: orient each pair (min, max), drop self-loops, and
+    deduplicate with one pair-keyed exchange (per-batch local dedup
+    first, so a hot multi-edge reaches the shuffle once per batch)."""
+
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["x"].to_numpy()
+        y = df["y"].to_numpy()
+        swap = y < x
+        lo = np.where(swap, y, x)
+        hi = np.where(swap, x, y)
+        out = pd.DataFrame({"x": lo, "y": hi})
+        out = out[out["x"] != out["y"]].drop_duplicates()
+        out["_pkey"] = (
+            (_hash_vals(out["x"].to_numpy()) * np.uint64(31)
+             + _hash_vals(out["y"].to_numpy())) % parts
+        ).astype("int32")
+        return out
+
+    def dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["x", "y"])[["x", "y"]]
+
+    return compact_nonempty(
+        pairs.map_batches(canon, batch_format="pandas")
+        .groupby("_pkey")
+        .map_groups(dedup, batch_format="pandas")
+    )
+
+
+def _degrees(edges: ray.data.Dataset, parts: int) -> ray.data.Dataset:
+    """(node, d) degree table: per-batch partial counts over both
+    endpoints, one node-keyed vectorized merge."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        nodes = pd.concat([df["x"], df["y"]], ignore_index=True)
+        g = nodes.value_counts().reset_index()
+        g.columns = ["node", "d"]
+        g["_pkey"] = (_hash_vals(g["node"].to_numpy()) % parts).astype("int32")
+        return g
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("node", sort=False)["d"].sum().reset_index()
+        out["d"] = out["d"].astype("int64")
+        return out
+
+    return compact_nonempty(
+        edges.map_batches(partial, batch_format="pandas")
+        .groupby("_pkey")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+def _orient(df: pd.DataFrame) -> pd.DataFrame:
+    """Point each edge from its lower-(degree, id) endpoint; keep the
+    destination's ordering key (ddst) for wedge-pair ordering."""
+    dx = df["dx"].to_numpy(np.int64)
+    dy = df["dy"].to_numpy(np.int64)
+    x = df["x"].to_numpy()
+    y = df["y"].to_numpy()
+    flip = (dy < dx) | ((dy == dx) & (y < x))
+    return pd.DataFrame(
+        {
+            "src": np.where(flip, y, x),
+            "dst": np.where(flip, x, y),
+            "ddst": np.where(flip, dx, dy).astype("int64"),
+        }
+    )
+
+
+def _emit_wedges(g: pd.DataFrame) -> pd.DataFrame:
+    """All out-neighbor pairs per source node in one vectorized
+    self-merge: wedge (a, b) with ord(a) < ord(b) keyed by its CLOSURE
+    edge (a, b); ``nw`` = wedges sharing that closure key (multiple
+    apexes collapse to one row before the matching exchange)."""
+    m = g[["src", "dst", "ddst"]].merge(g[["src", "dst", "ddst"]], on="src")
+    keep = (m["ddst_x"] < m["ddst_y"]) | (
+        (m["ddst_x"] == m["ddst_y"]) & (m["dst_x"] < m["dst_y"])
+    )
+    m = m[keep]
+    w = (
+        pd.DataFrame({"src": m["dst_x"].to_numpy(), "dst": m["dst_y"].to_numpy()})
+        .groupby(["src", "dst"], sort=False)
+        .size()
+        .reset_index(name="nw")
+    )
+    w["nw"] = w["nw"].astype("int64")
+    return w
+
+
+def triangle_stats(
+    pairs: ray.data.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG
+) -> dict:
+    """Exact triangle census of the undirected simple graph induced by
+    ``pairs`` (columns ``x, y``; direction/multiplicity ignored) →
+    ``{"n_edges", "n_wedges", "n_triangles", "global_cc"}`` where
+    ``n_wedges`` = Σᵥ C(deg v, 2) and ``global_cc`` (transitivity) =
+    3·triangles / wedges (0.0 on a wedge-free graph).
+
+    ``pairs`` is consumed twice (count for partition sizing, then the
+    canonical-edge exchange), so it is materialized ONCE up front —
+    edge-scale ids only, and upstream pair emission never re-runs."""
+    pairs = pairs.materialize()
+    parts = _parts_for(max(pairs.count(), 1), cfg)
+    edges = canonical_edges(pairs, parts).materialize()
+    n_edges = edges.count()
+    if n_edges == 0:
+        return {"n_edges": 0, "n_wedges": 0, "n_triangles": 0, "global_cc": 0.0}
+    if n_edges <= cfg.graph_driver_max_edges:
+        e = edges.to_pandas()
+        n_wedges, n_tri = _triangles_driver(e)
+    else:
+        n_wedges, n_tri = _triangles_distributed(edges, n_edges, cfg)
+    gcc = (3.0 * n_tri / n_wedges) if n_wedges else 0.0
+    return {
+        "n_edges": int(n_edges),
+        "n_wedges": int(n_wedges),
+        "n_triangles": int(n_tri),
+        "global_cc": float(gcc),
+    }
+
+
+def _triangles_driver(e: pd.DataFrame) -> tuple[int, int]:
+    """Driver tier: identical plan fully vectorized on FACTORIZED int
+    codes — degree-oriented edges, per-bucket wedge self-merge (peak
+    memory is one bucket's wedges), closure matching by searchsorted on
+    composite int64 keys (no pandas groupby/merge in the hot path)."""
+    nodes, xi = np.unique(
+        np.concatenate([e["x"].to_numpy(), e["y"].to_numpy()]), return_inverse=True
+    )
+    n = np.int64(len(nodes))
+    x = xi[: len(e)]
+    y = xi[len(e):]
+    d = np.bincount(x, minlength=len(nodes)) + np.bincount(y, minlength=len(nodes))
+    d64 = d.astype(np.int64)
+    n_wedges = int((d64 * (d64 - 1) // 2).sum())
+    # orient each edge from its lower-(degree, id) endpoint
+    flip = (d[y] < d[x]) | ((d[y] == d[x]) & (y < x))
+    src = np.where(flip, y, x).astype(np.int64)
+    dst = np.where(flip, x, y).astype(np.int64)
+    ddst = np.where(flip, d64[x], d64[y])
+    closure = np.sort(src * n + dst)
+    order = np.argsort(src, kind="stable")
+    src, dst, ddst = src[order], dst[order], ddst[order]
+    bucket = src % _DRIVER_WEDGE_BUCKETS
+    n_tri = 0
+    for b in range(_DRIVER_WEDGE_BUCKETS):
+        sel = bucket == b
+        if not sel.any():
+            continue
+        g = pd.DataFrame({"src": src[sel], "dst": dst[sel], "ddst": ddst[sel]})
+        m = g.merge(g, on="src")
+        keep = (m["ddst_x"] < m["ddst_y"]) | (
+            (m["ddst_x"] == m["ddst_y"]) & (m["dst_x"] < m["dst_y"])
+        )
+        keys = m["dst_x"].to_numpy()[keep.to_numpy()] * n + m["dst_y"].to_numpy()[
+            keep.to_numpy()
+        ]
+        idx = np.searchsorted(closure, keys)
+        idx[idx >= len(closure)] = len(closure) - 1 if len(closure) else 0
+        n_tri += int((closure[idx] == keys).sum()) if len(closure) else 0
+    return n_wedges, n_tri
+
+
+def _triangles_distributed(
+    edges: ray.data.Dataset, n_edges: int, cfg: PipelineConfig
+) -> tuple[int, int]:
+    from .joins import copartition_attach
+
+    parts = _parts_for(n_edges, cfg)
+    deg = _degrees(edges, parts).materialize()
+    n_wedges = int(
+        deg.map_batches(
+            lambda t: pa.Table.from_pydict(
+                {
+                    "w": pa.array(
+                        (lambda dd: dd * (dd - 1) // 2)(
+                            np.asarray(t["d"].combine_chunks(), np.int64)
+                        )
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        ).sum("w")
+        or 0
+    )
+    withdeg = copartition_attach(
+        copartition_attach(
+            edges, deg, "x", "node", {"d": "dx"}, partitions=parts, how="inner"
+        ),
+        deg, "y", "node", {"d": "dy"}, partitions=parts, how="inner",
+    )
+    oriented = withdeg.map_batches(_orient, batch_format="pandas").materialize()
+
+    def route_src(df: pd.DataFrame) -> pd.DataFrame:
+        df["_pkey"] = (_hash_vals(df["src"].to_numpy()) % parts).astype("int32")
+        return df
+
+    wedges = compact_nonempty(
+        oriented.map_batches(route_src, batch_format="pandas")
+        .groupby("_pkey")
+        .map_groups(_emit_wedges, batch_format="pandas")
+    )
+
+    # closure matching: wedge keys against the (unique) oriented edge
+    # set on a composite key through ONE co-partitioning
+    def wkey(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": df["src"].astype(str) + "\x1f" + df["dst"].astype(str),
+                "nw": df["nw"].astype("int64"),
+            }
+        )
+
+    def ekey(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": df["src"].astype(str) + "\x1f" + df["dst"].astype(str),
+                "_m": np.ones(len(df), np.int8),
+            }
+        )
+
+    matched = copartition_attach(
+        wedges.map_batches(wkey, batch_format="pandas"),
+        oriented.map_batches(ekey, batch_format="pandas"),
+        "key", "key", {"_m": "_m"}, partitions=parts, how="inner",
+    )
+    n_tri = int(matched.sum("nw") or 0)
+    return n_wedges, n_tri
+
+
+def k_core(
+    pairs: ray.data.Dataset, k: int, cfg: PipelineConfig = DEFAULT_CONFIG
+) -> ray.data.Dataset:
+    """Nodes of the k-core (maximal subgraph where every node has degree
+    ≥ k within the subgraph) → ``Dataset[(node,)]``, possibly empty.
+
+    Iterative peeling: each round drops nodes with current degree < k
+    and keeps only edges with both endpoints surviving (two
+    co-partitioned semi-joins), until the edge count is stable. Rounds
+    are bounded by ``cfg.cc_max_rounds`` — peeling removes ≥1 node per
+    non-final round, and real graphs converge in a few rounds; the cap
+    is a runaway guard, hitting it returns the (still valid, possibly
+    slightly over-full) current survivor set.
+
+    ``pairs`` is consumed three times (count, schema, canonical edges)
+    — materialized ONCE up front like ``triangle_stats``."""
+    pairs = pairs.materialize()
+    n_pairs = pairs.count()
+    parts = _parts_for(max(n_pairs, 1), cfg)
+    t0 = pairs.schema().types[0] if n_pairs else pa.string()
+    if not isinstance(t0, pa.DataType):  # pandas-block dataset: numpy dtype
+        t0 = pa.int64() if getattr(t0, "kind", "") in ("i", "u") else pa.string()
+    node_type = t0
+    empty = ray.data.from_arrow(
+        pa.Table.from_pydict({"node": pa.array([], node_type)})
+    )
+    edges = canonical_edges(pairs, parts).materialize()
+    n_edges = edges.count()
+    if n_edges == 0:
+        return empty
+    if k <= 0:
+        # 0-core = every edge-bearing node
+        return _degrees(edges, parts).select_columns(["node"])
+    if n_edges <= cfg.graph_driver_max_edges:
+        return _k_core_driver(edges.to_pandas(), k)
+    return _k_core_distributed(edges, k, parts, cfg, empty)
+
+
+def _k_core_driver(e: pd.DataFrame, k: int) -> ray.data.Dataset:
+    """Driver tier: numpy peeling on factorized node ids."""
+    nodes, xi = np.unique(
+        np.concatenate([e["x"].to_numpy(), e["y"].to_numpy()]), return_inverse=True
+    )
+    src = xi[: len(e)]
+    dst = xi[len(e):]
+    alive_e = np.ones(len(e), bool)
+    alive_n = np.ones(len(nodes), bool)
+    while True:
+        deg = np.bincount(src[alive_e], minlength=len(nodes)) + np.bincount(
+            dst[alive_e], minlength=len(nodes)
+        )
+        drop = alive_n & (deg < k)
+        if not drop.any():
+            break
+        alive_n &= ~drop
+        alive_e &= alive_n[src] & alive_n[dst]
+    # loop exit ⇔ every alive node already has alive-degree ≥ k
+    return ray.data.from_pandas(pd.DataFrame({"node": np.sort(nodes[alive_n])}))
+
+
+def _k_core_distributed(
+    edges: ray.data.Dataset, k: int, parts: int, cfg: PipelineConfig,
+    empty: ray.data.Dataset,
+) -> ray.data.Dataset:
+    from .joins import copartition_attach
+
+    n_prev = edges.count()
+    survivors = None
+    for _ in range(cfg.cc_max_rounds):
+        deg = _degrees(edges, parts)
+        survivors = compact_nonempty(
+            deg.map_batches(
+                lambda df: df[df["d"] >= k][["node"]].assign(
+                    _m=np.ones((df["d"] >= k).sum(), np.int8)
+                ),
+                batch_format="pandas",
+            )
+        ).materialize()
+        if survivors.count() == 0:
+            return empty
+        edges = compact_nonempty(
+            copartition_attach(
+                copartition_attach(
+                    edges, survivors, "x", "node", {"_m": "_m"},
+                    partitions=parts, how="inner",
+                ).drop_columns(["_m"]),
+                survivors, "y", "node", {"_m": "_m"},
+                partitions=parts, how="inner",
+            ).drop_columns(["_m"])
+        ).materialize()
+        n_now = edges.count()
+        if n_now == 0:
+            return empty
+        if n_now == n_prev:
+            break
+        n_prev = n_now
+    if survivors is None or n_prev == 0:
+        return empty
+    # the stable survivor set IS the k-core's node set (degree recomputed
+    # on the final edge set next loop entry confirmed no further drops)
+    return survivors.select_columns(["node"])

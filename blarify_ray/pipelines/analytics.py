@@ -56,6 +56,10 @@ def _route(df: pd.DataFrame, col: str, parts: int = ROUTE_PARTS) -> pd.DataFrame
     Python call per hash partition, vectorized merge inside — see
     CLAUDE.md). Shared by every battery module; changing the routing
     hash here keeps all batteries partitioning identically."""
+    # shallow copy: callers often pass a filtered/dedup'd view — adding
+    # the key column to it would raise SettingWithCopyWarning. No column
+    # data is duplicated.
+    df = df.copy(deep=False)
     df["_pkey"] = (
         pd.util.hash_array(df[col].to_numpy()) % parts
     ).astype("int32")
@@ -997,3 +1001,6 @@ from . import analytics_rank  # noqa: E402, F401
 
 # cohort / gaps-and-islands / set-similarity battery — same contract
 from . import analytics_cohort  # noqa: E402, F401
+
+# graph-structure / set-op / pivot / vector-radius battery — same contract
+from . import analytics_graph  # noqa: E402, F401

@@ -1,0 +1,277 @@
+"""Graph-structure / set-op / pivot / vector-radius oracle battery.
+
+Fourth extension battery (same self-register contract as
+``analytics_ext`` — registers into ``analytics.QUERIES``/``ORACLE_SQL``
+at the bottom; helpers from other batteries import inside functions,
+never at module top). Every query is DuckDB-oracle-checked.
+
+- copurchase_triangles  exact triangle census of the part co-purchase
+                        graph (parts linked iff bought in one order) —
+                        the distributed degree-oriented wedge-join of
+                        ``ops/graph.triangle_stats``; the SQL oracle is
+                        the canonical three-way self-join. Scale shape:
+                        baskets co-partition by order, edges/wedges move
+                        as id pairs + small ints, never wholesale.
+- repeat_buyers         INTERSECT set semantics (customers ordering in
+                        BOTH years): per-batch distinct (key, year-bit)
+                        partials, ONE key-routed bit-OR merge, mask
+                        filter — the id universe never lands on the
+                        driver.
+- orders_status_pivot   conditional-aggregation pivot (COUNT/SUM FILTER
+                        per status, one row per year): classic combiner
+                        — per-batch partial pivot, year-keyed merge of
+                        a years×statuses-scale table.
+- vector_range_count    cosine RADIUS search (the top-k query's
+                        threshold sibling): per-batch matmul against a
+                        3-vector query matrix, count partials only —
+                        counts are integer-robust to DuckDB's float32
+                        cosine kernel (measured gap to the threshold is
+                        ~1e-3 vs ~1e-7 float error; an output of raw
+                        similarities would NOT hash-match).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .analytics import _cents, _route, _t
+
+# --- copurchase_triangles ---------------------------------------------------
+
+
+def q_copurchase_triangles(sf_dir: str):
+    """Triangle census of the undirected part co-purchase graph: nodes =
+    parts, edge (u, v) iff some order contains both. Pair emission is
+    the ``parts_bought_together`` co-partitioned basket self-merge
+    (analytics_win.py); the census itself is the size-tiered
+    degree-oriented wedge join (``ops/graph.triangle_stats`` — driver
+    pandas under ``cfg.graph_driver_max_edges`` dedup'd edges,
+    co-partitioned exchanges above, forced-tier tested)."""
+    from ..ops.graph import triangle_stats
+
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def route(df: pd.DataFrame) -> pd.DataFrame:
+        return _route(df.drop_duplicates(), "l_orderkey")
+
+    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[["l_orderkey", "l_partkey"]].drop_duplicates()
+        m = g.merge(g, on="l_orderkey", suffixes=("_a", "_b"))
+        m = m[m["l_partkey_a"] < m["l_partkey_b"]]
+        p = m[["l_partkey_a", "l_partkey_b"]].drop_duplicates()
+        p.columns = ["x", "y"]
+        return p.astype({"x": np.int64, "y": np.int64})
+
+    pairs = (
+        li.map_batches(route, batch_format="pandas")
+        .groupby("_pkey")
+        .map_groups(emit_pairs, batch_format="pandas")
+    )
+    st = triangle_stats(pairs)
+    return pd.DataFrame(
+        {
+            "n_edges": pd.Series([st["n_edges"]], dtype="int64"),
+            "n_wedges": pd.Series([st["n_wedges"]], dtype="int64"),
+            "n_triangles": pd.Series([st["n_triangles"]], dtype="int64"),
+            "global_cc": pd.Series([st["global_cc"]], dtype="float64"),
+        }
+    )
+
+
+SQL_COPURCHASE_TRIANGLES = """
+WITH pairs AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+    SELECT u AS node FROM pairs UNION ALL SELECT v AS node FROM pairs
+  ) GROUP BY node
+),
+agg AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS n_edges,
+         (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
+         (SELECT CAST(COUNT(*) AS BIGINT)
+          FROM pairs e1
+          JOIN pairs e2 ON e2.u = e1.u AND e2.v > e1.v
+          JOIN pairs e3 ON e3.u = e1.v AND e3.v = e2.v) AS n_triangles
+)
+SELECT n_edges, n_wedges, n_triangles,
+       CASE WHEN n_wedges > 0 THEN 3.0 * n_triangles / n_wedges
+            ELSE 0.0 END AS global_cc
+FROM agg
+"""
+
+# --- repeat_buyers (INTERSECT) ----------------------------------------------
+
+BUYER_YEAR_A = 1995
+BUYER_YEAR_B = 1996
+
+
+def q_repeat_buyers(sf_dir: str):
+    """Customers with ≥1 order in BOTH years — set INTERSECT as a
+    bitmask combiner: each batch contributes distinct (custkey, bit)
+    rows (bit 1 = year A, bit 2 = year B), one custkey-routed exchange
+    ORs the bits, mask == 3 survives. The customer universe moves as
+    (int64, int8) rows exactly once."""
+    orders = _t(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        yr = np.asarray(pc.year(t["o_orderdate"].combine_chunks()))
+        ck = np.asarray(t["o_custkey"].combine_chunks(), np.int64)
+        m = np.where(yr == BUYER_YEAR_A, 1, np.where(yr == BUYER_YEAR_B, 2, 0)).astype(np.int8)
+        df = pd.DataFrame({"custkey": ck[m > 0], "bit": m[m > 0]})
+        g = df.groupby("custkey", sort=False)["bit"].agg(lambda s: np.bitwise_or.reduce(s.to_numpy()))
+        out = g.reset_index()
+        out["bit"] = out["bit"].astype("int8")
+        return _route(out, "custkey")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("custkey", sort=False)["bit"].agg(
+            lambda s: np.bitwise_or.reduce(s.to_numpy())
+        )
+        keep = m[m == 3].index.to_numpy(np.int64)
+        return pd.DataFrame({"custkey": np.sort(keep)})
+
+    return (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("_pkey")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+SQL_REPEAT_BUYERS = f"""
+SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = {BUYER_YEAR_A}
+INTERSECT
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = {BUYER_YEAR_B}
+"""
+
+# --- orders_status_pivot (conditional-aggregation pivot) ---------------------
+
+_STATUSES = ("F", "O", "P")
+
+
+def q_orders_status_pivot(sf_dir: str):
+    """One row per order year with per-status order counts and revenue
+    cents as COLUMNS (the CASE/FILTER pivot). Per-batch partial pivot
+    (years × 3 statuses rows), one year-keyed vectorized merge."""
+    orders = _t(sf_dir, "orders", ["o_orderdate", "o_orderstatus", "o_totalprice"])
+    cols = [f"n_{s.lower()}" for s in _STATUSES] + [
+        f"rev_{s.lower()}_cents" for s in _STATUSES
+    ]
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        yr = np.asarray(pc.year(t["o_orderdate"].combine_chunks()), np.int64)
+        st = t["o_orderstatus"].to_pylist()
+        cents = np.asarray(_cents(t["o_totalprice"]), np.int64)
+        df = pd.DataFrame({"yr": yr, "st": st, "cents": cents})
+        rows = []
+        for y, g in df.groupby("yr", sort=False):
+            row = {"yr": y}
+            for s in _STATUSES:
+                sel = g[g["st"] == s]
+                row[f"n_{s.lower()}"] = np.int64(len(sel))
+                row[f"rev_{s.lower()}_cents"] = np.int64(sel["cents"].sum())
+            rows.append(row)
+        res = pd.DataFrame(rows, columns=["yr", *cols]).astype("int64")
+        return _route(res, "yr")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("yr", sort=False)[cols].sum().reset_index()
+        return out.astype("int64")
+
+    return (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("_pkey")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+SQL_ORDERS_STATUS_PIVOT = """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+       CAST(COUNT(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS n_f,
+       CAST(COUNT(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS n_o,
+       CAST(COUNT(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS n_p,
+       CAST(COALESCE(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT))
+            FILTER (o_orderstatus = 'F'), 0) AS BIGINT) AS rev_f_cents,
+       CAST(COALESCE(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT))
+            FILTER (o_orderstatus = 'O'), 0) AS BIGINT) AS rev_o_cents,
+       CAST(COALESCE(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT))
+            FILTER (o_orderstatus = 'P'), 0) AS BIGINT) AS rev_p_cents
+FROM orders GROUP BY yr
+"""
+
+# --- vector_range_count (cosine radius search) --------------------------------
+
+RANGE_TAU = 0.2
+RANGE_QUERY_IDS = (0, 1, 2)
+
+
+def q_vector_range_count(sf_dir: str):
+    """For each query vector, how many corpus vectors lie within cosine
+    radius ``RANGE_TAU`` (query included — cos = 1). The query matrix is
+    3 vectors (closure-shipped — bytes, not a dim table); each batch is
+    one (batch × 3) matmul producing int partial counts; the merge is a
+    3-row sum. Counts (not similarities) are the output precisely so the
+    oracle comparison is integer-exact despite DuckDB's float32 cosine."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    qt = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    qsel = qt.filter(pc.is_in(qt["vec_id"], value_set=pa.array(RANGE_QUERY_IDS)))
+    order = np.argsort(np.asarray(qsel["vec_id"].combine_chunks()))
+    qm = np.array(qsel["embedding"].to_pylist(), dtype=np.float64)[order]
+    qids = np.asarray(qsel["vec_id"].combine_chunks())[order]
+    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+
+    emb = _t(sf_dir, "embeddings", ["embedding"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        norms = np.linalg.norm(m, axis=1)
+        sims = (m @ qn.T) / np.where(norms == 0, 1, norms)[:, None]
+        n = (sims >= RANGE_TAU).sum(axis=0).astype(np.int64)
+        return pd.DataFrame({"q_vec_id": qids.astype(np.int64), "n_within": n})
+
+    parts = emb.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = parts.groupby("q_vec_id", sort=True)["n_within"].sum().reset_index()
+    return out.astype({"q_vec_id": "int64", "n_within": "int64"})
+
+
+SQL_VECTOR_RANGE = f"""
+SELECT q.vec_id AS q_vec_id, CAST(COUNT(*) AS BIGINT) AS n_within
+FROM embeddings e, embeddings q
+WHERE q.vec_id IN {RANGE_QUERY_IDS}
+  AND list_cosine_similarity(e.embedding, q.embedding) >= {RANGE_TAU}
+GROUP BY q.vec_id
+ORDER BY q_vec_id
+"""
+
+
+QUERIES_GRAPH = {
+    "copurchase_triangles": q_copurchase_triangles,
+    "repeat_buyers": q_repeat_buyers,
+    "orders_status_pivot": q_orders_status_pivot,
+    "vector_range_count": q_vector_range_count,
+}
+
+ORACLE_SQL_GRAPH = {
+    "copurchase_triangles": SQL_COPURCHASE_TRIANGLES,
+    "repeat_buyers": SQL_REPEAT_BUYERS,
+    "orders_status_pivot": SQL_ORDERS_STATUS_PIVOT,
+    "vector_range_count": SQL_VECTOR_RANGE,
+}
+
+from .analytics import ORACLE_SQL as _MAIN_SQL  # noqa: E402
+from .analytics import QUERIES as _MAIN_QUERIES  # noqa: E402
+
+_MAIN_QUERIES.update(QUERIES_GRAPH)
+_MAIN_SQL.update(ORACLE_SQL_GRAPH)

@@ -55,7 +55,7 @@ import pyarrow as pa
 import ray
 
 from ..util import get_broadcast
-from .analytics import _round_half_away, _route, _t
+from .analytics import ROUTE_PARTS, _round_half_away, _route, _t
 
 # NOTE: analytics_ext helpers (_f64/_i64/_sorted_dim) are imported INSIDE
 # the functions that use them — a module-top import would re-enter
@@ -251,11 +251,13 @@ def q_parts_bought_together(sf_dir: str):
     partition emits its distinct pairs via ONE vectorized self-merge
     (pairs per order are basket-size-bounded — TPC-H baskets are ≤7
     items; a skewed marketplace basket would need a per-order cap, which
-    would have to land in the oracle too), partial-counted, then summed
-    across partitions with a pair-keyed exchange and top-k'd on the
-    pair-scale result."""
-    from ray.data.aggregate import Sum
-
+    would have to land in the oracle too) and partial-counts them. The
+    partials re-route by PAIR hash, so one more partition-keyed exchange
+    both sums exactly and makes per-partition top-k EXACT (every row of
+    a pair group is in one partition) — the driver sees only
+    partitions × k candidate rows, never the pair universe. (A native
+    ``groupby([a, b]).aggregate`` over the ~corpus-scale pair table
+    measured ~10× slower — the CLAUDE.md many-group gotcha.)"""
     li = _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
 
     def route(df: pd.DataFrame) -> pd.DataFrame:
@@ -271,19 +273,38 @@ def q_parts_bought_together(sf_dir: str):
             .reset_index(name="n_orders")
         )
         p.columns = ["part_a", "part_b", "n_orders"]
-        return p.astype({"part_a": np.int64, "part_b": np.int64, "n_orders": np.int64})
+        p = p.astype({"part_a": np.int64, "part_b": np.int64, "n_orders": np.int64})
+        p["_pkey"] = (
+            (
+                pd.util.hash_array(p["part_a"].to_numpy()) * np.uint64(31)
+                + pd.util.hash_array(p["part_b"].to_numpy())
+            )
+            % ROUTE_PARTS
+        ).astype("int32")
+        return p
 
-    pairs = (
+    def merge_topk(g: pd.DataFrame) -> pd.DataFrame:
+        s = (
+            g.groupby(["part_a", "part_b"], sort=False)["n_orders"]
+            .sum()
+            .reset_index()
+        )
+        s = s.sort_values(
+            ["n_orders", "part_a", "part_b"], ascending=[False, True, True]
+        ).head(PAIR_TOPK)
+        return s.astype("int64")
+
+    cand = (
         li.map_batches(route, batch_format="pandas")
         .groupby("_pkey")
         .map_groups(emit_pairs, batch_format="pandas")
-    )
-    return (
-        pairs.groupby(["part_a", "part_b"])
-        .aggregate(Sum("n_orders", alias_name="n_orders"))
-        .sort(["n_orders", "part_a", "part_b"], descending=[True, False, False])
-        .limit(PAIR_TOPK)
-    )
+        .groupby("_pkey")
+        .map_groups(merge_topk, batch_format="pandas")
+    ).to_pandas()
+    out = cand.sort_values(
+        ["n_orders", "part_a", "part_b"], ascending=[False, True, True]
+    ).head(PAIR_TOPK)
+    return out.reset_index(drop=True)
 
 
 SQL_PARTS_TOGETHER = f"""

@@ -421,6 +421,51 @@ def weakly_connected_components(
     )
 
 
+def triangle_census(
+    paths: dict[str, str], cfg: PipelineConfig = DEFAULT_CONFIG
+) -> pd.DataFrame:
+    """Exact triangle census of the KG viewed as an undirected simple
+    graph → one-row DataFrame (n_edges, n_wedges, n_triangles,
+    global_cc). Delegates to the size-tiered degree-oriented wedge join
+    (``ops/graph.triangle_stats``); the KG's multi-edges and directions
+    collapse before counting."""
+    from ..ops.graph import triangle_stats
+
+    edges = read_stage(paths["edges"], columns=["src_id", "dst_id"])
+    pairs = edges.map_batches(
+        lambda t: pa.Table.from_pydict({"x": t["src_id"], "y": t["dst_id"]}),
+        batch_format="pyarrow",
+    )
+    st = triangle_stats(pairs, cfg)
+    return pd.DataFrame(
+        {
+            "n_edges": pd.Series([st["n_edges"]], dtype="int64"),
+            "n_wedges": pd.Series([st["n_wedges"]], dtype="int64"),
+            "n_triangles": pd.Series([st["n_triangles"]], dtype="int64"),
+            "global_cc": pd.Series([st["global_cc"]], dtype="float64"),
+        }
+    )
+
+
+def k_core_entities(
+    paths: dict[str, str], k: int = 2, cfg: PipelineConfig = DEFAULT_CONFIG
+) -> ray.data.Dataset:
+    """Entities in the KG's k-core (undirected view) →
+    ``Dataset[(entity_id,)]`` — the dense-neighborhood filter (which
+    entities sit in richly cross-linked regions vs pendant mentions).
+    Size-tiered iterative peeling (``ops/graph.k_core``)."""
+    from ..ops.graph import k_core
+
+    edges = read_stage(paths["edges"], columns=["src_id", "dst_id"])
+    pairs = edges.map_batches(
+        lambda t: pa.Table.from_pydict({"x": t["src_id"], "y": t["dst_id"]}),
+        batch_format="pyarrow",
+    )
+    return k_core(pairs, k, cfg).map_batches(
+        lambda t: t.rename_columns(["entity_id"]), batch_format="pyarrow"
+    )
+
+
 def component_sizes(
     paths: dict[str, str], k: int = 20, cfg: PipelineConfig = DEFAULT_CONFIG
 ) -> ray.data.Dataset:
