@@ -161,12 +161,20 @@ def run_bench() -> dict:
         if hasattr(res, "to_pandas"):
             res.to_pandas()
 
+    # each query is timed GRAFT_BENCH_QUERY_REPS times and the MINIMUM
+    # kept — the same steal-damping protocol as the build (host CPU
+    # bursts measured inflating identical queries 2–5× within one run;
+    # the min measures the engine)
+    query_reps = max(1, int(os.environ.get("GRAFT_BENCH_QUERY_REPS", "2")))
     for name in bench_queries:
-        t0 = time.monotonic()
-        res = analytics.QUERIES[name](SF_DIR)
-        if hasattr(res, "to_pandas"):
-            res.to_pandas()
-        queries[name] = round(time.monotonic() - t0, 3)
+        best = float("inf")
+        for _ in range(query_reps):
+            t0 = time.monotonic()
+            res = analytics.QUERIES[name](SF_DIR)
+            if hasattr(res, "to_pandas"):
+                res.to_pandas()
+            best = min(best, time.monotonic() - t0)
+        queries[name] = round(best, 3)
 
     total = round(sum(queries.values()), 3)
     result = {

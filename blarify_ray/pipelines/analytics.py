@@ -1004,3 +1004,6 @@ from . import analytics_cohort  # noqa: E402, F401
 
 # graph-structure / set-op / pivot / vector-radius battery — same contract
 from . import analytics_graph  # noqa: E402, F401
+
+# sequence / funnel-lag / statistics / degree-distribution battery — same contract
+from . import analytics_seq  # noqa: E402, F401
