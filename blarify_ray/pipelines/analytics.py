@@ -1007,3 +1007,6 @@ from . import analytics_graph  # noqa: E402, F401
 
 # sequence / funnel-lag / statistics / degree-distribution battery — same contract
 from . import analytics_seq  # noqa: E402, F401
+
+# quantile / range-window / argmax battery — same contract
+from . import analytics_quant  # noqa: E402, F401
