@@ -108,10 +108,10 @@ def q_rolling_value_7d(sf_dir: str):
 
 SQL_ROLLING_VALUE_7D = """
 SELECT user_id, event_id,
-       SUM(CAST(round(value * 100) AS BIGINT)) OVER (
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER (
          PARTITION BY user_id ORDER BY ts
          RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW
-       ) AS roll_cents
+       ) AS BIGINT) AS roll_cents
 FROM events
 """
 
