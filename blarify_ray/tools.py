@@ -155,6 +155,20 @@ def _t_entity_mentions(paths: dict[str, str], entity_id: str, limit: int = 100) 
     return entity_mentions(paths, entity_id, limit=limit)
 
 
+def _t_graph_stats(paths: dict[str, str], k_core_k: int = 2) -> dict:
+    from .pipelines.graph_analytics import k_core_entities, triangle_census
+
+    census = triangle_census(paths).iloc[0]
+    return {
+        "n_edges": int(census["n_edges"]),
+        "n_wedges": int(census["n_wedges"]),
+        "n_triangles": int(census["n_triangles"]),
+        "global_clustering": float(census["global_cc"]),
+        "k_core_k": int(k_core_k),
+        "k_core_size": k_core_entities(paths, k=k_core_k).count(),
+    }
+
+
 _ID = {"type": "string", "description": "entity_id (md5 hex)"}
 _K = {"type": "integer", "default": 10}
 _PAGE = {
@@ -236,6 +250,12 @@ TOOLS: dict[str, Tool] = {
              _t_entity_mentions,
              {"entity_id": _ID, "limit": {"type": "integer", "default": 100}},
              ("entity_id",)),
+        Tool("graph_structure_stats",
+             "Whole-graph structure diagnostics: exact triangle census "
+             "(edges/wedges/triangles, global clustering coefficient) "
+             "plus the k-core size",
+             _t_graph_stats,
+             {"k_core_k": {"type": "integer", "default": 2}}),
     ]
 }
 

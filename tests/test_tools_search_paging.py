@@ -95,6 +95,10 @@ def test_tool_registry_and_calls(built):
     assert comp and comp[0]["n_members"] >= comp[-1]["n_members"]
     rel = call_tool(built, "related_entities", {"seed_ids": [top[0]["entity_id"]], "k": 5})
     assert all(r["entity_id"] != top[0]["entity_id"] for r in rel)
+    gs = call_tool(built, "graph_structure_stats", {"k_core_k": 2})
+    assert gs["n_edges"] > 0 and gs["n_wedges"] >= gs["n_triangles"] * 3
+    assert 0.0 <= gs["global_clustering"] <= 1.0
+    assert 0 <= gs["k_core_size"]
     with pytest.raises(KeyError):
         call_tool(built, "no_such_tool")
     assert set(TOOLS) == {s["name"] for s in specs}
