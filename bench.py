@@ -125,7 +125,7 @@ def run_bench() -> dict:
     # swings single builds up to 4× (measured 13 s … 54 s for the same
     # code within one hour); the min measures the engine. All runs are
     # reported alongside for transparency.
-    build_reps = max(1, int(os.environ.get("GRAFT_BENCH_BUILD_REPS", "2")))
+    build_reps = max(1, int(os.environ.get("GRAFT_BENCH_BUILD_REPS", "3")))
     build_runs: list[float] = []
     for _ in range(build_reps):
         shutil.rmtree(out_dir, ignore_errors=True)
