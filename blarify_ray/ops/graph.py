@@ -256,6 +256,7 @@ def _triangles_distributed(
     oriented = withdeg.map_batches(_orient, batch_format="pandas").materialize()
 
     def route_src(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy(deep=False)  # batch may be a zero-copy view
         df["_pkey"] = (_hash_vals(df["src"].to_numpy()) % parts).astype("int32")
         return df
 

@@ -16,6 +16,9 @@ checked:
 - ``copurchase_degree_hist``: degree distribution of the part
   co-purchase graph — the graph-shape diagnostic (hub detection, LSH
   bucket-cap calibration) next to ``copurchase_triangles``.
+- ``urgent_lineitem_revenue``: selective semi-join through the Bloom
+  prefilter primitive (``ops/bloom.bloom_semi_join``) — non-candidate
+  fact rows never reach the exchange.
 
 Reference analog: the aggregate/diagnostic query family
 (``blarify/db_managers/queries.py``); re-expressed as distributed Ray
@@ -350,11 +353,70 @@ FROM deg GROUP BY degree
 """
 
 
+# --- urgent_lineitem_revenue (Bloom-prefiltered semi-join) --------------------
+
+
+def q_urgent_lineitem_revenue(sf_dir: str):
+    """Revenue by returnflag over only the lineitems of URGENT orders —
+    the selective-semi-join shape, executed through the Bloom primitive
+    (``ops/bloom.bloom_semi_join``): urgent order keys fold into a
+    blob-scale filter broadcast once, a map-only pass drops every
+    non-candidate lineitem BEFORE the exchange, and one co-partitioned
+    marker join resolves the filter's false positives exactly. At a
+    selective predicate the exchange ships ~(matches + FP%·rows)
+    instead of the whole fact table."""
+    from ray.data.aggregate import Sum
+
+    from ..ops.bloom import bloom_semi_join
+
+    li = _t(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"],
+    )
+    urgent = _t(sf_dir, "orders", ["o_orderkey", "o_orderpriority"]).map_batches(
+        lambda df: df[df["o_orderpriority"] == "1-URGENT"][["o_orderkey"]],
+        batch_format="pandas",
+    )
+    semi = bloom_semi_join(li, urgent, "l_orderkey", "o_orderkey")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = _round_half_away(
+            df["l_extendedprice"].to_numpy(np.float64)
+            * (1 - df["l_discount"].to_numpy(np.float64))
+            * 100
+        ).astype(np.int64)
+        g = (
+            pd.DataFrame({"l_returnflag": df["l_returnflag"].astype(str), "c": cents})
+            .groupby("l_returnflag", sort=False)["c"]
+            .sum()
+            .reset_index()
+        )
+        return g.rename(columns={"c": "revenue_cents"})
+
+    return (
+        semi.map_batches(partial, batch_format="pandas")
+        .groupby("l_returnflag")
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+    )
+
+
+SQL_URGENT_LINEITEM_REVENUE = """
+SELECT l_returnflag,
+       CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem
+WHERE l_orderkey IN (
+  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+GROUP BY l_returnflag
+"""
+
+
 QUERIES_SEQ = {
     "event_transitions": q_event_transitions,
     "conversion_lag": q_conversion_lag,
     "corr_qty_discount": q_corr_qty_discount,
     "copurchase_degree_hist": q_copurchase_degree_hist,
+    "urgent_lineitem_revenue": q_urgent_lineitem_revenue,
 }
 
 ORACLE_SQL_SEQ = {
@@ -362,6 +424,7 @@ ORACLE_SQL_SEQ = {
     "conversion_lag": SQL_CONVERSION_LAG,
     "corr_qty_discount": SQL_CORR_QTY_DISCOUNT,
     "copurchase_degree_hist": SQL_COPURCHASE_DEGREE_HIST,
+    "urgent_lineitem_revenue": SQL_URGENT_LINEITEM_REVENUE,
 }
 
 from .analytics import ORACLE_SQL as _MAIN_SQL  # noqa: E402
