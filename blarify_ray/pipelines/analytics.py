@@ -1010,3 +1010,6 @@ from . import analytics_seq  # noqa: E402, F401
 
 # quantile / range-window / argmax battery — same contract
 from . import analytics_quant  # noqa: E402, F401
+
+# relational-composition / semi-structured battery — same contract
+from . import analytics_rel  # noqa: E402, F401
