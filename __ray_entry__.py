@@ -191,6 +191,12 @@ def _q_kg_kcore(sf_dir: str):
     return k_core_entities(_kg_paths(sf_dir), k=2)
 
 
+def _q_kg_communities(sf_dir: str):
+    from blarify_ray.pipelines.graph_analytics import top_communities
+
+    return top_communities(_kg_paths(sf_dir), k=20)
+
+
 def _q_kg_skeleton_tree(sf_dir: str):
     import pandas as pd
 
@@ -233,6 +239,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_components": _q_kg_components,
         "kg_triangles": _q_kg_triangles,
         "kg_kcore": _q_kg_kcore,
+        "kg_communities": _q_kg_communities,
     }
     q.update(kg)
     for name, fn in analytics.QUERIES.items():

@@ -151,6 +151,15 @@ class PipelineConfig:
     # table via take_all, so an entity-heavy/edge-sparse KG (many
     # isolated nodes) must not select it on edge count alone.
     pagerank_driver_max_nodes: int = 4_000_000
+    # Label-propagation communities tier: same driver bounds as
+    # PageRank (the driver round is one np.unique + lexsort argmax);
+    # above either bound each synchronous round is a co-partitioned
+    # label⋈edges attach + (node, label) weight-sum exchange +
+    # vectorized per-node argmax. Weights are int64, so tie-breaks
+    # (max weight, then lexicographically smallest label) are EXACT and
+    # the tiers are bit-identical (forced-tier tested).
+    lpa_driver_max_edges: int = 2_000_000
+    lpa_driver_max_nodes: int = 4_000_000
     # k-hop frontier tier: a frontier (plus seen set) smaller than this
     # is broadcast as a sorted id array and applied with ``pc.is_in``;
     # above it the expansion switches to a co-partitioned semi-join of

@@ -480,3 +480,218 @@ def component_sizes(
         .sort(["n_members", "component"], descending=[True, False])
         .limit(k)
     )
+
+
+# --- label-propagation communities -------------------------------------------
+
+
+def label_propagation(
+    paths: dict[str, str],
+    iters: int = 5,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+) -> ray.data.Dataset:
+    """Community detection by synchronous label propagation over the
+    undirected KG multigraph → ``Dataset[(entity_id, community)]``.
+
+    Spec (both tiers, bit-identical): every node starts labeled with its
+    own entity_id; each synchronous round a node adopts the label with
+    the MAXIMUM total incident edge weight among its neighbors' current
+    labels (each directed edge contributes its int64 weight to both
+    endpoints; multi-edges sum), ties → lexicographically smallest
+    label; isolated nodes keep their own label. Runs ``iters`` rounds
+    with early stop when no label changes. Fixed synchronous rounds +
+    exact integer weights + a pinned tie-break make the result
+    deterministic — the classic asynchronous LPA is not, which is why
+    this variant is the one that can be forced-tier tested.
+
+    Size-tiered like PageRank: below ``cfg.lpa_driver_max_edges`` /
+    ``_nodes`` the round is one ``np.unique`` + ``np.lexsort`` argmax on
+    the driver; above, each round is a co-partitioned label⋈edges
+    attach, a (node, label)-keyed weight-sum exchange, and a vectorized
+    per-partition argmax — node-scale state lives in a partitioned
+    dataset, never a driver dict."""
+    edges = read_stage(paths["edges"], columns=["src_id", "dst_id", "weight"])
+    ents = read_stage(paths["entities"], columns=["entity_id"])
+    n_edges = edges.count()
+    if (
+        n_edges <= cfg.lpa_driver_max_edges
+        and ents.count() <= cfg.lpa_driver_max_nodes
+    ):
+        return _lpa_driver(edges, ents, iters)
+    return _lpa_distributed(edges, ents, n_edges, iters, cfg)
+
+
+def _lpa_empty() -> pa.Table:
+    return pa.Table.from_pydict(
+        {
+            "entity_id": pa.array([], pa.string()),
+            "community": pa.array([], pa.string()),
+        }
+    )
+
+
+def _lpa_driver(
+    edges: ray.data.Dataset, ents: ray.data.Dataset, iters: int
+) -> ray.data.Dataset:
+    """Driver tier: sorted-id index mapping (index order ≡ lexicographic
+    order, so the tie-break is an integer argmin), one np.unique over
+    (node, neighbor-label) vote keys + np.lexsort argmax per round."""
+    ids = sorted(r["entity_id"] for r in ents.take_all())
+    n = len(ids)
+    if n == 0:
+        return ray.data.from_arrow(_lpa_empty())
+    idx = {e: i for i, e in enumerate(ids)}
+    er = edges.take_all()
+    src = np.fromiter((idx[r["src_id"]] for r in er), dtype=np.int64, count=len(er))
+    dst = np.fromiter((idx[r["dst_id"]] for r in er), dtype=np.int64, count=len(er))
+    w = np.fromiter((r["weight"] for r in er), dtype=np.int64, count=len(er))
+    node = np.concatenate([src, dst])
+    nbr = np.concatenate([dst, src])
+    w2 = np.concatenate([w, w]).astype(np.float64)  # int-valued; exact < 2^53
+    lab = np.arange(n, dtype=np.int64)
+    for _ in range(iters):
+        if len(node) == 0:
+            break
+        key = node * n + lab[nbr]
+        uk, inv = np.unique(key, return_inverse=True)
+        wsum = np.bincount(inv, weights=w2)
+        k_node, k_lab = uk // n, uk % n
+        order = np.lexsort((k_lab, -wsum, k_node))
+        k_node, k_lab = k_node[order], k_lab[order]
+        first = np.ones(len(k_node), dtype=bool)
+        first[1:] = k_node[1:] != k_node[:-1]
+        new = lab.copy()
+        new[k_node[first]] = k_lab[first]
+        if np.array_equal(new, lab):
+            break
+        lab = new
+    arr = np.asarray(ids, dtype=object)
+    return ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "entity_id": pa.array(ids, pa.string()),
+                "community": pa.array(arr[lab], pa.string()),
+            }
+        )
+    )
+
+
+def _lpa_distributed(
+    edges: ray.data.Dataset,
+    ents: ray.data.Dataset,
+    n_edges: int,
+    iters: int,
+    cfg: PipelineConfig,
+) -> ray.data.Dataset:
+    """Distributed tier. Per round: (1) neighbor labels attach onto the
+    static undirected edge table by ONE co-partitioning exchange, (2)
+    per-batch (node, label) weight-sum partials + one hash-routed
+    vectorized merge ending in the per-node argmax (weight desc, label
+    asc — exact, weights are int64), (3) winners left-attach onto the
+    node-scale state; unmatched (isolated) nodes keep their label."""
+    from ..ops.joins import copartition_attach
+
+    parts = _edge_parts(n_edges, cfg)
+    if ents.count() == 0:
+        return ray.data.from_arrow(_lpa_empty())
+
+    state = ents.map_batches(
+        lambda df: pd.DataFrame(
+            {"entity_id": df["entity_id"], "label": df["entity_id"]}
+        ),
+        batch_format="pandas",
+    ).materialize()
+    if n_edges == 0:
+        return state.map_batches(
+            lambda df: df.rename(columns={"label": "community"}),
+            batch_format="pandas",
+        )
+
+    def undirect(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "node": pd.concat([df["src_id"], df["dst_id"]], ignore_index=True),
+                "nbr": pd.concat([df["dst_id"], df["src_id"]], ignore_index=True),
+                "w": np.tile(df["weight"].to_numpy(np.int64), 2),
+            }
+        )
+
+    und = edges.map_batches(undirect, batch_format="pandas").materialize()
+
+    def vote_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby(["node", "nbr_label"], sort=False)["w"].sum().reset_index()
+        )
+        g["_pkey"] = (
+            pd.util.hash_array(g["node"].to_numpy(dtype=object)) % parts
+        ).astype("int32")
+        return g
+
+    def vote_argmax(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(["node", "nbr_label"], sort=False)["w"].sum().reset_index()
+        s = s.sort_values(
+            ["node", "w", "nbr_label"], ascending=[True, False, True],
+            kind="mergesort",
+        ).drop_duplicates("node")
+        return pd.DataFrame({"entity_id": s["node"], "new_label": s["nbr_label"]})
+
+    for _ in range(iters):
+        labeled = copartition_attach(
+            und, state, "nbr", "entity_id", {"label": "nbr_label"},
+            partitions=parts, how="inner",
+        )
+        winners = compact_nonempty(
+            labeled.map_batches(vote_partial, batch_format="pandas")
+            .groupby("_pkey")
+            .map_groups(vote_argmax, batch_format="pandas")
+        )
+        new_state = (
+            copartition_attach(
+                state, winners, "entity_id", "entity_id",
+                {"new_label": "new_label"}, partitions=parts, how="left",
+            )
+            .map_batches(
+                lambda df: pd.DataFrame(
+                    {
+                        "entity_id": df["entity_id"],
+                        "label": df["new_label"].fillna(df["label"]),
+                        "changed": (
+                            df["new_label"].notna()
+                            & (df["new_label"] != df["label"])
+                        ).astype(np.int64),
+                    }
+                ),
+                batch_format="pandas",
+            )
+            .materialize()
+        )
+        changed = new_state.sum("changed") or 0
+        state = new_state.map_batches(
+            lambda df: df[["entity_id", "label"]], batch_format="pandas"
+        ).materialize()
+        if changed == 0:
+            break
+    return state.map_batches(
+        lambda df: df.rename(columns={"label": "community"}),
+        batch_format="pandas",
+    )
+
+
+def top_communities(
+    paths: dict[str, str],
+    k: int = 20,
+    iters: int = 5,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+) -> ray.data.Dataset:
+    """Top-k communities by member count — the mesoscale sibling of
+    ``component_sizes`` (WCC answers 'is it connected'; LPA answers
+    'where are the dense regions inside the giant component')."""
+    from ray.data.aggregate import Count
+
+    return (
+        label_propagation(paths, iters=iters, cfg=cfg)
+        .groupby("community")
+        .aggregate(Count(alias_name="n_members"))
+        .sort(["n_members", "community"], descending=[True, False])
+        .limit(k)
+    )
