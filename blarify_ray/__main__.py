@@ -36,7 +36,7 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--out", required=True)
     q.add_argument(
         "--name", required=True,
-        choices=["top", "entry-points", "skeleton", "rollup", "pagerank", "components"],
+        choices=["top", "entry-points", "skeleton", "rollup", "pagerank", "components", "communities"],
     )
     q.add_argument("--num-cpus", type=int, default=None)
 
@@ -132,6 +132,10 @@ def main(argv: list[str] | None = None) -> int:
                 from .pipelines.graph_analytics import component_sizes
 
                 rows = component_sizes(paths, k=10).take_all()
+            elif args.name == "communities":
+                from .pipelines.graph_analytics import top_communities
+
+                rows = top_communities(paths, k=10).take_all()
             else:
                 rows = bottom_up_rollup(paths).take_all()
             for r in rows:

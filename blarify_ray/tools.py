@@ -169,6 +169,12 @@ def _t_graph_stats(paths: dict[str, str], k_core_k: int = 2) -> dict:
     }
 
 
+def _t_communities(paths: dict[str, str], k: int = 10, iters: int = 5) -> list[dict]:
+    from .pipelines.graph_analytics import top_communities
+
+    return top_communities(paths, k=k, iters=iters).take_all()
+
+
 _ID = {"type": "string", "description": "entity_id (md5 hex)"}
 _K = {"type": "integer", "default": 10}
 _PAGE = {
@@ -256,6 +262,11 @@ TOOLS: dict[str, Tool] = {
              "plus the k-core size",
              _t_graph_stats,
              {"k_core_k": {"type": "integer", "default": 2}}),
+        Tool("get_communities",
+             "Top-k communities by member count (deterministic "
+             "label-propagation over the undirected KG)",
+             _t_communities,
+             {"k": _K, "iters": {"type": "integer", "default": 5}}),
     ]
 }
 
