@@ -197,6 +197,12 @@ def _q_kg_communities(sf_dir: str):
     return top_communities(_kg_paths(sf_dir), k=20)
 
 
+def _q_kg_centrality(sf_dir: str):
+    from blarify_ray.pipelines.graph_analytics import top_harmonic
+
+    return top_harmonic(_kg_paths(sf_dir), k=20)
+
+
 def _q_kg_skeleton_tree(sf_dir: str):
     import pandas as pd
 
@@ -240,6 +246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triangles": _q_kg_triangles,
         "kg_kcore": _q_kg_kcore,
         "kg_communities": _q_kg_communities,
+        "kg_centrality": _q_kg_centrality,
     }
     q.update(kg)
     for name, fn in analytics.QUERIES.items():

@@ -160,6 +160,16 @@ class PipelineConfig:
     # the tiers are bit-identical (forced-tier tested).
     lpa_driver_max_edges: int = 2_000_000
     lpa_driver_max_nodes: int = 4_000_000
+    # HyperBall (harmonic centrality / reach / distance distribution):
+    # below both bounds the whole (n × 2^b) register matrix lives on the
+    # driver and a round is one np.maximum.at; above, registers are a
+    # hash-partitioned blob dataset and a round is a co-partitioned
+    # counter⋈edges attach + node-keyed register-max exchange. Register
+    # max is order-independent, so per-node outputs are bit-identical
+    # across tiers (forced-tier tested). The node bound is tighter than
+    # PageRank's because driver state is 2^b bytes/node, not 8.
+    hyperball_driver_max_edges: int = 2_000_000
+    hyperball_driver_max_nodes: int = 500_000
     # k-hop frontier tier: a frontier (plus seen set) smaller than this
     # is broadcast as a sorted id array and applied with ``pc.is_in``;
     # above it the expansion switches to a co-partitioned semi-join of

@@ -175,6 +175,18 @@ def _t_communities(paths: dict[str, str], k: int = 10, iters: int = 5) -> list[d
     return top_communities(paths, k=k, iters=iters).take_all()
 
 
+def _t_centrality(paths: dict[str, str], k: int = 10) -> dict:
+    from .ops.hyperball import effective_diameter
+    from .pipelines.graph_analytics import distance_distribution, top_harmonic
+
+    dist = distance_distribution(paths)
+    return {
+        "top_harmonic": top_harmonic(paths, k=k).take_all(),
+        "effective_diameter": effective_diameter(dist),
+        "distance_distribution": dist.to_dict(orient="records"),
+    }
+
+
 _ID = {"type": "string", "description": "entity_id (md5 hex)"}
 _K = {"type": "integer", "default": 10}
 _PAGE = {
@@ -267,6 +279,12 @@ TOOLS: dict[str, Tool] = {
              "label-propagation over the undirected KG)",
              _t_communities,
              {"k": _K, "iters": {"type": "integer", "default": 5}}),
+        Tool("get_centrality",
+             "HyperBall distance analytics: top-k entities by harmonic "
+             "centrality (with reachable-set estimates), the graph's "
+             "effective diameter, and the neighborhood function N(t)",
+             _t_centrality,
+             {"k": _K}),
     ]
 }
 
