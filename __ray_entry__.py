@@ -197,6 +197,14 @@ def _q_kg_communities(sf_dir: str):
     return top_communities(_kg_paths(sf_dir), k=20)
 
 
+def _q_kg_pattern(sf_dir: str):
+    from blarify_ray.pipelines.graph_queries import match_pattern
+
+    return match_pattern(
+        _kg_paths(sf_dir), [{}, {}], distinct_nodes=True, limit=200
+    )
+
+
 def _q_kg_centrality(sf_dir: str):
     from blarify_ray.pipelines.graph_analytics import top_harmonic
 
@@ -247,6 +255,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_kcore": _q_kg_kcore,
         "kg_communities": _q_kg_communities,
         "kg_centrality": _q_kg_centrality,
+        "kg_pattern": _q_kg_pattern,
     }
     q.update(kg)
     for name, fn in analytics.QUERIES.items():

@@ -195,6 +195,25 @@ def copartition_attach(
     return lt.union(rt).groupby("_pkey").map_groups(merge, batch_format="pandas")
 
 
+def copartition_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    left_key: str,
+    right_key: str,
+    attach: dict[str, str],
+    partitions: int = 64,
+) -> ray.data.Dataset:
+    """One-to-MANY co-partitioned equi-join: the same single-shuffle
+    machinery as ``copartition_attach``, but the right side may carry any
+    number of rows per key — each left row emits one output row per
+    right match (inner semantics, fan-out allowed). Use for edge-table
+    expansion (pattern matching, traversals), where ``attach``'s
+    unique-dimension contract doesn't hold."""
+    return copartition_attach(
+        left, right, left_key, right_key, attach, partitions=partitions, how="inner"
+    )
+
+
 def most_specific_join(
     points: ray.data.Dataset,
     intervals: ray.data.Dataset,

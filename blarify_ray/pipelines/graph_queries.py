@@ -1038,3 +1038,230 @@ def skeleton(paths: dict[str, str]) -> ray.data.Dataset:
         .groupby(["subj_type", "pred", "obj_type"])
         .aggregate(Count(alias_name="n_edges"), Sum("weight", alias_name="total_weight"))
     )
+
+
+# --- declarative pattern matching -------------------------------------------
+
+
+def _mp_cols(n_steps: int) -> list[str]:
+    cols = ["n0"]
+    for i in range(1, n_steps + 1):
+        cols += [f"p{i}", f"n{i}"]
+    return cols
+
+
+def _mp_empty(n_steps: int) -> pa.Table:
+    return pa.Table.from_pydict(
+        {c: pa.array([], pa.string()) for c in _mp_cols(n_steps)}
+    )
+
+
+def match_pattern(
+    paths: dict[str, str],
+    steps: list[dict],
+    src_type: str | None = None,
+    start_ids: list[str] | None = None,
+    distinct_nodes: bool = False,
+    offset: int = 0,
+    limit: int | None = 100,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+) -> ray.data.Dataset:
+    """Declarative graph-pattern matching — the Cypher
+    ``MATCH (a)-[:P1]->(b)-[:P2]->(c)`` surface of the reference's
+    Neo4j query layer (``queries.py`` path/relationship matches),
+    re-expressed as a chain of co-partitioned equi-joins over the edge
+    table.
+
+    ``steps`` is a list of ``{"pred": str|None, "dst_type": str|None}``
+    hop constraints (``None`` = unconstrained); the start node set can
+    be narrowed by ``src_type`` and/or ``start_ids``. Matching is over
+    DISTINCT ``(src, pred, dst)`` triples (the KG is a multigraph;
+    pattern semantics are set-based). Returns one row per binding with
+    string columns ``n0, p1, n1, …, pK, nK`` in global lexicographic
+    order, paged by ``offset``/``limit`` rows. ``distinct_nodes=True``
+    drops bindings that revisit a node (Cypher's default allows
+    revisits; so does this).
+
+    Size-tiered on ``cfg.workflows_driver_max_edges`` (the traversal
+    tier bound): below, pandas merges on the driver; above, each hop is
+    ONE co-partitioned fan-out join (``ops/joins.copartition_join``) and
+    each ``dst_type`` constraint one co-partitioned semi-join — bindings
+    and triples move per hop, never the driver. Both tiers produce
+    identical rows (forced-tier tested). Unselective patterns fan out
+    multiplicatively — constrain hops (pred/type) the way you would in
+    Cypher."""
+    n_steps = len(steps)
+    if n_steps == 0:
+        return ray.data.from_arrow(_mp_empty(0))
+    edges_ds = read_stage(paths["edges"], columns=["src_id", "dst_id", "pred"])
+    need_types = src_type is not None or any(s.get("dst_type") for s in steps)
+    ents_ds = read_stage(paths["entities"], columns=["entity_id", "type"])
+    if edges_ds.count() <= cfg.workflows_driver_max_edges:
+        return _match_pattern_driver(
+            edges_ds, ents_ds, steps, src_type, start_ids, distinct_nodes,
+            offset, limit, need_types,
+        )
+    return _match_pattern_distributed(
+        edges_ds, ents_ds, steps, src_type, start_ids, distinct_nodes,
+        offset, limit, cfg,
+    )
+
+
+def _mp_page(df, n_steps: int, offset: int, limit: int | None) -> ray.data.Dataset:
+    cols = _mp_cols(n_steps)
+    df = df.sort_values(cols, kind="mergesort").reset_index(drop=True)
+    end = (offset + limit) if limit is not None else len(df)
+    df = df.iloc[offset:end]
+    return ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {c: pa.array(df[c].tolist(), pa.string()) for c in cols}
+        )
+    )
+
+
+def _match_pattern_driver(
+    edges_ds, ents_ds, steps, src_type, start_ids, distinct_nodes,
+    offset, limit, need_types,
+):
+    import pandas as pd
+
+    n_steps = len(steps)
+    triples = edges_ds.to_pandas().drop_duplicates(["src_id", "pred", "dst_id"])
+    ents = ents_ds.to_pandas() if need_types or start_ids is None else None
+    if start_ids is not None:
+        b = pd.DataFrame({"n0": sorted(set(start_ids))})
+        if src_type is not None:
+            typed = set(ents[ents["type"] == src_type]["entity_id"])
+            b = b[b["n0"].isin(typed)]
+    elif src_type is not None:
+        b = pd.DataFrame({"n0": ents[ents["type"] == src_type]["entity_id"]})
+    else:
+        b = pd.DataFrame({"n0": ents["entity_id"]})
+    types = dict(zip(ents["entity_id"], ents["type"])) if need_types else {}
+    for i, step in enumerate(steps, start=1):
+        e = triples
+        if step.get("pred") is not None:
+            e = e[e["pred"] == step["pred"]]
+        if step.get("dst_type") is not None:
+            e = e[e["dst_id"].map(types) == step["dst_type"]]
+        e = e.rename(
+            columns={"src_id": f"n{i-1}", "pred": f"p{i}", "dst_id": f"n{i}"}
+        )
+        b = b.merge(e, on=f"n{i-1}", how="inner")
+        if b.empty:
+            return ray.data.from_arrow(_mp_empty(n_steps))
+    if distinct_nodes:
+        ncols = [f"n{i}" for i in range(n_steps + 1)]
+        b = b[b[ncols].nunique(axis=1) == len(ncols)]
+    return _mp_page(b, n_steps, offset, limit)
+
+
+def _match_pattern_distributed(
+    edges_ds, ents_ds, steps, src_type, start_ids, distinct_nodes,
+    offset, limit, cfg,
+):
+    import pandas as pd
+
+    from ..ops.joins import copartition_attach, copartition_join
+    from ..util import compact_nonempty
+
+    n_steps = len(steps)
+    parts = max(
+        1, min(cfg.agg_partitions, edges_ds.count() // cfg.cc_rows_per_partition + 1)
+    )
+
+    # distinct (src, pred, dst) triples: per-batch dedup partials, one
+    # src-keyed exchange, per-partition dedup — rows move exactly once
+    def dd_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.drop_duplicates(["src_id", "pred", "dst_id"]).copy()
+        g["_pkey"] = (
+            pd.util.hash_array(g["src_id"].to_numpy(dtype=object)) % parts
+        ).astype("int32")
+        return g
+
+    triples = compact_nonempty(
+        edges_ds.map_batches(dd_partial, batch_format="pandas")
+        .groupby("_pkey")
+        .map_groups(
+            lambda g: g.drop_duplicates(["src_id", "pred", "dst_id"])[
+                ["src_id", "pred", "dst_id"]
+            ],
+            batch_format="pandas",
+        )
+    )
+
+    if start_ids is not None:
+        start_arr = pa.array(sorted(set(start_ids)), pa.string())
+        b = ents_ds.map_batches(
+            lambda t: t.filter(pc.is_in(t["entity_id"], value_set=start_arr)),
+            batch_format="pyarrow",
+        )
+    else:
+        b = ents_ds
+    if src_type is not None:
+        b = b.map_batches(
+            lambda t, _st=src_type: t.filter(pc.equal(t["type"], _st)),
+            batch_format="pyarrow",
+        )
+    b = compact_nonempty(
+        b.map_batches(
+            lambda t: pa.Table.from_pydict({"n0": t["entity_id"]}),
+            batch_format="pyarrow",
+        )
+    )
+    for i, step in enumerate(steps, start=1):
+        if b.count() == 0:
+            return ray.data.from_arrow(_mp_empty(n_steps))
+        e = triples
+        if step.get("pred") is not None:
+            e = compact_nonempty(
+                e.map_batches(
+                    lambda t, _p=step["pred"]: t.filter(pc.equal(t["pred"], _p)),
+                    batch_format="pyarrow",
+                )
+            )
+        b = compact_nonempty(
+            copartition_join(
+                b, e, f"n{i-1}", "src_id",
+                {"pred": f"p{i}", "dst_id": f"n{i}"}, partitions=parts,
+            )
+        )
+        if step.get("dst_type") is not None:
+            typed = compact_nonempty(
+                ents_ds.map_batches(
+                    lambda t, _dt=step["dst_type"]: pa.Table.from_pydict(
+                        {"entity_id": t.filter(pc.equal(t["type"], _dt))["entity_id"]}
+                    ),
+                    batch_format="pyarrow",
+                )
+            )
+            if typed.count() == 0:
+                return ray.data.from_arrow(_mp_empty(n_steps))
+            b = compact_nonempty(
+                copartition_attach(
+                    b, typed, f"n{i}", "entity_id", {"entity_id": "_m"},
+                    partitions=parts, how="inner",
+                ).map_batches(lambda df: df.drop(columns=["_m"]), batch_format="pandas")
+            )
+    if b.count() == 0:
+        return ray.data.from_arrow(_mp_empty(n_steps))
+    if distinct_nodes:
+        ncols = [f"n{i}" for i in range(n_steps + 1)]
+        b = compact_nonempty(
+            b.map_batches(
+                lambda df: df[df[ncols].nunique(axis=1) == len(ncols)],
+                batch_format="pandas",
+            )
+        )
+        if b.count() == 0:
+            return ray.data.from_arrow(_mp_empty(n_steps))
+    cols = _mp_cols(n_steps)
+    b = b.sort(cols)
+    if limit is not None:
+        b = b.limit(offset + limit)
+        if offset:
+            return _mp_page(b.to_pandas(), n_steps, offset, limit)
+        return b.map_batches(lambda df: df[cols], batch_format="pandas")
+    if offset:
+        return _mp_page(b.to_pandas(), n_steps, offset, None)
+    return b.map_batches(lambda df: df[cols], batch_format="pandas")

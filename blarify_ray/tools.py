@@ -175,6 +175,28 @@ def _t_communities(paths: dict[str, str], k: int = 10, iters: int = 5) -> list[d
     return top_communities(paths, k=k, iters=iters).take_all()
 
 
+def _t_match_pattern(
+    paths: dict[str, str],
+    steps: list | None = None,
+    src_type: str | None = None,
+    start_ids: list | None = None,
+    distinct_nodes: bool = False,
+    offset: int = 0,
+    limit: int = 50,
+) -> list[dict]:
+    from .pipelines.graph_queries import match_pattern
+
+    return match_pattern(
+        paths,
+        steps or [{}],
+        src_type=src_type,
+        start_ids=start_ids,
+        distinct_nodes=distinct_nodes,
+        offset=offset,
+        limit=limit,
+    ).take_all()
+
+
 def _t_centrality(paths: dict[str, str], k: int = 10) -> dict:
     from .ops.hyperball import effective_diameter
     from .pipelines.graph_analytics import distance_distribution, top_harmonic
@@ -279,6 +301,20 @@ TOOLS: dict[str, Tool] = {
              "label-propagation over the undirected KG)",
              _t_communities,
              {"k": _K, "iters": {"type": "integer", "default": 5}}),
+        Tool("match_pattern",
+             "Declarative graph-pattern match (Cypher MATCH analog): "
+             "bind a chain (n0)-[p1]->(n1)-[p2]->… with optional "
+             "per-hop predicate / destination-type constraints; "
+             "lexicographically ordered, paged bindings",
+             _t_match_pattern,
+             {"steps": {"type": "array",
+                        "items": {"type": "object"},
+                        "description": "per-hop {pred, dst_type} constraints"},
+              "src_type": {"type": ["string", "null"], "default": None},
+              "start_ids": {"type": ["array", "null"], "default": None},
+              "distinct_nodes": {"type": "boolean", "default": False},
+              "offset": {"type": "integer", "default": 0},
+              "limit": {"type": "integer", "default": 50}}),
         Tool("get_centrality",
              "HyperBall distance analytics: top-k entities by harmonic "
              "centrality (with reachable-set estimates), the graph's "
