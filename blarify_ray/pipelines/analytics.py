@@ -1013,3 +1013,6 @@ from . import analytics_quant  # noqa: E402, F401
 
 # relational-composition / semi-structured battery — same contract
 from . import analytics_rel  # noqa: E402, F401
+
+# decision-support composition battery (Q4/Q17/Q22/Q8 shapes) — same contract
+from . import analytics_tpch  # noqa: E402, F401
