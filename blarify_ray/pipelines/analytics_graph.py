@@ -256,11 +256,55 @@ ORDER BY q_vec_id
 """
 
 
+# --- knn_graph (exact k-NN graph construction) -------------------------------
+
+
+def q_knn_graph(sf_dir: str):
+    """The exact cosine 5-NN graph over the embeddings table —
+    ``(vec_id, nn_id, rank)`` for every vector, self excluded, ties →
+    smaller neighbor id. Engine side = ``ops/similarity.knn_join_exact``
+    (one broadcast of the corpus matrix + one matmul per batch);
+    ``knn_graph_ivf`` is the no-broadcast bucketed scale path, verified
+    against this exact output by recall tests."""
+    import os as _os
+
+    import pandas as _pd
+    import ray.data as _rd
+
+    from ..ops.similarity import knn_join_exact
+
+    emb = _rd.read_parquet(
+        _os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    out = knn_join_exact(emb, k=5).to_pandas()
+    return _pd.DataFrame(
+        {
+            "vec_id": out["vec_id"].astype("int64"),
+            "nn_id": out["nn_id"].astype("int64"),
+            "rank": out["rank"].astype("int64"),
+        }
+    )
+
+
+SQL_KNN_GRAPH = """
+WITH s AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS nn_id,
+         list_cosine_similarity(a.embedding, b.embedding) AS sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+r AS (SELECT vec_id, nn_id,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY sim DESC, nn_id) - 1 AS rank
+      FROM s)
+SELECT vec_id, nn_id, CAST(rank AS BIGINT) AS rank FROM r WHERE rank < 5
+"""
+
+
 QUERIES_GRAPH = {
     "copurchase_triangles": q_copurchase_triangles,
     "repeat_buyers": q_repeat_buyers,
     "orders_status_pivot": q_orders_status_pivot,
     "vector_range_count": q_vector_range_count,
+    "knn_graph": q_knn_graph,
 }
 
 ORACLE_SQL_GRAPH = {
@@ -268,6 +312,7 @@ ORACLE_SQL_GRAPH = {
     "repeat_buyers": SQL_REPEAT_BUYERS,
     "orders_status_pivot": SQL_ORDERS_STATUS_PIVOT,
     "vector_range_count": SQL_VECTOR_RANGE,
+    "knn_graph": SQL_KNN_GRAPH,
 }
 
 from .analytics import ORACLE_SQL as _MAIN_SQL  # noqa: E402

@@ -316,6 +316,24 @@ def q_doc_length_quantiles(sf_dir: str):
     )
 
 
+
+
+def q_knn_graph_ivf(sf_dir: str):
+    """Approximate k-NN graph via IVF bucketing — the no-broadcast
+    100-TB path (see ``ops/similarity.knn_graph_ivf``): each vector
+    moves 1+nprobe times through ONE cell-keyed exchange, each cell
+    runs a local matmul, a k-scale query-keyed exchange merges. Recall
+    vs the exact graph is pytest-checked (no SQL oracle — approximate
+    by design)."""
+    from ..ops.similarity import knn_graph_ivf
+
+    emb = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    return knn_graph_ivf(emb, k=5, n_centroids=16, nprobe=6).select_columns(
+        ["vec_id", "nn_id", "rank"]
+    )
+
 QUERIES = {
     "media_features": q_media_features,
     "approx_distinct_users": q_approx_distinct_users,
@@ -326,6 +344,7 @@ QUERIES = {
     "quality_docs": q_quality_docs,
     "fingerprints_docs": q_fingerprints_docs,
     "vector_topk_ivf": q_vector_topk_ivf,
+    "knn_graph_ivf": q_knn_graph_ivf,
     "embedding_near_dup": q_embedding_near_dup,
     "doc_length_quantiles": q_doc_length_quantiles,
     "lm_perplexity_docs": q_lm_perplexity_docs,
