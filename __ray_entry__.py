@@ -211,6 +211,18 @@ def _q_kg_centrality(sf_dir: str):
     return top_harmonic(_kg_paths(sf_dir), k=20)
 
 
+def _q_kg_trends(sf_dir: str):
+    from blarify_ray.pipelines.graph_analytics import entity_trends
+
+    return entity_trends(_kg_paths(sf_dir))
+
+
+def _q_kg_walks(sf_dir: str):
+    from blarify_ray.pipelines.graph_analytics import random_walks
+
+    return random_walks(_kg_paths(sf_dir), walk_len=6, walks_per_node=1)
+
+
 def _q_kg_skeleton_tree(sf_dir: str):
     import pandas as pd
 
@@ -256,6 +268,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_communities": _q_kg_communities,
         "kg_centrality": _q_kg_centrality,
         "kg_pattern": _q_kg_pattern,
+        "kg_trends": _q_kg_trends,
+        "kg_walks": _q_kg_walks,
     }
     q.update(kg)
     for name, fn in analytics.QUERIES.items():

@@ -768,3 +768,366 @@ def distance_distribution(
         return rounds.assign(frac=pd.Series([], dtype="float64"))
     final = float(rounds["total_reached"].iloc[-1]) or 1.0
     return rounds.assign(frac=rounds["total_reached"] / final)
+
+
+# --- temporal mention trends -------------------------------------------------
+
+
+def mention_trends(
+    mentions: ray.data.Dataset,
+    docs: ray.data.Dataset,
+    window_us: int = 7 * 86_400_000_000,
+    min_count: int = 3,
+    z: float = 2.0,
+    partitions: int = 64,
+) -> ray.data.Dataset:
+    """Per-entity mention counts over crawl-time windows with burst
+    flags → ``Dataset[(etype, key, win_start, n_mentions, is_burst)]``.
+
+    A window is a burst when its count is ≥ ``min_count`` AND exceeds
+    its entity's LEAVE-ONE-OUT baseline by ``z`` population standard
+    deviations (mean/std over the entity's OTHER observed windows — a
+    spike must not inflate its own baseline; single-window entities
+    have no baseline and never burst). Deterministic: exact integer
+    sums feed the float moments. The trending-entity view a KG
+    timeline needs; spec shared by the KG wrapper ``entity_trends``.
+
+    Scale shape: ONE url-keyed attach stamps each resolved mention with
+    its page's crawl timestamp (docs are unique per url after
+    latest-crawl dedup); per-batch (entity, window) count partials then
+    ONE entity-keyed exchange where each entity's full series lands in
+    one partition and the burst stats vectorize per group."""
+    from ..ops.joins import copartition_attach
+    from ..util import compact_nonempty
+
+    m = mentions.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {
+                "url": t.filter(t["resolved"])["url"],
+                "etype": t.filter(t["resolved"])["etype"],
+                "key": t.filter(t["resolved"])["key"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    d = docs.map_batches(
+        lambda t: pa.Table.from_pydict({"url": t["url"], "warc_ts": t["warc_ts"]}),
+        batch_format="pyarrow",
+    )
+    stamped = copartition_attach(
+        m, d, "url", "url", {"warc_ts": "ts"}, partitions=partitions, how="inner"
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ts = pd.to_datetime(df["ts"]).astype("int64").to_numpy()
+        win = (ts // window_us) * window_us
+        g = (
+            pd.DataFrame({"etype": df["etype"], "key": df["key"], "win": win})
+            .groupby(["etype", "key", "win"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        g["_pkey"] = (
+            pd.util.hash_array((g["etype"] + "\x1f" + g["key"]).to_numpy(dtype=object))
+            % partitions
+        ).astype("int32")
+        return g
+
+    def burst(g: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            g.groupby(["etype", "key", "win"], sort=False)["n"].sum().reset_index()
+        )
+        g = g.sort_values(["etype", "key", "win"], kind="mergesort")
+        grp = g.assign(sq=g["n"].astype("int64") ** 2).groupby(
+            ["etype", "key"], sort=False
+        )
+        m = grp["n"].transform("size").to_numpy(np.int64)
+        s = grp["n"].transform("sum").to_numpy(np.int64)
+        s2 = grp["sq"].transform("sum").to_numpy(np.int64)
+        n = g["n"].to_numpy(np.int64)
+        # leave-one-out moments over the entity's OTHER windows
+        denom = np.maximum(m - 1, 1)
+        loo_mean = (s - n) / denom
+        loo_var = np.maximum((s2 - n * n) / denom - loo_mean * loo_mean, 0.0)
+        loo_std = np.sqrt(loo_var)
+        return pd.DataFrame(
+            {
+                "etype": g["etype"].astype(str),
+                "key": g["key"].astype(str),
+                "win_start": g["win"].to_numpy(np.int64),
+                "n_mentions": n,
+                "is_burst": (m > 1)
+                & (n >= min_count)
+                & (n > loo_mean + z * loo_std),
+            }
+        )
+
+    return compact_nonempty(
+        stamped.map_batches(partial, batch_format="pandas")
+        .groupby("_pkey")
+        .map_groups(burst, batch_format="pandas")
+    )
+
+
+def entity_trends(
+    paths: dict[str, str],
+    window_us: int = 7 * 86_400_000_000,
+    min_count: int = 3,
+    z: float = 2.0,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+) -> ray.data.Dataset:
+    """KG wrapper for ``mention_trends``: stamps each (etype, key)
+    series row with its env-prefixed ``entity_id`` (vocabulary-scale
+    memoized md5)."""
+    from ..ids import entity_id
+
+    mentions = read_stage(
+        paths["mentions"], columns=["url", "etype", "key", "resolved"]
+    )
+    docs = read_stage(paths["docs"], columns=["url", "warc_ts"])
+    out = mention_trends(
+        mentions, docs, window_us=window_us, min_count=min_count, z=z,
+        partitions=cfg.agg_partitions,
+    )
+
+    def add_id(df: pd.DataFrame, _env=cfg.env) -> pd.DataFrame:
+        df = df.copy()
+        df["entity_id"] = [
+            entity_id(_env, et, k) for et, k in zip(df["etype"], df["key"])
+        ]
+        return df
+
+    return out.map_batches(add_id, batch_format="pandas")
+
+
+# --- deterministic random-walk corpus ----------------------------------------
+
+_RW_SEP = "\x1e"
+
+
+def _rw_choice_hash(starts, wnos, step: int, curs) -> np.ndarray:
+    """Deterministic per-row choice hash — shared by both tiers so the
+    walks are bit-identical regardless of execution shape."""
+    key = (
+        pd.Series(starts, dtype=object)
+        + "|" + pd.Series(wnos).astype(str).to_numpy(dtype=object)
+        + "|" + str(step)
+        + "|" + pd.Series(curs, dtype=object)
+    )
+    return pd.util.hash_array(key.to_numpy(dtype=object))
+
+
+def random_walks(
+    paths: dict[str, str],
+    walk_len: int = 8,
+    walks_per_node: int = 2,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+) -> ray.data.Dataset:
+    """DeepWalk/node2vec-style training corpus: ``walks_per_node``
+    deterministic walks from EVERY entity over the directed KG →
+    ``Dataset[(start_id, walk_no, step, node_id)]`` (step 0 = start;
+    walks stop early at dead ends).
+
+    Spec (both tiers, bit-identical): successors of a node are its
+    DISTINCT out-neighbors in lexicographic order; the hop taken at
+    step ``t`` is ``hash(start|walk_no|t|cur) % deg(cur)`` with the
+    engine's fixed-key routing hash — pseudo-uniform, reproducible
+    across runs, tiers and parallelism, and requiring no RNG state.
+
+    Size-tiered on ``cfg.workflows_driver_max_edges``: below, the
+    flattened adjacency (values + offsets) lives on the driver and each
+    round is one vectorized gather; above, each round attaches the
+    encoded successor list with ONE co-partitioned lookup join and the
+    gather runs per batch over Arrow list offsets — walk-state rows
+    (n·walks_per_node) are the only iterating dataset, step rows emit
+    incrementally (never a trail column)."""
+    edges = read_stage(paths["edges"], columns=["src_id", "dst_id"])
+    ents = read_stage(paths["entities"], columns=["entity_id"])
+    if edges.count() <= cfg.workflows_driver_max_edges:
+        return _rw_driver(edges, ents, walk_len, walks_per_node)
+    return _rw_distributed(edges, ents, walk_len, walks_per_node, cfg)
+
+
+def _rw_empty() -> pa.Table:
+    return pa.Table.from_pydict(
+        {
+            "start_id": pa.array([], pa.string()),
+            "walk_no": pa.array([], pa.int32()),
+            "step": pa.array([], pa.int32()),
+            "node_id": pa.array([], pa.string()),
+        }
+    )
+
+
+def _rw_table(starts, wnos, steps, nodes) -> pa.Table:
+    return pa.Table.from_pydict(
+        {
+            "start_id": pa.array(list(starts), pa.string()),
+            "walk_no": pa.array(np.asarray(wnos, np.int32)),
+            "step": pa.array(np.asarray(steps, np.int32)),
+            "node_id": pa.array(list(nodes), pa.string()),
+        }
+    )
+
+
+def _rw_driver(
+    edges: ray.data.Dataset, ents: ray.data.Dataset, walk_len: int, wpn: int
+) -> ray.data.Dataset:
+    ids = np.array(sorted(r["entity_id"] for r in ents.take_all()), dtype=object)
+    if len(ids) == 0:
+        return ray.data.from_arrow(_rw_empty())
+    er = edges.take_all()
+    if er:
+        dfp = (
+            pd.DataFrame(
+                {"s": [r["src_id"] for r in er], "d": [r["dst_id"] for r in er]}
+            )
+            .drop_duplicates()
+            .sort_values(["s", "d"], kind="mergesort")
+        )
+        srcs = dfp["s"].to_numpy(dtype=object)
+        dsts = dfp["d"].to_numpy(dtype=object)
+    else:
+        srcs = np.empty(0, object)
+        dsts = np.empty(0, object)
+    # flattened adjacency: distinct (src, dst) sorted → values + offsets
+    uniq_src, counts = np.unique(srcs, return_counts=True)
+    offsets = np.r_[0, np.cumsum(counts)]
+    tables = []
+    starts = np.repeat(ids, wpn)
+    wnos = np.tile(np.arange(wpn, dtype=np.int32), len(ids))
+    curs = starts.copy()
+    tables.append(_rw_table(starts, wnos, np.zeros(len(starts), np.int32), curs))
+    for t in range(1, walk_len + 1):
+        if len(curs) == 0:
+            break
+        pos = np.searchsorted(uniq_src, curs)
+        pos_c = np.clip(pos, 0, max(len(uniq_src) - 1, 0))
+        alive = (
+            (len(uniq_src) > 0)
+            & (pos < len(uniq_src))
+            & (uniq_src[pos_c] == curs)
+        ) if len(uniq_src) else np.zeros(len(curs), bool)
+        starts, wnos, curs, pos = starts[alive], wnos[alive], curs[alive], pos[alive]
+        if len(curs) == 0:
+            break
+        deg = offsets[pos + 1] - offsets[pos]
+        idx = (_rw_choice_hash(starts, wnos, t, curs) % deg.astype(np.uint64)).astype(
+            np.int64
+        )
+        curs = dsts[offsets[pos] + idx]
+        tables.append(_rw_table(starts, wnos, np.full(len(curs), t, np.int32), curs))
+    return ray.data.from_arrow(pa.concat_tables(tables))
+
+
+def _rw_distributed(
+    edges: ray.data.Dataset,
+    ents: ray.data.Dataset,
+    walk_len: int,
+    wpn: int,
+    cfg: PipelineConfig,
+) -> ray.data.Dataset:
+    from ..ops.joins import copartition_attach
+
+    parts = _edge_parts(edges.count(), cfg)
+
+    def adj_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.drop_duplicates(["src_id", "dst_id"]).copy()
+        g["_pkey"] = (
+            pd.util.hash_array(g["src_id"].to_numpy(dtype=object)) % parts
+        ).astype("int32")
+        return g
+
+    def adj_merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["src_id", "dst_id"]).sort_values(
+            ["src_id", "dst_id"], kind="mergesort"
+        )
+        enc = g.groupby("src_id", sort=True)["dst_id"].agg(_RW_SEP.join)
+        return pd.DataFrame({"src": enc.index.to_numpy(), "succ": enc.to_numpy()})
+
+    adj = compact_nonempty(
+        edges.map_batches(adj_partial, batch_format="pandas")
+        .groupby("_pkey")
+        .map_groups(adj_merge, batch_format="pandas")
+    )
+
+    def init_state(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["entity_id"].to_numpy(dtype=object)
+        return pd.DataFrame(
+            {
+                "start_id": np.repeat(ids, wpn),
+                "walk_no": np.tile(np.arange(wpn, dtype=np.int32), len(ids)),
+                "cur": np.repeat(ids, wpn),
+            }
+        )
+
+    state = ents.map_batches(init_state, batch_format="pandas").materialize()
+    emitted = [
+        state.map_batches(
+            lambda df: pd.DataFrame(
+                {
+                    "start_id": df["start_id"],
+                    "walk_no": df["walk_no"].astype("int32"),
+                    "step": np.zeros(len(df), np.int32),
+                    "node_id": df["cur"],
+                }
+            ),
+            batch_format="pandas",
+        )
+    ]
+    for t in range(1, walk_len + 1):
+        if state.count() == 0:
+            break
+        hits = compact_nonempty(
+            copartition_attach(
+                state, adj, "cur", "src", {"succ": "succ"},
+                partitions=parts, how="inner",
+            )
+        )
+        if hits.count() == 0:
+            break
+
+        def hop(df: pd.DataFrame, _t=t) -> pd.DataFrame:
+            succ = pa.array(df["succ"].to_numpy(dtype=object), pa.string())
+            lists = pc.split_pattern(succ, _RW_SEP)
+            offs = np.asarray(lists.offsets, np.int64)
+            vals = np.asarray(lists.values.to_pandas(), dtype=object)
+            deg = offs[1:] - offs[:-1]
+            idx = (
+                _rw_choice_hash(
+                    df["start_id"].to_numpy(dtype=object),
+                    df["walk_no"].to_numpy(),
+                    _t,
+                    df["cur"].to_numpy(dtype=object),
+                )
+                % deg.astype(np.uint64)
+            ).astype(np.int64)
+            nxt = vals[offs[:-1] + idx]
+            return pd.DataFrame(
+                {
+                    "start_id": df["start_id"],
+                    "walk_no": df["walk_no"].astype("int32"),
+                    "cur": nxt,
+                }
+            )
+
+        state = compact_nonempty(
+            hits.map_batches(hop, batch_format="pandas")
+        ).materialize()
+        emitted.append(
+            state.map_batches(
+                lambda df, _t=t: pd.DataFrame(
+                    {
+                        "start_id": df["start_id"],
+                        "walk_no": df["walk_no"].astype("int32"),
+                        "step": np.full(len(df), _t, np.int32),
+                        "node_id": df["cur"],
+                    }
+                ),
+                batch_format="pandas",
+            )
+        )
+    out = emitted[0]
+    for e in emitted[1:]:
+        out = out.union(e)
+    return out

@@ -197,6 +197,15 @@ def _t_match_pattern(
     ).take_all()
 
 
+def _t_trending(paths: dict[str, str], k: int = 10) -> list[dict]:
+    from .pipelines.graph_analytics import entity_trends
+
+    rows = entity_trends(paths).take_all()
+    bursts = [r for r in rows if r["is_burst"]]
+    bursts.sort(key=lambda r: (-r["n_mentions"], r["entity_id"], r["win_start"]))
+    return bursts[:k]
+
+
 def _t_centrality(paths: dict[str, str], k: int = 10) -> dict:
     from .ops.hyperball import effective_diameter
     from .pipelines.graph_analytics import distance_distribution, top_harmonic
@@ -315,6 +324,12 @@ TOOLS: dict[str, Tool] = {
               "distinct_nodes": {"type": "boolean", "default": False},
               "offset": {"type": "integer", "default": 0},
               "limit": {"type": "integer", "default": 50}}),
+        Tool("get_trending_entities",
+             "Bursting entities on the crawl timeline: windows where an "
+             "entity's mention count exceeds its leave-one-out baseline "
+             "by 2 standard deviations, largest spikes first",
+             _t_trending,
+             {"k": _K}),
         Tool("get_centrality",
              "HyperBall distance analytics: top-k entities by harmonic "
              "centrality (with reachable-set estimates), the graph's "
