@@ -99,6 +99,15 @@ def test_tool_registry_and_calls(built):
     assert gs["n_edges"] > 0 and gs["n_wedges"] >= gs["n_triangles"] * 3
     assert 0.0 <= gs["global_clustering"] <= 1.0
     assert 0 <= gs["k_core_size"]
+    cen = call_tool(built, "get_centrality", {"k": 5})
+    assert cen["top_harmonic"] and cen["effective_diameter"] >= 1
+    hs = [r["harmonic"] for r in cen["top_harmonic"]]
+    assert hs == sorted(hs, reverse=True)
+    assert cen["distance_distribution"][-1]["frac"] == pytest.approx(1.0)
+    pat = call_tool(built, "match_pattern", {"steps": [{}, {}], "limit": 5})
+    assert 0 < len(pat) <= 5 and set(pat[0]) == {"n0", "p1", "n1", "p2", "n2"}
+    trend = call_tool(built, "get_trending_entities", {"k": 5})
+    assert all(t["is_burst"] for t in trend)  # may be empty on uniform data
     with pytest.raises(KeyError):
         call_tool(built, "no_such_tool")
     assert set(TOOLS) == {s["name"] for s in specs}
