@@ -3,6 +3,7 @@ reference's example-based style: the extraction/normalization functions
 must be total (never raise) and deterministic on arbitrary input."""
 
 import numpy as np
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -104,3 +105,144 @@ def test_min_label_components_equals_union_find(pairs):
         uf.union(str(a).zfill(4), str(b).zfill(4))  # zero-pad: int order == lex order
     want = {int(n): int(uf.find(str(n).zfill(4))) for n in got}
     assert got == want
+
+
+# --- sketch-family and kernel properties (round-4 additions) -----------------
+
+
+@given(
+    st.lists(st.floats(min_value=-1e6, max_value=1e6, allow_nan=False), min_size=1, max_size=400),
+    st.integers(min_value=0, max_value=3),
+)
+@settings(max_examples=40, deadline=None)
+def test_quantile_sketch_weight_exact_and_rank_bound(vals, split_seed):
+    from blarify_ray.ops.sketches import QuantileSketch
+
+    arr = np.array(vals, dtype=np.float64)
+    # arbitrary split into two sketches + merge must preserve EXACT weight
+    cut = (split_seed * len(arr)) // 4
+    a, b = QuantileSketch(k=32), QuantileSketch(k=32)
+    if cut:
+        a.add(arr[:cut])
+    if len(arr) - cut:
+        b.add(arr[cut:])
+    m = a.merge(b)
+    assert m.total_weight() == len(arr)
+    # quantile answers stay inside the value range and are monotone in q
+    qs = [m.quantile(q) for q in (0.0, 0.25, 0.5, 0.75, 1.0)]
+    assert all(arr.min() <= q <= arr.max() for q in qs)
+    assert qs == sorted(qs)
+
+
+@given(
+    st.lists(st.text(alphabet="abcde", min_size=1, max_size=3), min_size=1, max_size=300)
+)
+@settings(max_examples=40, deadline=None)
+def test_hll_merge_commutes_and_bounds(items):
+    from blarify_ray.ops.sketches import HLL, _hash64
+
+    h1, h2, hall = HLL(b=10), HLL(b=10), HLL(b=10)
+    cut = len(items) // 2
+    if items[:cut]:
+        h1.add_hashes(_hash64(items[:cut]))
+    if items[cut:]:
+        h2.add_hashes(_hash64(items[cut:]))
+    hall.add_hashes(_hash64(items))
+    m12 = h1.merge(h2)
+    m21 = h2.merge(h1)
+    assert (m12.reg == m21.reg).all()  # merge commutes exactly
+    assert (m12.reg == hall.reg).all()  # split+merge ≡ bulk (register max)
+    true = len(set(items))
+    assert m12.estimate() == pytest.approx(true, rel=0.25, abs=2.0)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(1, 50)), min_size=1, max_size=200
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_misra_gries_guarantee(pairs):
+    from blarify_ray.ops.sketches import HeavyHitters
+
+    hh = HeavyHitters(k=8)
+    for w, n in pairs:
+        hh.add_counts([f"w{w}"], [n])
+    true: dict = {}
+    for w, n in pairs:
+        true[f"w{w}"] = true.get(f"w{w}", 0) + n
+    n_total = sum(true.values())
+    # every item above n/k survives; kept counts undercount by ≤ err
+    for w, c in true.items():
+        if c > n_total / 8:
+            assert w in hh.counts
+    for w, kept in hh.counts.items():
+        assert kept <= true[w]
+        assert true[w] - kept <= hh.err
+
+
+@given(
+    st.lists(st.text(alphabet="xyz123", min_size=1, max_size=6), min_size=1, max_size=64)
+)
+@settings(max_examples=30, deadline=None)
+def test_hyperball_row_estimate_equals_hll(ids):
+    """ops/hyperball's vectorized row-estimate and init must agree with
+    the scalar HLL on the same registers — two implementations of one
+    formula that must never drift."""
+    from blarify_ray.ops.hyperball import _est_rows, _init_regs
+    from blarify_ray.ops.sketches import HLL
+
+    regs = _init_regs(np.array(sorted(set(ids)), dtype=object), b=8)
+    merged = regs.max(axis=0)  # union of all the single-element counters
+    row_est = _est_rows(merged[None, :])[0]
+    assert row_est == HLL(b=8, registers=merged.astype(np.uint8)).estimate()
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 40), st.integers(-50, 50)),
+        min_size=1,
+        max_size=300,
+    ),
+    st.integers(1, 6),
+)
+@settings(max_examples=40, deadline=None)
+def test_knn_topk_rows_matches_sort(rows, k):
+    from blarify_ray.ops.similarity import _topk_rows
+
+    qids = np.array([q for q, _, _ in rows], np.int64)
+    nids = np.array([n for _, n, _ in rows], np.int64)
+    sims = np.array([s for _, _, s in rows], np.float64)
+    q2, n2, r2, s2 = _topk_rows(qids, nids, sims, k)
+    got = sorted(zip(q2, n2, r2, s2))
+    want = []
+    for q in sorted(set(qids)):
+        cand = sorted(
+            [(n, s) for qq, n, s in zip(qids, nids, sims) if qq == q],
+            key=lambda t: (-t[1], t[0]),
+        )[:k]
+        want += [(q, n, r, s) for r, (n, s) in enumerate(cand)]
+    assert got == sorted(want)
+
+
+@given(st.lists(st.integers(-10**9, 10**9), min_size=1, max_size=200))
+@settings(max_examples=40, deadline=None)
+def test_round_half_away_matches_decimal(cents):
+    """_round_half_away must equal decimal ROUND_HALF_UP on exact .5
+    inputs of either sign — the DuckDB ROUND contract the oracle money
+    columns rely on."""
+    import decimal
+
+    from blarify_ray.pipelines.analytics import _round_half_away
+
+    v = np.array(cents, np.float64) / 2.0  # exact halves and integers
+    got = _round_half_away(v)
+    want = [
+        int(
+            decimal.Decimal(x).quantize(
+                decimal.Decimal("1"), rounding=decimal.ROUND_HALF_UP
+            )
+        )
+        for x in v
+    ]
+    assert got.tolist() == want
