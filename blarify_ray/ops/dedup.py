@@ -566,3 +566,182 @@ def ngram_span_dups(
         .groupby("_pkey")
         .map_groups(dups, batch_format="pandas")
     )
+
+
+# --- exact set-similarity join (prefix-filtered) -----------------------------
+
+
+def jaccard_pair_join(
+    ds: ray.data.Dataset,
+    text_col: str,
+    id_col: str,
+    tau: float = 0.5,
+    shingle_words: int = 4,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    partitions: int = 64,
+) -> ray.data.Dataset:
+    """EXACT all-pairs set-similarity join: every document pair whose
+    word-``shingle_words``-gram sets have Jaccard ≥ ``tau`` →
+    ``ds[(d1, d2, jaccard)]`` with ``d1 < d2`` — the exact tier of the
+    dedup family (``minhash_near_dup`` is the probabilistic sibling;
+    this one misses NOTHING and is DuckDB-oracle-checkable).
+
+    Prefix filtering (Chaudhuri/Bayardo all-pairs, public) keeps it off
+    the naive Σ df² cliff: one gram-keyed exchange annotates each
+    (doc, gram) row with the gram's document frequency; one doc-keyed
+    exchange sorts each doc's grams by (df, gram) and flags the first
+    ``m − ⌈τ·m⌉ + 1`` as the doc's PREFIX (a τ-similar pair must share
+    a gram lying in at least one side's prefix — pigeonhole on the
+    common order); one more gram-keyed exchange emits probe×index
+    candidates where only prefix rows are indexed — globally frequent
+    grams sort LAST, so hot grams index (almost) nothing and the
+    quadratic blowup never happens. Candidates dedupe on a pair-keyed
+    exchange and verify EXACTLY on fetched texts via the size-tiered
+    ``items_for_candidates`` + ``attach_pair_payload`` machinery. The
+    Jaccard output divides two exact ints (bit-deterministic double)."""
+    import pandas as pd
+
+    rows = ds.map_batches(
+        lambda t: _shingle_rows(t, text_col, id_col, shingle_words),
+        batch_format="pyarrow",
+    )
+
+    def route_gram(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy(deep=False)
+        df["_pkey"] = (
+            pd.util.hash_array(df["gram"].to_numpy(dtype=object)) % partitions
+        ).astype("int32")
+        return df
+
+    def annotate_df(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["id", "gram"])
+        g = g.assign(df=g.groupby("gram", sort=False)["id"].transform("size"))
+        return g[["id", "gram", "df"]]
+
+    with_df = rows.map_batches(route_gram, batch_format="pandas").groupby(
+        "_pkey"
+    ).map_groups(annotate_df, batch_format="pandas")
+
+    def route_doc(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy(deep=False)
+        df["_pkey"] = (df["id"].to_numpy(np.int64) % partitions).astype("int32")
+        return df
+
+    def flag_prefix(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["id", "df", "gram"], kind="mergesort")
+        m = g.groupby("id", sort=False)["gram"].transform("size").to_numpy(np.int64)
+        pos = g.groupby("id", sort=False).cumcount().to_numpy(np.int64)
+        plen = m - np.ceil(tau * m).astype(np.int64) + 1
+        return pd.DataFrame(
+            {
+                "id": g["id"].to_numpy(np.int64),
+                "gram": g["gram"],
+                "m": m,
+                "pfx": (pos < plen).astype(np.int8),
+            }
+        )
+
+    flagged = with_df.map_batches(route_doc, batch_format="pandas").groupby(
+        "_pkey"
+    ).map_groups(flag_prefix, batch_format="pandas")
+
+    def gram_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        outs_a, outs_b = [], []
+        for _, sub in g.groupby("gram", sort=False):
+            idx = sub.loc[sub["pfx"] == 1, "id"].to_numpy(np.int64)
+            if len(idx) == 0:
+                continue
+            probe = sub["id"].to_numpy(np.int64)
+            a = np.repeat(probe, len(idx))
+            b = np.tile(idx, len(probe))
+            keep = a != b
+            a, b = a[keep], b[keep]
+            lo, hi = np.minimum(a, b), np.maximum(a, b)
+            outs_a.append(lo)
+            outs_b.append(hi)
+        if not outs_a:
+            return pd.DataFrame(
+                {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")}
+            )
+        out = pd.DataFrame(
+            {"a": np.concatenate(outs_a), "b": np.concatenate(outs_b)}
+        ).drop_duplicates()
+        return out
+
+    cand_raw = (
+        flagged.map_batches(route_gram, batch_format="pandas")
+        .groupby("_pkey")
+        .map_groups(gram_pairs, batch_format="pandas")
+    )
+
+    def route_pair(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy(deep=False)
+        df["_pkey"] = (
+            ((df["a"].to_numpy(np.int64) * 1_000_003) ^ df["b"].to_numpy(np.int64))
+            % partitions
+        ).astype("int32")
+        return df
+
+    from ..util import compact_nonempty
+
+    cand = compact_nonempty(
+        cand_raw.map_batches(route_pair, batch_format="pandas")
+        .groupby("_pkey")
+        .map_groups(lambda g: g.drop_duplicates(["a", "b"])[["a", "b"]],
+                    batch_format="pandas")
+    ).materialize()
+
+    empty = pa.Table.from_pydict(
+        {
+            "d1": pa.array([], pa.int64()),
+            "d2": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64()),
+        }
+    )
+    if cand.count() == 0:
+        return ray.data.from_arrow(empty)
+
+    texts = items_for_candidates(ds, cand, id_col, [id_col, text_col], cfg)
+    enriched = attach_pair_payload(cand, texts, id_col, text_col)
+
+    def _grams(txt: str) -> set[str]:
+        # MUST match _shingle_rows / the SQL oracle exactly: split on
+        # single space (empties kept), no short-doc special case
+        w = (txt or "").split(" ")
+        return {" ".join(w[j : j + shingle_words]) for j in range(len(w) - shingle_words + 1)}
+
+    def verify(t: pa.Table) -> pa.Table:
+        d1, d2, jac = [], [], []
+        for a, b, ta, tb in zip(
+            t["a"].to_pylist(), t["b"].to_pylist(),
+            t["_pa"].to_pylist(), t["_pb"].to_pylist(),
+        ):
+            sa = _grams(ta)
+            sb = _grams(tb)
+            inter = len(sa & sb)
+            union = len(sa) + len(sb) - inter
+            if union and inter / union >= tau:
+                d1.append(a)
+                d2.append(b)
+                jac.append(inter / union)
+        return pa.Table.from_pydict(
+            {"d1": d1, "d2": d2, "jaccard": jac}, schema=empty.schema
+        )
+
+    return enriched.map_batches(verify, batch_format="pyarrow")
+
+
+def _shingle_rows(
+    t: pa.Table, text_col: str, id_col: str, k: int
+) -> pa.Table:
+    """(id, gram) distinct rows per batch — word k-gram shingles with the
+    SQL-parity tokenization (split on single space, empties kept)."""
+    ids, grams = [], []
+    for i, txt in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+        w = (txt or "").split(" ")
+        for g in {" ".join(w[j : j + k]) for j in range(len(w) - k + 1)}:
+            ids.append(i)
+            grams.append(g)
+    return pa.Table.from_pydict(
+        {"id": pa.array(ids, pa.int64()), "gram": pa.array(grams, pa.string())}
+    )

@@ -255,16 +255,61 @@ GROUP BY user_id HAVING COUNT(*) >= 2
 """
 
 
+# --- near_dup_pairs_exact (exact prefix-filtered set-similarity join) --------
+
+
+def q_near_dup_pairs_exact(sf_dir: str):
+    """Every document pair with word-4-gram Jaccard ≥ 0.5 →
+    ``(d1, d2, jaccard)`` — the EXACT dedup tier
+    (``ops/dedup.jaccard_pair_join``: df-ordered prefix filtering keeps
+    hot grams out of the index, so the quadratic candidate blowup never
+    happens; candidates verify on fetched texts via the size-tiered
+    fetch machinery). ``minhash_dedup_docs`` is the probabilistic
+    sibling; this one is oracle-checked against DuckDB's naive
+    shared-gram join."""
+    import os as _os
+
+    import ray.data as _rd
+
+    from ..ops.dedup import jaccard_pair_join
+
+    docs = _rd.read_parquet(
+        _os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return jaccard_pair_join(docs, "text", "doc_id", tau=0.5, shingle_words=4)
+
+
+SQL_NEAR_DUP_PAIRS = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT doc_id, array_to_string(w[i.i:i.i+3], ' ') AS gram
+  FROM toks CROSS JOIN (SELECT unnest(generate_series(1, 200)) AS i) i
+  WHERE i.i <= len(w) - 3),
+shd AS (SELECT DISTINCT doc_id, gram FROM sh),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS ix
+  FROM shd a JOIN shd b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT d1, d2, ix * 1.0 / (s1.n + s2.n - ix) AS jaccard
+FROM inter JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+WHERE ix * 1.0 / (s1.n + s2.n - ix) >= 0.5
+"""
+
+
 QUERIES_RANK = {
     "bigram_pmi_top": q_bigram_pmi_top,
     "cross_source_prefix_dups": q_cross_source_prefix_dups,
     "user_event_gaps": q_user_event_gaps,
+    "near_dup_pairs_exact": q_near_dup_pairs_exact,
 }
 
 ORACLE_SQL_RANK = {
     "bigram_pmi_top": SQL_BIGRAM_PMI,
     "cross_source_prefix_dups": SQL_CROSS_SOURCE_PREFIX,
     "user_event_gaps": SQL_USER_EVENT_GAPS,
+    "near_dup_pairs_exact": SQL_NEAR_DUP_PAIRS,
 }
 
 from .analytics import ORACLE_SQL as _MAIN_SQL  # noqa: E402
