@@ -921,6 +921,7 @@ def random_walks(
     paths: dict[str, str],
     walk_len: int = 8,
     walks_per_node: int = 2,
+    weighted: bool = False,
     cfg: PipelineConfig = DEFAULT_CONFIG,
 ) -> ray.data.Dataset:
     """DeepWalk/node2vec-style training corpus: ``walks_per_node``
@@ -933,6 +934,11 @@ def random_walks(
     step ``t`` is ``hash(start|walk_no|t|cur) % deg(cur)`` with the
     engine's fixed-key routing hash — pseudo-uniform, reproducible
     across runs, tiers and parallelism, and requiring no RNG state.
+    ``weighted=True`` draws the hop proportionally to summed int64 edge
+    weights instead: ``r = hash % W(cur)`` lands in the successor whose
+    cumulative-weight interval contains it (exact integer math, same
+    determinism) — weight-biased walks are what node2vec embeds on a
+    weighted KG.
 
     Size-tiered on ``cfg.workflows_driver_max_edges``: below, the
     flattened adjacency (values + offsets) lives on the driver and each
@@ -941,11 +947,11 @@ def random_walks(
     gather runs per batch over Arrow list offsets — walk-state rows
     (n·walks_per_node) are the only iterating dataset, step rows emit
     incrementally (never a trail column)."""
-    edges = read_stage(paths["edges"], columns=["src_id", "dst_id"])
+    edges = read_stage(paths["edges"], columns=["src_id", "dst_id", "weight"])
     ents = read_stage(paths["entities"], columns=["entity_id"])
     if edges.count() <= cfg.workflows_driver_max_edges:
-        return _rw_driver(edges, ents, walk_len, walks_per_node)
-    return _rw_distributed(edges, ents, walk_len, walks_per_node, cfg)
+        return _rw_driver(edges, ents, walk_len, walks_per_node, weighted)
+    return _rw_distributed(edges, ents, walk_len, walks_per_node, weighted, cfg)
 
 
 def _rw_empty() -> pa.Table:
@@ -971,7 +977,8 @@ def _rw_table(starts, wnos, steps, nodes) -> pa.Table:
 
 
 def _rw_driver(
-    edges: ray.data.Dataset, ents: ray.data.Dataset, walk_len: int, wpn: int
+    edges: ray.data.Dataset, ents: ray.data.Dataset, walk_len: int, wpn: int,
+    weighted: bool,
 ) -> ray.data.Dataset:
     ids = np.array(sorted(r["entity_id"] for r in ents.take_all()), dtype=object)
     if len(ids) == 0:
@@ -980,16 +987,25 @@ def _rw_driver(
     if er:
         dfp = (
             pd.DataFrame(
-                {"s": [r["src_id"] for r in er], "d": [r["dst_id"] for r in er]}
+                {
+                    "s": [r["src_id"] for r in er],
+                    "d": [r["dst_id"] for r in er],
+                    "w": [r["weight"] for r in er],
+                }
             )
-            .drop_duplicates()
-            .sort_values(["s", "d"], kind="mergesort")
+            .groupby(["s", "d"], sort=True)["w"]
+            .sum()
+            .reset_index()
         )
         srcs = dfp["s"].to_numpy(dtype=object)
         dsts = dfp["d"].to_numpy(dtype=object)
+        wts = dfp["w"].to_numpy(np.int64) if weighted else np.ones(len(dfp), np.int64)
     else:
         srcs = np.empty(0, object)
         dsts = np.empty(0, object)
+        wts = np.empty(0, np.int64)
+    gcw = np.cumsum(wts)
+    gcw0 = np.r_[0, gcw]
     # flattened adjacency: distinct (src, dst) sorted → values + offsets
     uniq_src, counts = np.unique(srcs, return_counts=True)
     offsets = np.r_[0, np.cumsum(counts)]
@@ -1011,11 +1027,12 @@ def _rw_driver(
         starts, wnos, curs, pos = starts[alive], wnos[alive], curs[alive], pos[alive]
         if len(curs) == 0:
             break
-        deg = offsets[pos + 1] - offsets[pos]
-        idx = (_rw_choice_hash(starts, wnos, t, curs) % deg.astype(np.uint64)).astype(
+        base = gcw0[offsets[pos]]
+        tw = gcw0[offsets[pos + 1]] - base
+        r = (_rw_choice_hash(starts, wnos, t, curs) % tw.astype(np.uint64)).astype(
             np.int64
         )
-        curs = dsts[offsets[pos] + idx]
+        curs = dsts[np.searchsorted(gcw, base + r, side="right")]
         tables.append(_rw_table(starts, wnos, np.full(len(curs), t, np.int32), curs))
     return ray.data.from_arrow(pa.concat_tables(tables))
 
@@ -1025,6 +1042,7 @@ def _rw_distributed(
     ents: ray.data.Dataset,
     walk_len: int,
     wpn: int,
+    weighted: bool,
     cfg: PipelineConfig,
 ) -> ray.data.Dataset:
     from ..ops.joins import copartition_attach
@@ -1032,18 +1050,28 @@ def _rw_distributed(
     parts = _edge_parts(edges.count(), cfg)
 
     def adj_partial(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.drop_duplicates(["src_id", "dst_id"]).copy()
+        g = (
+            df.groupby(["src_id", "dst_id"], sort=False)["weight"].sum().reset_index()
+        )
         g["_pkey"] = (
             pd.util.hash_array(g["src_id"].to_numpy(dtype=object)) % parts
         ).astype("int32")
         return g
 
     def adj_merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(["src_id", "dst_id"]).sort_values(
-            ["src_id", "dst_id"], kind="mergesort"
+        g = (
+            g.groupby(["src_id", "dst_id"], sort=False)["weight"]
+            .sum()
+            .reset_index()
+            .sort_values(["src_id", "dst_id"], kind="mergesort")
         )
-        enc = g.groupby("src_id", sort=True)["dst_id"].agg(_RW_SEP.join)
-        return pd.DataFrame({"src": enc.index.to_numpy(), "succ": enc.to_numpy()})
+        w = g["weight"].to_numpy(np.int64) if weighted else np.ones(len(g), np.int64)
+        gg = g.assign(w=w).groupby("src_id", sort=True)
+        enc = gg["dst_id"].agg(_RW_SEP.join)
+        encw = gg["w"].agg(lambda v: _RW_SEP.join(map(str, v)))
+        return pd.DataFrame(
+            {"src": enc.index.to_numpy(), "succ": enc.to_numpy(), "ws": encw.to_numpy()}
+        )
 
     adj = compact_nonempty(
         edges.map_batches(adj_partial, batch_format="pandas")
@@ -1080,7 +1108,7 @@ def _rw_distributed(
             break
         hits = compact_nonempty(
             copartition_attach(
-                state, adj, "cur", "src", {"succ": "succ"},
+                state, adj, "cur", "src", {"succ": "succ", "ws": "ws"},
                 partitions=parts, how="inner",
             )
         )
@@ -1092,17 +1120,24 @@ def _rw_distributed(
             lists = pc.split_pattern(succ, _RW_SEP)
             offs = np.asarray(lists.offsets, np.int64)
             vals = np.asarray(lists.values.to_pandas(), dtype=object)
-            deg = offs[1:] - offs[:-1]
-            idx = (
+            wlists = pc.split_pattern(
+                pa.array(df["ws"].to_numpy(dtype=object), pa.string()), _RW_SEP
+            )
+            w_flat = np.asarray(wlists.values.to_pandas(), dtype=np.int64)
+            gcw = np.cumsum(w_flat)
+            gcw0 = np.r_[0, gcw]
+            base = gcw0[offs[:-1]]
+            tw = gcw0[offs[1:]] - base
+            r = (
                 _rw_choice_hash(
                     df["start_id"].to_numpy(dtype=object),
                     df["walk_no"].to_numpy(),
                     _t,
                     df["cur"].to_numpy(dtype=object),
                 )
-                % deg.astype(np.uint64)
+                % tw.astype(np.uint64)
             ).astype(np.int64)
-            nxt = vals[offs[:-1] + idx]
+            nxt = vals[np.searchsorted(gcw, base + r, side="right")]
             return pd.DataFrame(
                 {
                     "start_id": df["start_id"],

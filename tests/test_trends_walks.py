@@ -145,3 +145,66 @@ def test_random_walks_forced_tier_bit_parity(built):
     b = random_walks(built, walk_len=4, walks_per_node=2, cfg=FORCED).take_all()
     key = lambda r: (r["start_id"], r["walk_no"], r["step"], r["node_id"])
     assert sorted(map(key, a)) == sorted(map(key, b))
+
+
+def _fake_graph_paths(tmpdir, edges, nodes):
+    import os
+
+    import pyarrow.parquet as pq
+
+    ed = os.path.join(tmpdir, "edges")
+    en = os.path.join(tmpdir, "entities")
+    os.makedirs(ed, exist_ok=True)
+    os.makedirs(en, exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "src_id": [a for a, _, _ in edges],
+                "dst_id": [b for _, b, _ in edges],
+                "weight": pa.array([w for _, _, w in edges], pa.int64()),
+            }
+        ),
+        os.path.join(ed, "part0.parquet"),
+    )
+    pq.write_table(
+        pa.table({"entity_id": nodes}), os.path.join(en, "part0.parquet")
+    )
+    return {"edges": ed, "entities": en}
+
+
+import pyarrow as pa  # noqa: E402
+
+
+def test_weighted_walks_follow_weights(tmp_path):
+    # hub → heavy (weight 99) / light (weight 1): weighted walks should
+    # overwhelmingly pick heavy; unweighted picks ~50/50. Many starts at
+    # the hub via walks_per_node.
+    paths = _fake_graph_paths(
+        str(tmp_path),
+        [("hub", "heavy", 99), ("hub", "light", 1)],
+        ["hub", "heavy", "light"],
+    )
+    out = random_walks(paths, walk_len=1, walks_per_node=200, weighted=True).take_all()
+    step1 = [r["node_id"] for r in out if r["step"] == 1 and r["start_id"] == "hub"]
+    assert len(step1) == 200
+    frac_heavy = sum(1 for n in step1 if n == "heavy") / len(step1)
+    assert frac_heavy >= 0.95
+    un = random_walks(paths, walk_len=1, walks_per_node=200, weighted=False).take_all()
+    u1 = [r["node_id"] for r in un if r["step"] == 1 and r["start_id"] == "hub"]
+    fu = sum(1 for n in u1 if n == "heavy") / len(u1)
+    assert 0.35 <= fu <= 0.65
+
+
+def test_weighted_walks_forced_tier_parity(tmp_path):
+    paths = _fake_graph_paths(
+        str(tmp_path),
+        [("a", "b", 5), ("a", "c", 3), ("b", "c", 2), ("c", "a", 7), ("b", "a", 1)],
+        ["a", "b", "c"],
+    )
+    x = random_walks(paths, walk_len=6, walks_per_node=3, weighted=True).take_all()
+    y = random_walks(
+        paths, walk_len=6, walks_per_node=3, weighted=True, cfg=FORCED
+    ).take_all()
+    key = lambda r: (r["start_id"], r["walk_no"], r["step"], r["node_id"])
+    assert sorted(map(key, x)) == sorted(map(key, y))
+    assert len(x) == 3 * 3 * 7  # no dead ends: every walk runs full length
