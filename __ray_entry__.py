@@ -211,6 +211,12 @@ def _q_kg_centrality(sf_dir: str):
     return top_harmonic(_kg_paths(sf_dir), k=20)
 
 
+def _q_kg_scc(sf_dir: str):
+    from blarify_ray.pipelines.graph_analytics import scc_sizes
+
+    return scc_sizes(_kg_paths(sf_dir), k=20)
+
+
 def _q_kg_trends(sf_dir: str):
     from blarify_ray.pipelines.graph_analytics import entity_trends
 
@@ -270,6 +276,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pattern": _q_kg_pattern,
         "kg_trends": _q_kg_trends,
         "kg_walks": _q_kg_walks,
+        "kg_scc": _q_kg_scc,
     }
     q.update(kg)
     for name, fn in analytics.QUERIES.items():

@@ -394,3 +394,378 @@ def _k_core_distributed(
     # the stable survivor set IS the k-core's node set (degree recomputed
     # on the final edge set next loop entry confirmed no further drops)
     return survivors.select_columns(["node"])
+
+
+# --- strongly connected components -------------------------------------------
+
+
+def _tarjan_scc(adj: dict, nodes_sorted: list) -> dict:
+    """Iterative Tarjan: node → min-id-of-its-SCC. Exact, driver-side."""
+    index: dict = {}
+    low: dict = {}
+    onstack: set = set()
+    stack: list = []
+    comp: dict = {}
+    counter = 0
+    for root in nodes_sorted:
+        if root in index:
+            continue
+        index[root] = low[root] = counter
+        counter += 1
+        stack.append(root)
+        onstack.add(root)
+        work = [(root, iter(adj.get(root, ())))]
+        while work:
+            v, it = work[-1]
+            advanced = False
+            for w in it:
+                if w not in index:
+                    index[w] = low[w] = counter
+                    counter += 1
+                    stack.append(w)
+                    onstack.add(w)
+                    work.append((w, iter(adj.get(w, ()))))
+                    advanced = True
+                    break
+                elif w in onstack:
+                    if index[w] < low[v]:
+                        low[v] = index[w]
+            if not advanced:
+                work.pop()
+                if work:
+                    u = work[-1][0]
+                    if low[v] < low[u]:
+                        low[u] = low[v]
+                if low[v] == index[v]:
+                    members = []
+                    while True:
+                        w = stack.pop()
+                        onstack.discard(w)
+                        members.append(w)
+                        if w == v:
+                            break
+                    m = min(members)
+                    for w in members:
+                        comp[w] = m
+    return comp
+
+
+def scc(
+    pairs: ray.data.Dataset,
+    nodes: ray.data.Dataset,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    max_rounds: int = 24,
+) -> ray.data.Dataset:
+    """Strongly connected components of the directed graph
+    ``pairs[(x, y)]`` over the node universe ``nodes[(node,)]`` →
+    ``Dataset[(node, scc)]`` where ``scc`` is the minimum node id of
+    the component — the cycle-structure view WCC can't give (every
+    multi-member SCC is a directed cycle region).
+
+    Size-tiered: ≤ ``cfg.graph_driver_max_edges`` edges runs iterative
+    Tarjan on the driver (exact, linear). Above, the classic
+    FORWARD-BACKWARD pivot refinement (Fleischer et al., public): each
+    active block elects its min node as pivot (one block-keyed min
+    exchange), boolean forward- and backward-reachability from all
+    pivots propagate IN PARALLEL across blocks (flag-OR fixpoints —
+    per-block-diameter rounds of one co-partitioned attach + routed
+    merge each), the Fw∩Bw set resolves as the pivot's SCC, and the
+    three remainders (F-only / B-only / neither) refine the block.
+    Outer rounds scale with the condensation's peel depth; a residue
+    still active after ``max_rounds`` (pathological chain-of-SCCs
+    shapes) is finished EXACTLY by pulling the remaining — by then
+    small — subgraph to the driver Tarjan (raises if it exceeds the
+    driver bound instead of silently mislabeling). Both tiers produce
+    identical labels (forced-tier tested)."""
+    n_edges = pairs.count()
+    if nodes.count() == 0:
+        return ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {"node": pa.array([], pa.string()), "scc": pa.array([], pa.string())}
+            )
+        )
+    if n_edges <= cfg.graph_driver_max_edges:
+        ids = sorted(r["node"] for r in nodes.take_all())
+        adj: dict = {}
+        for r in pairs.take_all():
+            adj.setdefault(r["x"], []).append(r["y"])
+        for k in adj:
+            adj[k].sort()
+        comp = _tarjan_scc(adj, ids)
+        return ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "node": pa.array(ids, pa.string()),
+                    "scc": pa.array([comp[v] for v in ids], pa.string()),
+                }
+            )
+        )
+    return _scc_distributed(pairs, nodes, cfg, max_rounds)
+
+
+def _reach_fixpoint(
+    eact: ray.data.Dataset,
+    flags: ray.data.Dataset,
+    src_col: str,
+    dst_col: str,
+    parts: int,
+    inner_cap: int = 64,
+) -> ray.data.Dataset:
+    """Boolean reachability fixpoint: ``flags[(node, f)]`` with f=1 at
+    pivots; propagate f along ``src_col → dst_col`` edges of ``eact``
+    (already restricted to intra-block, active edges) until no flag
+    flips. Per round: one co-partitioned attach of source flags + one
+    dst-routed OR-merge + one left-attach fold."""
+    from ..ops.joins import copartition_attach
+
+    state = flags.materialize()
+    if eact.count() == 0:  # no intra-block edges: flags stay at the seeds
+        return state
+    for _ in range(inner_cap):
+        srcf = state.map_batches(
+            lambda df: df[df["f"] == 1][["node", "f"]], batch_format="pandas"
+        )
+        srcf = compact_nonempty(srcf)
+        if srcf.count() == 0:
+            break
+        hits = compact_nonempty(
+            copartition_attach(
+                eact, srcf, src_col, "node", {"f": "sf"},
+                partitions=parts, how="inner",
+            )
+        )
+        if hits.count() == 0:
+            break
+
+        def reach_partial(df: pd.DataFrame, _d=dst_col) -> pd.DataFrame:
+            g = df[[_d]].drop_duplicates()
+            g = g.rename(columns={_d: "node"})
+            g["rf"] = np.int8(1)
+            g["_pkey"] = (
+                pd.util.hash_array(g["node"].to_numpy(dtype=object)) % parts
+            ).astype("int32")
+            return g
+
+        inbound = compact_nonempty(
+            hits.map_batches(reach_partial, batch_format="pandas")
+            .groupby("_pkey")
+            .map_groups(
+                lambda g: g.drop_duplicates("node")[["node", "rf"]],
+                batch_format="pandas",
+            )
+        )
+
+        def fold(df: pd.DataFrame) -> pd.DataFrame:
+            newf = np.maximum(
+                df["f"].to_numpy(np.int8),
+                df["rf"].fillna(0).to_numpy(np.int8),
+            )
+            return pd.DataFrame(
+                {
+                    "node": df["node"],
+                    "f": newf,
+                    "changed": (newf != df["f"].to_numpy(np.int8)).astype(np.int64),
+                }
+            )
+
+        state = (
+            copartition_attach(
+                state, inbound, "node", "node", {"rf": "rf"},
+                partitions=parts, how="left",
+            )
+            .map_batches(fold, batch_format="pandas")
+            .materialize()
+        )
+        if not (state.sum("changed") or 0):
+            break
+        state = state.map_batches(
+            lambda df: df[["node", "f"]], batch_format="pandas"
+        ).materialize()
+    return state.map_batches(lambda df: df[["node", "f"]], batch_format="pandas")
+
+
+def _scc_distributed(
+    pairs: ray.data.Dataset,
+    nodes: ray.data.Dataset,
+    cfg: PipelineConfig,
+    max_rounds: int,
+) -> ray.data.Dataset:
+    import hashlib
+
+    from ..ops.joins import copartition_attach
+
+    parts = max(
+        1, min(cfg.agg_partitions, pairs.count() // cfg.cc_rows_per_partition + 1)
+    )
+    edges = pairs.map_batches(
+        lambda df: df[["x", "y"]].drop_duplicates(), batch_format="pandas"
+    ).materialize()
+    active = nodes.map_batches(
+        lambda df: pd.DataFrame({"node": df["node"], "part": ""}),
+        batch_format="pandas",
+    ).materialize()
+    done_tables: list = []
+
+    for _ in range(max_rounds):
+        n_active = active.count()
+        if n_active == 0:
+            break
+        # intra-block active edges: attach both endpoints' parts
+        e1 = compact_nonempty(
+            copartition_attach(
+                edges, active, "x", "node", {"part": "px"},
+                partitions=parts, how="inner",
+            )
+        )
+        eact = (
+            compact_nonempty(
+                copartition_attach(
+                    e1, active, "y", "node", {"part": "py"},
+                    partitions=parts, how="inner",
+                ).map_batches(
+                    lambda df: df[df["px"] == df["py"]][["x", "y"]],
+                    batch_format="pandas",
+                )
+            )
+            if e1.count()
+            else e1
+        )
+        if eact.count() == 0:
+            # no intra-block edges anywhere → every active node is a
+            # singleton SCC of itself
+            done_tables.append(
+                active.map_batches(
+                    lambda df: pd.DataFrame(
+                        {"node": df["node"], "scc": df["node"]}
+                    ),
+                    batch_format="pandas",
+                )
+            )
+            active = compact_nonempty(
+                active.map_batches(lambda df: df.iloc[0:0], batch_format="pandas")
+            )
+            break
+        # pivot per block: min node (one block-keyed exchange)
+        def piv_partial(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby("part", sort=False)["node"].min().reset_index()
+            g["_pkey"] = (
+                pd.util.hash_array(g["part"].to_numpy(dtype=object)) % parts
+            ).astype("int32")
+            return g
+
+        pivots = compact_nonempty(
+            active.map_batches(piv_partial, batch_format="pandas")
+            .groupby("_pkey")
+            .map_groups(
+                lambda g: g.groupby("part", sort=False)["node"]
+                .min()
+                .reset_index()
+                .rename(columns={"node": "pivot"}),
+                batch_format="pandas",
+            )
+        )
+        seeded = copartition_attach(
+            active, pivots, "part", "part", {"pivot": "pivot"},
+            partitions=parts, how="inner",
+        ).materialize()
+
+        def seed(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "node": df["node"],
+                    "f": (df["node"] == df["pivot"]).astype(np.int8),
+                }
+            )
+
+        flags0 = seeded.map_batches(seed, batch_format="pandas")
+        fw = _reach_fixpoint(eact, flags0, "x", "y", parts)
+        bw = _reach_fixpoint(eact, flags0, "y", "x", parts)
+
+        folded = copartition_attach(
+            copartition_attach(
+                seeded, fw, "node", "node", {"f": "inF"},
+                partitions=parts, how="left",
+            ),
+            bw, "node", "node", {"f": "inB"},
+            partitions=parts, how="left",
+        )
+
+        def split(df: pd.DataFrame) -> pd.DataFrame:
+            inf = df["inF"].fillna(0).to_numpy(np.int8)
+            inb = df["inB"].fillna(0).to_numpy(np.int8)
+            done = (inf == 1) & (inb == 1)
+            tag = np.where(inf == 1, "f", np.where(inb == 1, "b", "n"))
+            return pd.DataFrame(
+                {
+                    "node": df["node"],
+                    "part": df["part"].astype(str) + tag,
+                    "pivot": df["pivot"],
+                    "done": done.astype(np.int8),
+                }
+            )
+
+        folded = compact_nonempty(
+            folded.map_batches(split, batch_format="pandas")
+        ).materialize()
+        new_done = folded.map_batches(
+            lambda df: df[df["done"] == 1][["node"]].assign(
+                scc=df[df["done"] == 1]["pivot"]
+            ),
+            batch_format="pandas",
+        )
+        done_tables.append(compact_nonempty(new_done))
+        active = compact_nonempty(
+            folded.map_batches(
+                lambda df: df[df["done"] == 0][["node", "part"]],
+                batch_format="pandas",
+            )
+        ).materialize()
+
+    leftover = active.count()
+    if leftover:
+        # pathological residue: finish EXACTLY on the driver — bounded by
+        # the driver-memory cap (cc_driver_max_pairs), NOT the tier gate
+        # (a forced-distributed cfg zeroes the gate but the residue step
+        # is inherently driver-resident)
+        if leftover > cfg.cc_driver_max_pairs:
+            raise RuntimeError(
+                f"SCC residue of {leftover} nodes after {max_rounds} rounds "
+                "exceeds the driver bound; raise max_rounds"
+            )
+        rem_nodes = sorted(r["node"] for r in active.take_all())
+        rem_set = set(rem_nodes)
+        e1 = compact_nonempty(
+            copartition_attach(
+                edges,
+                active.map_batches(
+                    lambda df: df.assign(_m=np.int8(1))[["node", "_m"]],
+                    batch_format="pandas",
+                ),
+                "x", "node", {"_m": "_m"}, partitions=parts, how="inner",
+            )
+        )
+        rem_edges = [
+            (r["x"], r["y"]) for r in e1.take_all() if r["y"] in rem_set
+        ]
+        adj: dict = {}
+        for a, b in rem_edges:
+            adj.setdefault(a, []).append(b)
+        for k in adj:
+            adj[k].sort()
+        comp = _tarjan_scc(adj, rem_nodes)
+        done_tables.append(
+            ray.data.from_arrow(
+                pa.Table.from_pydict(
+                    {
+                        "node": pa.array(rem_nodes, pa.string()),
+                        "scc": pa.array([comp[v] for v in rem_nodes], pa.string()),
+                    }
+                )
+            )
+        )
+    out = done_tables[0]
+    for t in done_tables[1:]:
+        out = out.union(t)
+    return out.map_batches(
+        lambda df: df[["node", "scc"]], batch_format="pandas"
+    )

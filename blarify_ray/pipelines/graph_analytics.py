@@ -1166,3 +1166,46 @@ def _rw_distributed(
     for e in emitted[1:]:
         out = out.union(e)
     return out
+
+
+# --- strongly connected components -------------------------------------------
+
+
+def strongly_connected_components(
+    paths: dict[str, str], cfg: PipelineConfig = DEFAULT_CONFIG
+) -> ray.data.Dataset:
+    """SCCs of the directed KG → ``Dataset[(entity_id, scc)]`` (scc =
+    min member id). WCC says "these entities touch"; SCC says "these
+    entities sit on directed cycles of references" — the circular-
+    dependency view. Delegates to the size-tiered
+    ``ops/graph.scc`` (driver Tarjan / distributed forward-backward
+    pivot refinement)."""
+    from ..ops.graph import scc
+
+    edges = read_stage(paths["edges"], columns=["src_id", "dst_id"])
+    pairs = edges.map_batches(
+        lambda t: pa.Table.from_pydict({"x": t["src_id"], "y": t["dst_id"]}),
+        batch_format="pyarrow",
+    )
+    ents = read_stage(paths["entities"], columns=["entity_id"]).map_batches(
+        lambda t: t.rename_columns(["node"]), batch_format="pyarrow"
+    )
+    return scc(pairs, ents, cfg).map_batches(
+        lambda df: df.rename(columns={"node": "entity_id"}), batch_format="pandas"
+    )
+
+
+def scc_sizes(
+    paths: dict[str, str], k: int = 20, cfg: PipelineConfig = DEFAULT_CONFIG
+) -> ray.data.Dataset:
+    """Top-k SCCs by member count (ties → smaller component id) — every
+    row with ``n_members >= 2`` is a directed reference cycle."""
+    from ray.data.aggregate import Count
+
+    return (
+        strongly_connected_components(paths, cfg)
+        .groupby("scc")
+        .aggregate(Count(alias_name="n_members"))
+        .sort(["n_members", "scc"], descending=[True, False])
+        .limit(k)
+    )

@@ -197,6 +197,13 @@ def _t_match_pattern(
     ).take_all()
 
 
+def _t_find_cycles(paths: dict[str, str], k: int = 10) -> list[dict]:
+    from .pipelines.graph_analytics import scc_sizes
+
+    rows = scc_sizes(paths, k=k).take_all()
+    return [r for r in rows if r["n_members"] >= 2]
+
+
 def _t_trending(paths: dict[str, str], k: int = 10) -> list[dict]:
     from .pipelines.graph_analytics import entity_trends
 
@@ -324,6 +331,11 @@ TOOLS: dict[str, Tool] = {
               "distinct_nodes": {"type": "boolean", "default": False},
               "offset": {"type": "integer", "default": 0},
               "limit": {"type": "integer", "default": 50}}),
+        Tool("find_cycles",
+             "Directed reference cycles: strongly connected components "
+             "with 2+ members, largest first (circular-dependency view)",
+             _t_find_cycles,
+             {"k": _K}),
         Tool("get_trending_entities",
              "Bursting entities on the crawl timeline: windows where an "
              "entity's mention count exceeds its leave-one-out baseline "
