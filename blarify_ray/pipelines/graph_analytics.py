@@ -760,14 +760,39 @@ def distance_distribution(
     the estimated total reachable-pair count N(t), plus the fraction of
     N(∞) covered — the table the effective diameter reads off
     (``ops/hyperball.effective_diameter``)."""
+    _, dist = hyperball_summary(paths, k=0, b=b, max_rounds=max_rounds, cfg=cfg)
+    return dist
+
+
+def hyperball_summary(
+    paths: dict[str, str],
+    k: int = 10,
+    b: int = 8,
+    max_rounds: int = 32,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+) -> tuple[list[dict], pd.DataFrame]:
+    """ONE HyperBall run → (top-k harmonic rows, distance-distribution
+    table) — the combined view the ``get_centrality`` tool serves
+    without paying for two register-propagation passes."""
     from ..ops.hyperball import hyperball
 
     pairs, nodes = _kg_hb_inputs(paths)
-    _, rounds = hyperball(pairs, nodes, b=b, max_rounds=max_rounds, cfg=cfg)
+    out, rounds = hyperball(pairs, nodes, b=b, max_rounds=max_rounds, cfg=cfg)
+    top = (
+        out.map_batches(
+            lambda df: df.rename(columns={"node": "entity_id"}),
+            batch_format="pandas",
+        )
+        .sort(["harmonic", "entity_id"], descending=[True, False])
+        .limit(k)
+        .take_all()
+        if k
+        else []
+    )
     if rounds.empty:
-        return rounds.assign(frac=pd.Series([], dtype="float64"))
+        return top, rounds.assign(frac=pd.Series([], dtype="float64"))
     final = float(rounds["total_reached"].iloc[-1]) or 1.0
-    return rounds.assign(frac=rounds["total_reached"] / final)
+    return top, rounds.assign(frac=rounds["total_reached"] / final)
 
 
 # --- temporal mention trends -------------------------------------------------

@@ -215,11 +215,11 @@ def _t_trending(paths: dict[str, str], k: int = 10) -> list[dict]:
 
 def _t_centrality(paths: dict[str, str], k: int = 10) -> dict:
     from .ops.hyperball import effective_diameter
-    from .pipelines.graph_analytics import distance_distribution, top_harmonic
+    from .pipelines.graph_analytics import hyperball_summary
 
-    dist = distance_distribution(paths)
+    top, dist = hyperball_summary(paths, k=k)  # ONE register-propagation run
     return {
-        "top_harmonic": top_harmonic(paths, k=k).take_all(),
+        "top_harmonic": top,
         "effective_diameter": effective_diameter(dist),
         "distance_distribution": dist.to_dict(orient="records"),
     }
