@@ -1265,3 +1265,124 @@ def _match_pattern_distributed(
     if offset:
         return _mp_page(b.to_pandas(), n_steps, offset, None)
     return b.map_batches(lambda df: df[cols], batch_format="pandas")
+
+
+# --- induced subgraph extraction ---------------------------------------------
+
+
+def induced_subgraph(
+    paths: dict[str, str],
+    seed_ids: list[str],
+    radius: int = 2,
+    preds: list[str] | None = None,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+) -> dict:
+    """The radius-``radius`` out-neighborhood of ``seed_ids`` as a
+    self-contained graph → ``{"entities": Dataset, "edges": Dataset,
+    "n_entities": int, "n_edges": int}`` where edges are the INDUCED
+    set (both endpoints inside the neighborhood) — the subgraph-export
+    surface (hand an agent / visualizer a closed region instead of path
+    rows).
+
+    Node discovery is ``k_hop`` (size-tiered frontier). The induced
+    filters are size-tiered on ``cfg.khop_broadcast_max``: a small
+    neighborhood broadcasts ONE sorted id array and applies vectorized
+    ``pc.is_in`` twice; a larger one never touches the driver — two
+    co-partitioned semi-joins mark src/dst membership and one marks the
+    entity rows."""
+    import numpy as np
+    import ray as _ray
+
+    from ..ops.joins import copartition_attach
+    from ..util import compact_nonempty, get_broadcast
+
+    nodes = k_hop(paths, seed_ids, max_depth=radius, preds=preds, cfg=cfg)
+    nodes = compact_nonempty(
+        nodes.map_batches(
+            lambda t: pa.Table.from_pydict({"entity_id": t["entity_id"]}),
+            batch_format="pyarrow",
+        )
+    ).materialize()
+    n_nodes = nodes.count()
+    edges = read_stage(paths["edges"])
+    if preds is not None:
+        pred_arr = pa.array(sorted(set(preds)), pa.string())
+        edges = edges.map_batches(
+            lambda t: t.filter(pc.is_in(t["pred"], value_set=pred_arr)),
+            batch_format="pyarrow",
+        )
+    ents = read_stage(paths["entities"])
+
+    if n_nodes <= cfg.khop_broadcast_max:
+        ids = sorted(r["entity_id"] for r in nodes.take_all())
+        arr_ref = _ray.put(pa.array(ids, pa.string()))
+
+        def edge_flt(t: pa.Table) -> pa.Table:
+            arr = get_broadcast(arr_ref)
+            return t.filter(
+                pc.and_(
+                    pc.is_in(t["src_id"], value_set=arr),
+                    pc.is_in(t["dst_id"], value_set=arr),
+                )
+            )
+
+        def ent_flt(t: pa.Table) -> pa.Table:
+            arr = get_broadcast(arr_ref)
+            return t.filter(pc.is_in(t["entity_id"], value_set=arr))
+
+        sub_edges = edges.map_batches(edge_flt, batch_format="pyarrow")
+        sub_ents = ents.map_batches(ent_flt, batch_format="pyarrow")
+    else:
+        marks = nodes.map_batches(
+            lambda t: t.append_column(
+                "_m", pa.array(np.ones(t.num_rows, np.int8))
+            ),
+            batch_format="pyarrow",
+        )
+        parts = max(1, min(cfg.agg_partitions, n_nodes // cfg.cc_rows_per_partition + 1))
+        e1 = compact_nonempty(
+            copartition_attach(
+                edges, marks, "src_id", "entity_id", {"_m": "_ms"},
+                partitions=parts, how="inner",
+            )
+        )
+        ecols = [c for c in edges.schema().names]
+        sub_edges = compact_nonempty(
+            copartition_attach(
+                e1, marks, "dst_id", "entity_id", {"_m": "_md"},
+                partitions=parts, how="inner",
+            )
+        ).map_batches(lambda df: df[ecols], batch_format="pandas")
+        # the aliases list column can't round-trip the pandas merge —
+        # encode to JSON for the semi-join, restore after
+        import json
+
+        entcols = [c for c in ents.schema().names]
+
+        def enc(t: pa.Table) -> pa.Table:
+            enc_col = pa.array(
+                [json.dumps(a) for a in t["aliases"].to_pylist()], pa.string()
+            )
+            return t.drop_columns(["aliases"]).append_column("_aliases", enc_col)
+
+        def dec(df):
+            df = df.copy()
+            df["aliases"] = [json.loads(a) for a in df["_aliases"]]
+            return df[entcols]
+
+        sub_ents = compact_nonempty(
+            copartition_attach(
+                ents.map_batches(enc, batch_format="pyarrow"),
+                marks, "entity_id", "entity_id", {"_m": "_m"},
+                partitions=parts, how="inner",
+            )
+        ).map_batches(dec, batch_format="pandas")
+
+    sub_edges = sub_edges.materialize()
+    sub_ents = sub_ents.materialize()
+    return {
+        "entities": sub_ents,
+        "edges": sub_edges,
+        "n_entities": sub_ents.count(),
+        "n_edges": sub_edges.count(),
+    }

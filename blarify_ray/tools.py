@@ -197,6 +197,30 @@ def _t_match_pattern(
     ).take_all()
 
 
+def _t_export_subgraph(
+    paths: dict[str, str],
+    seed_ids: list,
+    radius: int = 2,
+    out_dir: str | None = None,
+    limit: int = 200,
+) -> dict:
+    from .pipelines.graph_queries import induced_subgraph
+
+    sub = induced_subgraph(paths, list(seed_ids), radius=radius)
+    out = {"n_entities": sub["n_entities"], "n_edges": sub["n_edges"]}
+    if out_dir:
+        import os
+
+        os.makedirs(out_dir, exist_ok=True)
+        sub["entities"].write_parquet(os.path.join(out_dir, "entities"))
+        sub["edges"].write_parquet(os.path.join(out_dir, "edges"))
+        out["out_dir"] = out_dir
+    else:
+        out["entities"] = sub["entities"].limit(limit).take_all()
+        out["edges"] = sub["edges"].limit(limit).take_all()
+    return out
+
+
 def _t_find_cycles(paths: dict[str, str], k: int = 10) -> list[dict]:
     from .pipelines.graph_analytics import scc_sizes
 
@@ -331,6 +355,15 @@ TOOLS: dict[str, Tool] = {
               "distinct_nodes": {"type": "boolean", "default": False},
               "offset": {"type": "integer", "default": 0},
               "limit": {"type": "integer", "default": 50}}),
+        Tool("export_subgraph",
+             "Extract the radius-N out-neighborhood of seed entities as "
+             "a self-contained induced subgraph (entities + edges with "
+             "both endpoints inside) — inline rows or parquet export",
+             _t_export_subgraph,
+             {"seed_ids": {"type": "array", "items": {"type": "string"}},
+              "radius": {"type": "integer", "default": 2},
+              "out_dir": {"type": ["string", "null"], "default": None},
+              "limit": {"type": "integer", "default": 200}}),
         Tool("find_cycles",
              "Directed reference cycles: strongly connected components "
              "with 2+ members, largest first (circular-dependency view)",

@@ -133,3 +133,60 @@ def test_kg_scc_wrapper():
     assert rows and all(r["n_members"] >= 1 for r in rows)
     ns = [r["n_members"] for r in rows]
     assert ns == sorted(ns, reverse=True)
+
+
+def test_induced_subgraph_closed_and_tiered():
+    """Induced subgraph: edges are exactly those with BOTH endpoints in
+    the k-hop node set; forced distributed semi-join tier matches the
+    broadcast tier; parquet export round-trips via the tool."""
+    import shutil
+
+    from blarify_ray.pipelines.graph_queries import induced_subgraph, k_hop, top_entities
+    from blarify_ray.pipelines.kg_build import build_kg
+    from blarify_ray.state.manifest import read_stage
+    from blarify_ray.tools import call_tool
+
+    out = "/tmp/blarify_ray_test_scc_kg"  # reuse module fixture dir if built
+    import os
+
+    if not os.path.isdir(out):
+        shutil.rmtree(out, ignore_errors=True)
+        build_kg(out, 40)
+    paths = {
+        "edges": os.path.join(out, "edges"),
+        "entities": os.path.join(out, "entities"),
+        "docs": os.path.join(out, "docs"),
+        "mentions": os.path.join(out, "mentions"),
+    }
+    seed = top_entities(paths, k=1).take_all()[0]["entity_id"]
+    sub = induced_subgraph(paths, [seed], radius=2)
+    node_set = {r["entity_id"] for r in sub["entities"].take_all()}
+    khop_set = {r["entity_id"] for r in k_hop(paths, [seed], max_depth=2).take_all()}
+    assert node_set == khop_set and seed in node_set
+    erows = sub["edges"].take_all()
+    assert sub["n_edges"] == len(erows) > 0
+    assert all(r["src_id"] in node_set and r["dst_id"] in node_set for r in erows)
+    # closure: every all-edges row with both endpoints inside is included
+    all_edges = read_stage(paths["edges"]).take_all()
+    want = [
+        (r["src_id"], r["dst_id"], r["pred"], r["url"], r["sent_id"])
+        for r in all_edges
+        if r["src_id"] in node_set and r["dst_id"] in node_set
+    ]
+    got = [(r["src_id"], r["dst_id"], r["pred"], r["url"], r["sent_id"]) for r in erows]
+    assert sorted(got) == sorted(want)
+    # forced distributed tier (broadcast cap 0) produces identical sets
+    forced = dataclasses.replace(DEFAULT_CONFIG, khop_broadcast_max=0)
+    sub2 = induced_subgraph(paths, [seed], radius=2, cfg=forced)
+    got2 = [
+        (r["src_id"], r["dst_id"], r["pred"], r["url"], r["sent_id"])
+        for r in sub2["edges"].take_all()
+    ]
+    assert sorted(got2) == sorted(got)
+    assert {r["entity_id"] for r in sub2["entities"].take_all()} == node_set
+    # tool export writes parquet
+    exp = call_tool(
+        paths, "export_subgraph",
+        {"seed_ids": [seed], "radius": 1, "out_dir": "/tmp/blarify_ray_test_subg"},
+    )
+    assert exp["n_entities"] > 0 and os.path.isdir(exp["out_dir"] + "/entities")
