@@ -669,6 +669,76 @@ FROM events a JOIN events b
 
 # ---------------------------------------------------------------------------
 
+# --- events_watermark_windows (allowed-lateness finality) --------------------
+
+_WM_DELAY_US = 2 * 3600 * 1_000_000  # allowed lateness: 2 h behind max ts
+
+
+def q_events_watermark_windows(sf_dir: str):
+    """Tumbling 1-hour windows with STREAMING FINALITY semantics: the
+    watermark is ``max(event ts) − 2 h`` and a window is ``final`` once
+    it closes at-or-before the watermark — the allowed-lateness contract
+    of a streaming engine (late events can no longer change a final
+    window), made deterministic by deriving the watermark from the
+    data's own max timestamp.
+
+    Scale shape: the watermark is ONE tiny max-aggregate scan; the
+    windowed counts are the usual per-batch partials + window-keyed
+    exchange; the finality flag is a map-only compare. At 100 TB the
+    max-scan and the count pass pipeline over the same read."""
+    import pandas as _pd
+
+    from .analytics import _t
+
+    ev = _t(sf_dir, "events", ["ts"])
+    mx = ev.map_batches(
+        lambda df: _pd.DataFrame({"m": [df["ts"].astype("int64").max()]})
+        if len(df)
+        else _pd.DataFrame({"m": _pd.Series([], dtype="int64")}),
+        batch_format="pandas",
+    ).max("m")
+    watermark = int(mx) - _WM_DELAY_US
+    hour_us = 3600 * 1_000_000
+
+    def partial(df: _pd.DataFrame) -> _pd.DataFrame:
+        ts = df["ts"].astype("int64").to_numpy()
+        win = (ts // hour_us) * hour_us
+        g = _pd.DataFrame({"win_start": win}).groupby("win_start").size()
+        return _pd.DataFrame(
+            {"win_start": g.index.to_numpy(np.int64), "n": g.to_numpy(np.int64)}
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ev.map_batches(partial, batch_format="pandas")
+        .groupby("win_start")
+        .aggregate(Sum("n", alias_name="n_events"))
+    )
+
+    def flag(df: _pd.DataFrame) -> _pd.DataFrame:
+        ws = df["win_start"].to_numpy(np.int64)
+        return _pd.DataFrame(
+            {
+                "win_start": ws,
+                "n_events": df["n_events"].to_numpy(np.int64),
+                "is_final": (ws + hour_us) <= watermark,
+            }
+        )
+
+    return agg.map_batches(flag, batch_format="pandas")
+
+
+SQL_WATERMARK_WINDOWS = """
+WITH w AS (SELECT MAX(epoch_us(ts)) AS mx FROM events)
+SELECT CAST((epoch_us(ts) // 3600000000) * 3600000000 AS BIGINT) AS win_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ((epoch_us(ts) // 3600000000) * 3600000000 + 3600000000
+          <= (SELECT mx FROM w) - 7200000000) AS is_final
+FROM events GROUP BY 1, 3
+"""
+
+
 QUERIES_WIN = {
     "top3_orders_per_customer": q_top3_orders_per_customer,
     "median_price_by_flag": q_median_price_by_flag,
@@ -680,6 +750,7 @@ QUERIES_WIN = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "ngram_span_dups": q_ngram_span_dups,
     "event_bursts": q_event_bursts,
+    "events_watermark_windows": q_events_watermark_windows,
 }
 
 ORACLE_SQL_WIN = {
@@ -693,6 +764,7 @@ ORACLE_SQL_WIN = {
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "ngram_span_dups": SQL_NGRAM_SPAN_DUPS,
     "event_bursts": SQL_EVENT_BURSTS,
+    "events_watermark_windows": SQL_WATERMARK_WINDOWS,
 }
 
 # self-register into the main battery (same contract as analytics_ext)
