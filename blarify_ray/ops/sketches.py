@@ -300,3 +300,48 @@ def approx_distinct(ds: ray.data.Dataset, col: str, b: int = 12) -> float:
     for r in blobs:
         acc = acc.merge(HLL(b, np.frombuffer(r["reg"], dtype=np.uint8).copy()))
     return acc.estimate()
+
+
+def grouped_distinct(
+    ds: ray.data.Dataset,
+    key_col: str,
+    val_col: str,
+    b: int = 12,
+    partitions: int = 64,
+) -> ray.data.Dataset:
+    """Per-key approximate distinct count (grouped HLL): each batch emits
+    one 2^b-byte register blob PER KEY present, one key-routed exchange
+    max-merges each key's blobs, output is ``(key, approx_distinct)`` —
+    the grouped sibling of the scalar HLL path and of
+    ``grouped_quantiles``. Blob-scale shuffle; raw values never move.
+    Metrics, never semantics (σ ≈ 1.04/√2^b per key)."""
+    import pandas as pd
+
+    def sketch_partial(df: pd.DataFrame) -> pd.DataFrame:
+        out_k, out_b = [], []
+        for key, vals in df.groupby(key_col, sort=False)[val_col]:
+            h = HLL(b)
+            h.add_hashes(_hash64(vals.tolist()))
+            out_k.append(key)
+            out_b.append(h.reg.tobytes())
+        g = pd.DataFrame({key_col: out_k, "blob": out_b})
+        g["_pkey"] = (
+            pd.util.hash_array(g[key_col].to_numpy()) % partitions
+        ).astype("int32")
+        return g
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        keys, ests = [], []
+        for key, blobs in g.groupby(key_col, sort=True)["blob"]:
+            reg = np.zeros(1 << b, np.uint8)
+            for blob in blobs:
+                reg = np.maximum(reg, np.frombuffer(blob, np.uint8))
+            keys.append(key)
+            ests.append(HLL(b, reg).estimate())
+        return pd.DataFrame({key_col: keys, "approx_distinct": ests})
+
+    return (
+        ds.map_batches(sketch_partial, batch_format="pandas")
+        .groupby("_pkey")
+        .map_groups(merge, batch_format="pandas")
+    )

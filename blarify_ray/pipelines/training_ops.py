@@ -102,6 +102,19 @@ def q_approx_distinct_users(sf_dir: str):
     return pd.DataFrame({"n_users_approx": [int(round(est))]})
 
 
+def q_approx_distinct_users_by_type(sf_dir: str):
+    """Grouped HLL: approximate COUNT(DISTINCT user_id) PER event_type —
+    the per-key form of the sketch metrics pattern (one register blob
+    per (batch, key); key-routed blob exchange; values never move).
+    Accuracy vs the exact grouped distinct is pytest-checked."""
+    from ..ops.sketches import grouped_distinct
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "user_id"]
+    )
+    return grouped_distinct(ev, "event_type", "user_id")
+
+
 def q_lm_perplexity_docs(sf_dir: str):
     """CCNet-style LM quality filter: train a byte-trigram LM on the
     corpus (one distributed count pass, vocab-scale exchange), broadcast
@@ -337,6 +350,7 @@ def q_knn_graph_ivf(sf_dir: str):
 QUERIES = {
     "media_features": q_media_features,
     "approx_distinct_users": q_approx_distinct_users,
+    "approx_distinct_users_by_type": q_approx_distinct_users_by_type,
     "minhash_dedup_docs": q_minhash_dedup_docs,
     "simhash_docs": q_simhash_docs,
     "simhash_pairs_docs": q_simhash_pairs_docs,

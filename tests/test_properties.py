@@ -246,3 +246,21 @@ def test_round_half_away_matches_decimal(cents):
         for x in v
     ]
     assert got.tolist() == want
+
+
+def test_grouped_distinct_accuracy():
+    """Grouped HLL per-key estimates vs exact distinct counts — the
+    engine-side accuracy contract (Ray dataset path, not just the
+    kernel)."""
+    import ray.data
+
+    from blarify_ray.ops.sketches import grouped_distinct
+
+    rows = []
+    for k, n in [("a", 500), ("b", 50), ("c", 3)]:
+        rows += [{"k": k, "v": f"{k}{i % n}"} for i in range(n * 3)]
+    ds = ray.data.from_items(rows)
+    got = {r["k"]: r["approx_distinct"] for r in grouped_distinct(ds, "k", "v").take_all()}
+    assert got["a"] == pytest.approx(500, rel=0.1)
+    assert got["b"] == pytest.approx(50, rel=0.1)
+    assert got["c"] == pytest.approx(3, abs=1)
