@@ -509,28 +509,34 @@ def _reach_fixpoint(
     src_col: str,
     dst_col: str,
     parts: int,
-    inner_cap: int = 64,
 ) -> ray.data.Dataset:
-    """Boolean reachability fixpoint: ``flags[(node, f)]`` with f=1 at
-    pivots; propagate f along ``src_col → dst_col`` edges of ``eact``
-    (already restricted to intra-block, active edges) until no flag
-    flips. Per round: one co-partitioned attach of source flags + one
-    dst-routed OR-merge + one left-attach fold."""
+    """Boolean reachability FIXPOINT (runs to completion — a truncated
+    reach would silently split an SCC across refinement blocks):
+    ``flags[(node, f)]`` with f=1 at pivots; propagate f along
+    ``src_col → dst_col`` edges of ``eact`` (already restricted to
+    intra-block, active edges) until the frontier empties. FRONTIER
+    propagation: each round joins only the NEWLY-flagged nodes against
+    the edges (not the whole flagged set), so total shuffled rows are
+    O(edges) across the whole fixpoint, and termination is guaranteed
+    in ≤ block-size rounds (flags grow monotonically)."""
     from ..ops.joins import copartition_attach
 
     state = flags.materialize()
     if eact.count() == 0:  # no intra-block edges: flags stay at the seeds
         return state
-    for _ in range(inner_cap):
-        srcf = state.map_batches(
-            lambda df: df[df["f"] == 1][["node", "f"]], batch_format="pandas"
+    frontier = compact_nonempty(
+        state.map_batches(
+            lambda df: df[df["f"] == 1][["node"]], batch_format="pandas"
         )
-        srcf = compact_nonempty(srcf)
-        if srcf.count() == 0:
-            break
+    )
+    while frontier.count():
         hits = compact_nonempty(
             copartition_attach(
-                eact, srcf, src_col, "node", {"f": "sf"},
+                eact,
+                frontier.map_batches(
+                    lambda df: df.assign(sf=np.int8(1)), batch_format="pandas"
+                ),
+                src_col, "node", {"sf": "sf"},
                 partitions=parts, how="inner",
             )
         )
@@ -564,7 +570,7 @@ def _reach_fixpoint(
                 {
                     "node": df["node"],
                     "f": newf,
-                    "changed": (newf != df["f"].to_numpy(np.int8)).astype(np.int64),
+                    "changed": (newf != df["f"].to_numpy(np.int8)).astype(np.int8),
                 }
             )
 
@@ -576,8 +582,11 @@ def _reach_fixpoint(
             .map_batches(fold, batch_format="pandas")
             .materialize()
         )
-        if not (state.sum("changed") or 0):
-            break
+        frontier = compact_nonempty(
+            state.map_batches(
+                lambda df: df[df["changed"] == 1][["node"]], batch_format="pandas"
+            )
+        )
         state = state.map_batches(
             lambda df: df[["node", "f"]], batch_format="pandas"
         ).materialize()
@@ -590,8 +599,6 @@ def _scc_distributed(
     cfg: PipelineConfig,
     max_rounds: int,
 ) -> ray.data.Dataset:
-    import hashlib
-
     from ..ops.joins import copartition_attach
 
     parts = max(

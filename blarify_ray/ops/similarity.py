@@ -379,10 +379,15 @@ def knn_join_exact(
         qids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
         sims = m @ cmat.T  # (batch, n)
         kk = min(k + 1, sims.shape[1])  # +1: self will be dropped
-        top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-        qq = np.repeat(qids, kk)
-        nn = cids[top.reshape(-1)]
-        ss = np.take_along_axis(sims, top, axis=1).reshape(-1)
+        # threshold-INCLUSIVE cut: keep every candidate tied with the
+        # kk-th largest similarity, so the (sim desc, id asc) tie-break
+        # in _topk_rows is applied to the full tie group — an
+        # argpartition cut would pick an arbitrary subset of the ties
+        thr = np.partition(sims, sims.shape[1] - kk, axis=1)[:, sims.shape[1] - kk]
+        qi, ci = np.nonzero(sims >= thr[:, None])
+        qq = qids[qi]
+        nn = cids[ci]
+        ss = sims[qi, ci]
         mask = qq != nn
         q2, n2, r2, s2 = _topk_rows(qq[mask], nn[mask], ss[mask], k)
         return pa.Table.from_pydict(
@@ -422,7 +427,6 @@ def knn_graph_ivf(
 
     idx = IvfIndex.train(ds, n_centroids, emb_col=emb_col)
     cent_ref = ray.put(idx.centroids)
-    d = idx.centroids.shape[1]
 
     def emit(t: pa.Table) -> pa.Table:
         cent = ray.get(cent_ref)
@@ -458,10 +462,13 @@ def knn_graph_ivf(
             qids = iq["id"].to_numpy(np.int64)
             xids = ix["id"].to_numpy(np.int64)
             kk = min(k + 1, sims.shape[1])
-            top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-            qq = np.repeat(qids, kk)
-            nn = xids[top.reshape(-1)]
-            ss = np.take_along_axis(sims, top, axis=1).reshape(-1)
+            # threshold-inclusive cut (see knn_join_exact): boundary
+            # ties all survive to the deterministic merge
+            thr = np.partition(sims, sims.shape[1] - kk, axis=1)[:, sims.shape[1] - kk]
+            qi, ci = np.nonzero(sims >= thr[:, None])
+            qq = qids[qi]
+            nn = xids[ci]
+            ss = sims[qi, ci]
             m2 = qq != nn
             outs.append(pd.DataFrame({"vec_id": qq[m2], "nn_id": nn[m2], "sim": ss[m2]}))
         if not outs:

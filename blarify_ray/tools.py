@@ -231,10 +231,15 @@ def _t_find_cycles(paths: dict[str, str], k: int = 10) -> list[dict]:
 def _t_trending(paths: dict[str, str], k: int = 10) -> list[dict]:
     from .pipelines.graph_analytics import entity_trends
 
-    rows = entity_trends(paths).take_all()
-    bursts = [r for r in rows if r["is_burst"]]
-    bursts.sort(key=lambda r: (-r["n_mentions"], r["entity_id"], r["win_start"]))
-    return bursts[:k]
+    # filter to burst rows INSIDE the dataset (a tiny fraction) — the
+    # full (entity × window) trend table never reaches the driver
+    bursts = (
+        entity_trends(paths)
+        .map_batches(lambda df: df[df["is_burst"]], batch_format="pandas")
+        .sort(["n_mentions", "entity_id", "win_start"], descending=[True, False, False])
+        .limit(k)
+    )
+    return bursts.take_all()
 
 
 def _t_centrality(paths: dict[str, str], k: int = 10) -> dict:

@@ -90,3 +90,19 @@ def test_ivf_rows_well_formed():
     for q, ranks in per_q.items():
         assert sorted(ranks) == list(range(len(ranks)))  # dense ranks from 0
         assert len(ranks) <= 4
+
+
+def test_many_duplicates_tie_boundary():
+    # MORE than k+1 vectors tied at sim 1.0: the cut must keep the k
+    # smallest neighbor ids, not an arbitrary argpartition subset —
+    # the contract the knn_graph DuckDB oracle (ORDER BY sim DESC,
+    # nn_id) checks
+    ids = np.array([70, 10, 50, 20, 60, 30, 40, 80], np.int64)
+    vecs = np.tile(np.array([2.0, 1.0, 0.5]), (len(ids), 1))
+    got = _got(knn_join_exact(_ds(ids, vecs), k=5))
+    assert got == _reference(ids, vecs, 5)
+    nbrs_of_80 = sorted((n for a, n, _ in got if a == 80))
+    assert nbrs_of_80 == [10, 20, 30, 40, 50]
+    # IVF path applies the same threshold-inclusive cut
+    full = _got(knn_graph_ivf(_ds(ids, vecs), k=5, n_centroids=2, nprobe=2))
+    assert full == got

@@ -6,12 +6,13 @@ Also: every oracle key has a runnable query, and names are unique
 across registries."""
 
 import importlib.util
+import pathlib
+
+_ENTRY = str(pathlib.Path(__file__).resolve().parents[1] / "__ray_entry__.py")
 
 
 def _entry_module():
-    spec = importlib.util.spec_from_file_location(
-        "__ray_entry__", "/root/repo/__ray_entry__.py"
-    )
+    spec = importlib.util.spec_from_file_location("__ray_entry__", _ENTRY)
     m = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(m)
     return m

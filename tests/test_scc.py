@@ -190,3 +190,17 @@ def test_induced_subgraph_closed_and_tiered():
         {"seed_ids": [seed], "radius": 1, "out_dir": "/tmp/blarify_ray_test_subg"},
     )
     assert exp["n_entities"] > 0 and os.path.isdir(exp["out_dir"] + "/entities")
+
+
+def test_directed_ring_single_scc_distributed():
+    # a directed ring is ONE SCC whose in-block pivot distance equals
+    # n-1 — the frontier fixpoint must run to completion (a truncated
+    # reach would split the ring into several components); the fixpoint
+    # has no round cap by construction, so ring size only affects test
+    # wall time
+    nodes = [f"r{i:02d}" for i in range(12)]
+    edges = [(nodes[i], nodes[(i + 1) % 12]) for i in range(12)]
+    pairs, nds = _ds(edges, nodes)
+    got = _got(pairs, nds, cfg=FORCED)
+    assert set(got.values()) == {"r00"}
+    assert len(got) == 12
