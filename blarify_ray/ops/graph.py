@@ -152,7 +152,8 @@ def _emit_wedges(g: pd.DataFrame) -> pd.DataFrame:
 
 
 def triangle_stats(
-    pairs: ray.data.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG
+    pairs: ray.data.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG,
+    pairs_canonical: bool = False,
 ) -> dict:
     """Exact triangle census of the undirected simple graph induced by
     ``pairs`` (columns ``x, y``; direction/multiplicity ignored) →
@@ -165,7 +166,9 @@ def triangle_stats(
     edge-scale ids only, and upstream pair emission never re-runs."""
     pairs = pairs.materialize()
     parts = _parts_for(max(pairs.count(), 1), cfg)
-    edges = canonical_edges(pairs, parts).materialize()
+    # pairs_canonical=True: caller already ran canonical_edges (lets a
+    # combined stats call share ONE dedup exchange across algorithms)
+    edges = pairs if pairs_canonical else canonical_edges(pairs, parts).materialize()
     n_edges = edges.count()
     if n_edges == 0:
         return {"n_edges": 0, "n_wedges": 0, "n_triangles": 0, "global_cc": 0.0}
@@ -294,7 +297,8 @@ def _triangles_distributed(
 
 
 def k_core(
-    pairs: ray.data.Dataset, k: int, cfg: PipelineConfig = DEFAULT_CONFIG
+    pairs: ray.data.Dataset, k: int, cfg: PipelineConfig = DEFAULT_CONFIG,
+    pairs_canonical: bool = False,
 ) -> ray.data.Dataset:
     """Nodes of the k-core (maximal subgraph where every node has degree
     ≥ k within the subgraph) → ``Dataset[(node,)]``, possibly empty.
@@ -319,7 +323,7 @@ def k_core(
     empty = ray.data.from_arrow(
         pa.Table.from_pydict({"node": pa.array([], node_type)})
     )
-    edges = canonical_edges(pairs, parts).materialize()
+    edges = pairs if pairs_canonical else canonical_edges(pairs, parts).materialize()
     n_edges = edges.count()
     if n_edges == 0:
         return empty

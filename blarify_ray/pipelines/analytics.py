@@ -154,8 +154,6 @@ def q_top_customer_revenue(sf_dir: str):
         batch_format="pyarrow",
     ).take_all()  # ≤ k rows
     names = {r["c_custkey"]: r["c_name"] for r in hits}
-    import pandas as pd
-
     return pd.DataFrame(
         {
             "c_custkey": top["o_custkey"].to_numpy(np.int64),

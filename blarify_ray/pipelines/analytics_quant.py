@@ -82,20 +82,37 @@ def q_rolling_value_7d(sf_dir: str):
         seg_end = np.zeros(seg[-1] + 1 if len(g) else 0, dtype=np.int64)
         if len(g):
             np.maximum.at(seg_end, seg, rel)
-        offsets = np.zeros_like(seg_end)
-        if len(seg_end) > 1:
-            offsets[1:] = np.cumsum(seg_end[:-1] + _US_7D + 1)
-        adj = rel + offsets[seg]
-        # frame = rows with adj in [adj_i - 7d, adj_i]; right edge must
-        # include PEERS (equal timestamps) → side='right'
-        lo = np.searchsorted(adj, adj - _US_7D, side="left")
-        hi = np.searchsorted(adj, adj, side="right")
-        cs = np.concatenate([[0], np.cumsum(c)])
+        # the combined axis (Σ spans + 7d each) can exceed int64 when a
+        # partition holds very many long-span users — process CONTIGUOUS
+        # user chunks whose axis stays < 2^61 (chunk assignment may use
+        # float prefix sums: its ~µs rounding is negligible against the
+        # 2^61 margin; the exact int64 offsets are rebuilt per chunk)
+        span = seg_end + _US_7D + 1
+        approx_prefix = np.cumsum(span.astype(np.float64)) - span.astype(np.float64)
+        chunk_of_seg = (approx_prefix // float(1 << 61)).astype(np.int64)
+        chunk_rows = chunk_of_seg[seg]  # nondecreasing: chunks are slices
+        starts = np.flatnonzero(np.r_[True, chunk_rows[1:] != chunk_rows[:-1]])
+        bounds = np.r_[starts, len(g)]
+        roll = np.empty(len(g), np.int64)
+        for s0, s1 in zip(bounds[:-1], bounds[1:]):
+            segs = seg[s0:s1]
+            base = segs[0]
+            spans = span[base : segs[-1] + 1]
+            off = np.zeros(len(spans), np.int64)
+            if len(spans) > 1:
+                off[1:] = np.cumsum(spans[:-1])
+            adj = rel[s0:s1] + off[segs - base]
+            # frame = rows with adj in [adj_i - 7d, adj_i]; right edge
+            # must include PEERS (equal timestamps) → side='right'
+            lo = np.searchsorted(adj, adj - _US_7D, side="left")
+            hi = np.searchsorted(adj, adj, side="right")
+            cs = np.concatenate([[0], np.cumsum(c[s0:s1])])
+            roll[s0:s1] = cs[hi] - cs[lo]
         return pd.DataFrame(
             {
                 "user_id": u,
                 "event_id": g["event_id"].to_numpy(np.int64),
-                "roll_cents": (cs[hi] - cs[lo]).astype(np.int64),
+                "roll_cents": roll,
             }
         )
 

@@ -55,16 +55,24 @@ def q_bigram_pmi_top(sf_dir: str):
     docs = _t(sf_dir, "documents", ["text"])
 
     def uni_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["text"].notna()]
         vc = df["text"].str.split(" ").explode().value_counts()
-        return pd.DataFrame({"w": vc.index.astype(str), "c": vc.to_numpy(np.int64)})
+        g = pd.DataFrame({"w": vc.index.astype(str), "c": vc.to_numpy(np.int64)})
+        return _route(g, "w")
 
+    # routed partial/merge, NOT groupby().aggregate over string keys —
+    # the documented ~10x-slower path at vocabulary scale (CLAUDE.md)
     unigrams = (
         docs.map_batches(uni_partial, batch_format="pandas")
-        .groupby("w")
-        .aggregate(Sum("c", alias_name="c"))
+        .groupby("_pkey")
+        .map_groups(
+            lambda g: g.groupby("w", sort=False)["c"].sum().reset_index(),
+            batch_format="pandas",
+        )
     )
 
     def bi_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["text"].notna()]
         s = df["text"].str.split(" ")
         parts = []
         for toks in s:
@@ -75,18 +83,27 @@ def q_bigram_pmi_top(sf_dir: str):
                 )
         if not parts:
             return pd.DataFrame({"bigram": pd.Series([], dtype=str),
-                                 "c": pd.Series([], dtype=np.int64)})
+                                 "c": pd.Series([], dtype=np.int64),
+                                 "_pkey": pd.Series([], dtype="int32")})
         vc = pd.concat(parts, ignore_index=True).value_counts()
-        return pd.DataFrame(
+        g = pd.DataFrame(
             {"bigram": vc.index.astype(str), "c": vc.to_numpy(np.int64)}
         )
+        return _route(g, "bigram")
 
-    bigrams = (
+    from ..util import compact_nonempty
+
+    bigrams = compact_nonempty(
         docs.map_batches(bi_partial, batch_format="pandas")
-        .groupby("bigram")
-        .aggregate(Sum("c", alias_name="c_ab"))
-        .materialize()  # vocab-scale; consumed twice (sum + downstream)
-    )
+        .groupby("_pkey")
+        .map_groups(
+            lambda g: g.groupby("bigram", sort=False)["c"]
+            .sum()
+            .reset_index()
+            .rename(columns={"c": "c_ab"}),
+            batch_format="pandas",
+        )
+    ).materialize()  # vocab-scale; consumed twice (sum + downstream)
     n_bi = bigrams.sum("c_ab") or 0
 
     def split_prune(df: pd.DataFrame) -> pd.DataFrame:
@@ -128,7 +145,8 @@ def q_bigram_pmi_top(sf_dir: str):
 
 
 SQL_BIGRAM_PMI = f"""
-WITH l AS (SELECT string_split(text, ' ') AS toks FROM documents),
+WITH l AS (SELECT string_split(text, ' ') AS toks FROM documents
+           WHERE text IS NOT NULL),
 bg AS (
   SELECT unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS bigram
   FROM l WHERE len(toks) >= 2
@@ -164,6 +182,7 @@ def q_cross_source_prefix_dups(sf_dir: str):
     docs = _t(sf_dir, "documents", ["text", "source"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["text"].notna()]
         pre = df["text"].str.split(" ").str[:PREFIX_WORDS].str.join(" ")
         g = (
             pd.DataFrame({"prefix": pre.astype(str), "source": df["source"].to_numpy()})
@@ -194,6 +213,7 @@ SELECT array_to_string(string_split(text, ' ')[1:{PREFIX_WORDS}], ' ') AS prefix
        CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
        CAST(COUNT(*) AS BIGINT) AS n_docs
 FROM documents
+WHERE text IS NOT NULL
 GROUP BY prefix HAVING COUNT(DISTINCT source) >= 2
 """
 

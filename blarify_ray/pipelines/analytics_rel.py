@@ -216,6 +216,8 @@ def q_props_value_stats(sf_dir: str):
 
     ev = _t(sf_dir, "events", ["event_type", "props"])
 
+    _SENT = np.iinfo(np.int64).min  # below any real k: Max-neutral
+
     def partial(t: pa.Table) -> pa.Table:
         k = pc.struct_field(
             pc.extract_regex(t["props"].combine_chunks(), _PROPS_K), "k"
@@ -226,25 +228,51 @@ def q_props_value_stats(sf_dir: str):
                 "k": pc.cast(k, pa.int64()).to_pandas(),
             }
         )
-        g = df.groupby("event_type", sort=False)["k"].agg(["size", "sum", "max"])
+        # SQL aggregate semantics: COUNT(*) counts every row; SUM/MAX
+        # skip nulls and are NULL for an all-null group. Track the
+        # non-null count so the FINAL fold can restore the NULLs the
+        # mergeable int partials can't carry.
+        g = df.groupby("event_type", sort=False).agg(
+            n_events=("k", "size"),
+            n_k=("k", "count"),
+            sum_k=("k", lambda v: int(v.sum()) if v.notna().any() else 0),
+            max_k=("k", lambda v: int(v.max()) if v.notna().any() else _SENT),
+        )
         return pa.Table.from_pydict(
             {
                 "event_type": pa.array(g.index, pa.string()),
-                "n_events": pa.array(g["size"].to_numpy(np.int64)),
-                "sum_k": pa.array(g["sum"].to_numpy(np.int64)),
-                "max_k": pa.array(g["max"].to_numpy(np.int64)),
+                "n_events": pa.array(g["n_events"].to_numpy(np.int64)),
+                "n_k": pa.array(g["n_k"].to_numpy(np.int64)),
+                "sum_k": pa.array(g["sum_k"].to_numpy(np.int64)),
+                "max_k": pa.array(g["max_k"].to_numpy(np.int64)),
             }
         )
 
-    return (
+    merged = (
         ev.map_batches(partial, batch_format="pyarrow")
         .groupby("event_type")
         .aggregate(
             Sum("n_events", alias_name="n_events"),
+            Sum("n_k", alias_name="n_k"),
             Sum("sum_k", alias_name="sum_k"),
             Max("max_k", alias_name="max_k"),
         )
     )
+
+    def restore_nulls(df: pd.DataFrame) -> pd.DataFrame:
+        has = df["n_k"].to_numpy(np.int64) > 0
+        out = pd.DataFrame(
+            {
+                "event_type": df["event_type"].astype(str),
+                "n_events": df["n_events"].to_numpy(np.int64),
+                "sum_k": pd.array(df["sum_k"].to_numpy(np.int64), dtype="Int64"),
+                "max_k": pd.array(df["max_k"].to_numpy(np.int64), dtype="Int64"),
+            }
+        )
+        out.loc[~has, ["sum_k", "max_k"]] = pd.NA
+        return out
+
+    return merged.map_batches(restore_nulls, batch_format="pandas")
 
 
 SQL_PROPS_VALUE_STATS = """

@@ -222,12 +222,17 @@ def build_doc_layer_delta(
         batch_format="pyarrow",
     )
 
+    # size-gate with COUNTS before any driver materialization — an
+    # oversized delta must bail to the full rebuild without first
+    # pulling millions of id strings onto the driver
+    changed = changed.materialize()
+    if changed.count() > DOC_DELTA_BROADCAST_MAX:
+        return None
+    drop = drop.materialize()
+    if drop.count() > DOC_DELTA_BROADCAST_MAX:
+        return None
     changed_ids = sorted(r["entity_id"] for r in changed.take_all())
-    if len(changed_ids) > DOC_DELTA_BROADCAST_MAX:
-        return None
     drop_ids = sorted(r["entity_id"] for r in drop.take_all())
-    if len(drop_ids) > DOC_DELTA_BROADCAST_MAX:
-        return None
     changed_ref = _ray.put(pa.array(changed_ids, pa.string()))
     drop_ref = _ray.put(pa.array(drop_ids, pa.string()))
 

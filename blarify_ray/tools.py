@@ -156,16 +156,29 @@ def _t_entity_mentions(paths: dict[str, str], entity_id: str, limit: int = 100) 
 
 
 def _t_graph_stats(paths: dict[str, str], k_core_k: int = 2) -> dict:
-    from .pipelines.graph_analytics import k_core_entities, triangle_census
+    import pyarrow as pa
 
-    census = triangle_census(paths).iloc[0]
+    from .config import DEFAULT_CONFIG
+    from .ops.graph import _parts_for, canonical_edges, k_core, triangle_stats
+    from .state.manifest import read_stage
+
+    # canonicalize the undirected edge set ONCE and share it across both
+    # algorithms — two independent wrapper calls would each re-scan and
+    # re-dedup the whole edges stage
+    pairs = read_stage(paths["edges"], columns=["src_id", "dst_id"]).map_batches(
+        lambda t: pa.Table.from_pydict({"x": t["src_id"], "y": t["dst_id"]}),
+        batch_format="pyarrow",
+    ).materialize()
+    parts = _parts_for(max(pairs.count(), 1), DEFAULT_CONFIG)
+    can = canonical_edges(pairs, parts).materialize()
+    census = triangle_stats(can, pairs_canonical=True)
     return {
         "n_edges": int(census["n_edges"]),
         "n_wedges": int(census["n_wedges"]),
         "n_triangles": int(census["n_triangles"]),
         "global_clustering": float(census["global_cc"]),
         "k_core_k": int(k_core_k),
-        "k_core_size": k_core_entities(paths, k=k_core_k).count(),
+        "k_core_size": k_core(can, k_core_k, pairs_canonical=True).count(),
     }
 
 
