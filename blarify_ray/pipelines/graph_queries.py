@@ -212,6 +212,7 @@ def k_hop(
     preds: list[str] | None = None,
     offset: int = 0,
     limit: int | None = None,
+    direction: str = "out",
     cfg: PipelineConfig = DEFAULT_CONFIG,
 ) -> ray.data.Dataset:
     """Iterative frontier expansion over the edges table — the Ray shape
@@ -225,8 +226,39 @@ def k_hop(
     hash-partitioned ``(id, depth)`` datasets and every later round is a
     co-partitioned semi-join + distributed anti-join — the frontier
     never has to fit on the driver again. Both tiers produce identical
-    rows (forced-tier tested)."""
+    rows (forced-tier tested).
+
+    ``direction``: "out" follows edges src→dst (default), "in" follows
+    them dst→src (who references me, transitively), "both" treats the
+    graph as undirected — implemented by one map-only edge transform,
+    so every tier/paging path is shared."""
     edges = read_stage(paths["edges"], columns=["src_id", "dst_id", "pred"])
+    if direction == "in":
+        edges = edges.map_batches(
+            lambda t: pa.Table.from_pydict(
+                {"src_id": t["dst_id"], "dst_id": t["src_id"], "pred": t["pred"]}
+            ),
+            batch_format="pyarrow",
+        )
+    elif direction == "both":
+        edges = edges.map_batches(
+            lambda t: pa.Table.from_pydict(
+                {
+                    "src_id": pa.concat_arrays(
+                        [t["src_id"].combine_chunks(), t["dst_id"].combine_chunks()]
+                    ),
+                    "dst_id": pa.concat_arrays(
+                        [t["dst_id"].combine_chunks(), t["src_id"].combine_chunks()]
+                    ),
+                    "pred": pa.concat_arrays(
+                        [t["pred"].combine_chunks(), t["pred"].combine_chunks()]
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    elif direction != "out":
+        raise ValueError(f"direction must be out|in|both, got {direction!r}")
     if preds is not None:
         pred_arr = pa.array(sorted(set(preds)), pa.string())
         edges = edges.map_batches(
@@ -1072,9 +1104,12 @@ def match_pattern(
     re-expressed as a chain of co-partitioned equi-joins over the edge
     table.
 
-    ``steps`` is a list of ``{"pred": str|None, "dst_type": str|None}``
-    hop constraints (``None`` = unconstrained); the start node set can
-    be narrowed by ``src_type`` and/or ``start_ids``. Matching is over
+    ``steps`` is a list of ``{"pred": str|None, "dst_type": str|None,
+    "dir": "out"|"in"}`` hop constraints (``None`` = unconstrained;
+    ``dir: "in"`` binds the REVERSED edge — Cypher's ``<-[:P]-`` form —
+    via one map-only column swap, so both tiers share every code path);
+    the start node set can be narrowed by ``src_type`` and/or
+    ``start_ids``. Matching is over
     DISTINCT ``(src, pred, dst)`` triples (the KG is a multigraph;
     pattern semantics are set-based). Returns one row per binding with
     string columns ``n0, p1, n1, …, pK, nK`` in global lexicographic
@@ -1140,6 +1175,8 @@ def _match_pattern_driver(
     types = dict(zip(ents["entity_id"], ents["type"])) if need_types else {}
     for i, step in enumerate(steps, start=1):
         e = triples
+        if step.get("dir") == "in":
+            e = e.rename(columns={"src_id": "dst_id", "dst_id": "src_id"})
         if step.get("pred") is not None:
             e = e[e["pred"] == step["pred"]]
         if step.get("dst_type") is not None:
@@ -1213,6 +1250,17 @@ def _match_pattern_distributed(
         if b.count() == 0:
             return ray.data.from_arrow(_mp_empty(n_steps))
         e = triples
+        if step.get("dir") == "in":
+            e = e.map_batches(
+                lambda t: pa.Table.from_pydict(
+                    {
+                        "src_id": t["dst_id"],
+                        "pred": t["pred"],
+                        "dst_id": t["src_id"],
+                    }
+                ),
+                batch_format="pyarrow",
+            )
         if step.get("pred") is not None:
             e = compact_nonempty(
                 e.map_batches(

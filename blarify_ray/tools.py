@@ -362,7 +362,8 @@ TOOLS: dict[str, Tool] = {
         Tool("match_pattern",
              "Declarative graph-pattern match (Cypher MATCH analog): "
              "bind a chain (n0)-[p1]->(n1)-[p2]->… with optional "
-             "per-hop predicate / destination-type constraints; "
+             "per-hop predicate / destination-type / direction "
+             "constraints (dir:'in' = the <-[:P]- form); "
              "lexicographically ordered, paged bindings",
              _t_match_pattern,
              {"steps": {"type": "array",

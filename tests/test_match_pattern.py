@@ -140,3 +140,42 @@ def test_start_ids_and_empty(built, graph):
     empty = match_pattern(built, [{"pred": "no_such_pred"}, {}], limit=None)
     assert empty.count() == 0
     assert set(empty.schema().names) == {"n0", "p1", "n1", "p2", "n2"}
+
+
+def test_reverse_step_direction(built, graph):
+    """dir:'in' binds the reversed edge: (a)<-[p]-(b) rows must equal
+    the forward pattern on the transposed triple set."""
+    ents, triples = graph
+    rev_triples = sorted({(d, p, s) for s, p, d in triples})
+    got = _rows(match_pattern(built, [{"dir": "in"}], limit=None))
+    want = _brute(ents, rev_triples, [{}])
+    assert got == want and len(got) > 0
+    # mixed directions: out then in — forced-tier parity too
+    steps = [{}, {"dir": "in"}]
+    a = _rows(match_pattern(built, steps, limit=None))
+    b = _rows(match_pattern(built, steps, limit=None, cfg=FORCED))
+    assert a == b and len(a) > 0
+    # brute: second hop over reversed triples
+    by_first = _brute(ents, triples, [{}])
+    want2 = sorted(
+        row + (p, d)
+        for row in by_first
+        for s, p, d in rev_triples
+        if s == row[-1]
+    )
+    assert a == want2
+
+
+def test_k_hop_direction(built, graph):
+    from blarify_ray.pipelines.graph_queries import k_hop
+
+    ents, triples = graph
+    seed = triples[0][1]  # some dst — has at least one inbound edge
+    inbound = {r["entity_id"] for r in k_hop(built, [seed], max_depth=1, direction="in").take_all()}
+    want_in = {seed} | {s for s, _, d in triples if d == seed}
+    assert inbound == want_in
+    both = {r["entity_id"] for r in k_hop(built, [seed], max_depth=1, direction="both").take_all()}
+    want_both = want_in | {d for s, _, d in triples if s == seed}
+    assert both == want_both
+    with pytest.raises(ValueError):
+        k_hop(built, [seed], direction="sideways")
