@@ -211,6 +211,27 @@ def _q_kg_centrality(sf_dir: str):
     return top_harmonic(_kg_paths(sf_dir), k=20)
 
 
+def _q_kg_strongest_path(sf_dir: str):
+    import pandas as pd
+
+    from blarify_ray.pipelines.graph_analytics import strongest_path
+    from blarify_ray.pipelines.graph_queries import top_entities
+
+    from blarify_ray.pipelines.graph_queries import k_hop
+
+    paths = _kg_paths(sf_dir)
+    seed = top_entities(paths, k=1).take_all()[0]["entity_id"]
+    # destination: the deepest (then largest-id) entity reachable in 2
+    # hops — guarantees a non-trivial path exists
+    reach = sorted(
+        ((r["depth"], r["entity_id"]) for r in k_hop(paths, [seed], max_depth=2).take_all()),
+        reverse=True,
+    )
+    dst = reach[0][1] if reach and reach[0][1] != seed else seed
+    r = strongest_path(paths, seed, dst)
+    return pd.DataFrame(r["steps"], columns=["src_id", "dst_id", "weight"])
+
+
 def _q_kg_scc(sf_dir: str):
     from blarify_ray.pipelines.graph_analytics import scc_sizes
 
@@ -277,6 +298,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_trends": _q_kg_trends,
         "kg_walks": _q_kg_walks,
         "kg_scc": _q_kg_scc,
+        "kg_strongest_path": _q_kg_strongest_path,
     }
     q.update(kg)
     for name, fn in analytics.QUERIES.items():

@@ -1234,3 +1234,258 @@ def scc_sizes(
         .sort(["n_members", "scc"], descending=[True, False])
         .limit(k)
     )
+
+
+# --- strongest (bottleneck) path ---------------------------------------------
+
+
+def strongest_path(
+    paths: dict[str, str],
+    src_id: str,
+    dst_id: str,
+    max_rounds: int = 12,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+) -> dict:
+    """WIDEST (bottleneck) path from ``src_id`` to ``dst_id``: the path
+    maximizing the MINIMUM edge weight along it (ties → fewer hops, then
+    lexicographically smallest parent chain) →
+    ``{"bottleneck": int, "hops": int, "steps": [{src_id, dst_id,
+    weight}, ...]}`` or ``{"bottleneck": 0, "hops": 0, "steps": []}``
+    when unreachable within ``max_rounds`` hops.
+
+    ``path_between`` answers "are they connected" (fewest hops); this
+    answers "how STRONGLY are they connected" — the evidence-backed
+    relatedness chain (edge weight = co-mention count). All state is
+    integer (bottleneck, hops, parent), so the comparison
+    ``(-bottleneck, hops, parent)`` is a total order and both tiers are
+    bit-identical by construction.
+
+    Size-tiered on ``cfg.workflows_driver_max_edges``: below, a
+    max-bottleneck Dijkstra on the driver; above, synchronous
+    label-correcting rounds — per round ONE co-partitioned state⋈edges
+    attach emits relax candidates, one node-keyed exchange keeps each
+    node's lexicographic best, a left-attach folds it into the state
+    (node-scale, never corpus-scale), early-stopping when no label
+    improves. Path reconstruction walks parents backward — ≤ hops
+    point filters on the final node-scale state."""
+    edges = read_stage(paths["edges"], columns=["src_id", "dst_id", "weight"])
+    if edges.count() <= cfg.workflows_driver_max_edges:
+        return _strongest_driver(edges, src_id, dst_id, max_rounds)
+    return _strongest_distributed(edges, src_id, dst_id, max_rounds, cfg)
+
+
+def _sp_result(parent: dict, weight_to: dict, bneck: dict, src_id: str, dst_id: str) -> dict:
+    if dst_id not in parent and dst_id != src_id:
+        return {"bottleneck": 0, "hops": 0, "steps": []}
+    steps = []
+    cur = dst_id
+    while cur != src_id:
+        p = parent[cur]
+        steps.append({"src_id": p, "dst_id": cur, "weight": int(weight_to[cur])})
+        cur = p
+    steps.reverse()
+    return {
+        "bottleneck": int(bneck.get(dst_id, 0)) if steps else 0,
+        "hops": len(steps),
+        "steps": steps,
+    }
+
+
+def _strongest_driver(
+    edges: ray.data.Dataset, src_id: str, dst_id: str, max_rounds: int
+) -> dict:
+    """Driver tier: synchronous rounds over an adjacency dict — the SAME
+    label-correcting spec as the distributed tier (not heap Dijkstra:
+    identical round semantics make the tiers trivially comparable)."""
+    adj: dict = {}
+    for r in edges.take_all():
+        # multigraph: keep the max weight per (src, dst)
+        key = (r["src_id"], r["dst_id"])
+        w = int(r["weight"])
+        if adj.setdefault(r["src_id"], {}).get(r["dst_id"], 0) < w:
+            adj[r["src_id"]][r["dst_id"]] = w
+    INF = 1 << 62
+    state: dict = {src_id: (-INF, 0, "")}  # node → (-bneck, hops, parent)
+    for _ in range(max_rounds):
+        cand: dict = {}
+        for node, (nb, hops, _p) in state.items():
+            for dst, w in adj.get(node, {}).items():
+                lab = (max(nb, -w), hops + 1, node)
+                if dst not in cand or lab < cand[dst]:
+                    cand[dst] = lab
+        changed = False
+        for dst, lab in cand.items():
+            if dst not in state or lab < state[dst]:
+                state[dst] = lab
+                changed = True
+        if not changed:
+            break
+    parent = {n: p for n, (_b, _h, p) in state.items() if n != src_id}
+    bneck = {n: -b for n, (b, _h, _p) in state.items()}
+    weight_to = {
+        n: adj.get(p, {}).get(n, 0) for n, p in parent.items()
+    }
+    # step weights are the actual edge weights; recompute exactly
+    return _sp_result(parent, weight_to, bneck, src_id, dst_id)
+
+
+def _strongest_distributed(
+    edges: ray.data.Dataset, src_id: str, dst_id: str, max_rounds: int,
+    cfg: PipelineConfig,
+) -> dict:
+    from ..ops.joins import copartition_attach
+
+    parts = _edge_parts(edges.count(), cfg)
+    # dedup multi-edges to max weight per (src, dst): one src-keyed exchange
+    def dd_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby(["src_id", "dst_id"], sort=False)["weight"].max().reset_index()
+        )
+        g["_pkey"] = (
+            pd.util.hash_array(g["src_id"].to_numpy(dtype=object)) % parts
+        ).astype("int32")
+        return g
+
+    e = compact_nonempty(
+        edges.map_batches(dd_partial, batch_format="pandas")
+        .groupby("_pkey")
+        .map_groups(
+            lambda g: g.groupby(["src_id", "dst_id"], sort=False)["weight"]
+            .max()
+            .reset_index(),
+            batch_format="pandas",
+        )
+    ).materialize()
+    INF = np.int64(1 << 62)
+    state = ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "node": pa.array([src_id], pa.string()),
+                "nb": pa.array([-INF]),  # negated bottleneck
+                "hops": pa.array([np.int64(0)]),
+                "parent": pa.array([""], pa.string()),
+            }
+        )
+    ).materialize()
+    for _ in range(max_rounds):
+        hits = compact_nonempty(
+            copartition_attach(
+                e, state, "src_id", "node", {"nb": "nb", "hops": "hops"},
+                partitions=parts, how="inner",
+            )
+        )
+        if hits.count() == 0:
+            break
+
+        def relax_partial(df: pd.DataFrame) -> pd.DataFrame:
+            nb = np.maximum(df["nb"].to_numpy(np.int64), -df["weight"].to_numpy(np.int64))
+            out = pd.DataFrame(
+                {
+                    "node": df["dst_id"],
+                    "nb": nb,
+                    "hops": df["hops"].to_numpy(np.int64) + 1,
+                    "parent": df["src_id"],
+                }
+            )
+            out = out.sort_values(["node", "nb", "hops", "parent"], kind="mergesort")
+            out = out.drop_duplicates("node", keep="first")
+            out["_pkey"] = (
+                pd.util.hash_array(out["node"].to_numpy(dtype=object)) % parts
+            ).astype("int32")
+            return out
+
+        cand = compact_nonempty(
+            hits.map_batches(relax_partial, batch_format="pandas")
+            .groupby("_pkey")
+            .map_groups(
+                lambda g: g.sort_values(
+                    ["node", "nb", "hops", "parent"], kind="mergesort"
+                ).drop_duplicates("node", keep="first")[
+                    ["node", "nb", "hops", "parent"]
+                ],
+                batch_format="pandas",
+            )
+        )
+
+        def fold(df: pd.DataFrame) -> pd.DataFrame:
+            has = df["c_nb"].notna().to_numpy()
+            nb = df["nb"].to_numpy(np.int64)
+            hops = df["hops"].to_numpy(np.int64)
+            parent = df["parent"].to_numpy(dtype=object)
+            c_nb = df["c_nb"].fillna(INF).to_numpy(np.int64)
+            c_hops = df["c_hops"].fillna(0).to_numpy(np.int64)
+            c_parent = df["c_parent"].fillna("").to_numpy(dtype=object)
+            # vectorized lexicographic (nb, hops, parent) strict-less
+            take = has & (
+                (c_nb < nb)
+                | ((c_nb == nb) & (c_hops < hops))
+                | ((c_nb == nb) & (c_hops == hops) & (c_parent < parent))
+            )
+            return pd.DataFrame(
+                {
+                    "node": df["node"],
+                    "nb": np.where(take, c_nb, nb),
+                    "hops": np.where(take, c_hops, hops),
+                    "parent": np.where(take, c_parent, parent),
+                    "changed": take.astype(np.int8),
+                }
+            )
+
+        merged = copartition_attach(
+            state, cand, "node", "node",
+            {"nb": "c_nb", "hops": "c_hops", "parent": "c_parent"},
+            partitions=parts, how="left",
+        ).map_batches(fold, batch_format="pandas")
+        # brand-new nodes: candidates with no existing state row
+        fresh = compact_nonempty(
+            copartition_attach(
+                cand, state, "node", "node", {"nb": "_old"},
+                partitions=parts, how="left",
+            ).map_batches(
+                lambda df: df[df["_old"].isna()][["node", "nb", "hops", "parent"]]
+                .assign(changed=np.int8(1)),
+                batch_format="pandas",
+            )
+        )
+        state = compact_nonempty(merged.union(fresh)).materialize()
+        if not (state.sum("changed") or 0):
+            break
+        state = state.map_batches(
+            lambda df: df[["node", "nb", "hops", "parent"]], batch_format="pandas"
+        ).materialize()
+
+    rows = {
+        r["node"]: r
+        for r in state.map_batches(
+            lambda df: df[["node", "nb", "hops", "parent"]], batch_format="pandas"
+        ).take_all()
+    }
+    parent = {n: r["parent"] for n, r in rows.items() if n != src_id}
+    bneck = {n: -r["nb"] for n, r in rows.items()}
+    # step weights: walk parents, fetching each edge's (deduped) weight
+    if dst_id not in rows and dst_id != src_id:
+        return {"bottleneck": 0, "hops": 0, "steps": []}
+    weight_to: dict = {}
+    cur = dst_id
+    hop_edges = []
+    while cur != src_id:
+        p = parent[cur]
+        hop_edges.append((p, cur))
+        cur = p
+    if hop_edges:
+        import pyarrow.compute as _pc
+
+        srcs = pa.array([a for a, _ in hop_edges], pa.string())
+        dsts = pa.array([b for _, b in hop_edges], pa.string())
+        hits2 = e.map_batches(
+            lambda t: t.filter(
+                _pc.and_(
+                    _pc.is_in(t["src_id"], value_set=srcs),
+                    _pc.is_in(t["dst_id"], value_set=dsts),
+                )
+            ),
+            batch_format="pyarrow",
+        ).take_all()
+        wmap = {(r["src_id"], r["dst_id"]): int(r["weight"]) for r in hits2}
+        weight_to = {b: wmap[(a, b)] for a, b in hop_edges}
+    return _sp_result(parent, weight_to, bneck, src_id, dst_id)

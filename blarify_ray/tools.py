@@ -143,6 +143,14 @@ def _t_path_between(paths: dict[str, str], src_id: str, dst_id: str,
     return path_between(paths, src_id, dst_id, max_depth=max_depth)
 
 
+def _t_strongest_path(
+    paths: dict[str, str], src_id: str, dst_id: str, max_rounds: int = 12
+) -> dict:
+    from .pipelines.graph_analytics import strongest_path
+
+    return strongest_path(paths, src_id, dst_id, max_rounds=max_rounds)
+
+
 def _t_blame(paths: dict[str, str], entity_id: str) -> dict:
     from .pipelines.enrich import blame_info
 
@@ -383,6 +391,14 @@ TOOLS: dict[str, Tool] = {
               "radius": {"type": "integer", "default": 2},
               "out_dir": {"type": ["string", "null"], "default": None},
               "limit": {"type": "integer", "default": 200}}),
+        Tool("strongest_path",
+             "Widest (bottleneck) path between two entities: the chain "
+             "maximizing the minimum co-mention weight along it — the "
+             "evidence-strength complement of path_between's hop count",
+             _t_strongest_path,
+             {"src_id": _ID, "dst_id": _ID,
+              "max_rounds": {"type": "integer", "default": 12}},
+             ("src_id", "dst_id")),
         Tool("find_cycles",
              "Directed reference cycles: strongly connected components "
              "with 2+ members, largest first (circular-dependency view)",

@@ -208,3 +208,53 @@ def test_weighted_walks_forced_tier_parity(tmp_path):
     key = lambda r: (r["start_id"], r["walk_no"], r["step"], r["node_id"])
     assert sorted(map(key, x)) == sorted(map(key, y))
     assert len(x) == 3 * 3 * 7  # no dead ends: every walk runs full length
+
+
+def test_strongest_path_semantics(tmp_path):
+    from blarify_ray.pipelines.graph_analytics import strongest_path
+
+    # direct a→c is weak (w=1); the detour a→b→c is strong (min 10):
+    # bottleneck semantics must take the detour BFS would skip
+    paths = _fake_graph_paths(
+        str(tmp_path),
+        [("a", "c", 1), ("a", "b", 10), ("b", "c", 10),
+         ("c", "d", 4), ("x", "y", 9)],
+        ["a", "b", "c", "d", "x", "y"],
+    )
+    r = strongest_path(paths, "a", "c")
+    assert r["bottleneck"] == 10 and r["hops"] == 2
+    assert [(s["src_id"], s["dst_id"], s["weight"]) for s in r["steps"]] == [
+        ("a", "b", 10), ("b", "c", 10)
+    ]
+    # equal bottleneck → fewer hops: a→d best is via the strong chain
+    r2 = strongest_path(paths, "a", "d")
+    assert r2["bottleneck"] == 4 and r2["steps"][-1] == {
+        "src_id": "c", "dst_id": "d", "weight": 4
+    }
+    assert strongest_path(paths, "a", "y") == {
+        "bottleneck": 0, "hops": 0, "steps": []
+    }
+
+
+def test_strongest_path_forced_tier_parity(tmp_path):
+    import numpy as _np
+
+    from blarify_ray.pipelines.graph_analytics import strongest_path
+
+    rng = _np.random.default_rng(21)
+    nodes = [f"v{i:02d}" for i in range(18)]
+    edges = sorted(
+        {
+            (nodes[a], nodes[b], int(w))
+            for a, b, w in zip(
+                rng.integers(0, 18, 60), rng.integers(0, 18, 60),
+                rng.integers(1, 9, 60),
+            )
+            if a != b
+        }
+    )
+    paths = _fake_graph_paths(str(tmp_path), edges, nodes)
+    for dst in ("v05", "v11", "v17"):
+        a = strongest_path(paths, "v00", dst, max_rounds=8)
+        b = strongest_path(paths, "v00", dst, max_rounds=8, cfg=FORCED)
+        assert a == b
