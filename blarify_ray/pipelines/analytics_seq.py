@@ -411,12 +411,147 @@ GROUP BY l_returnflag
 """
 
 
+
+
+# --- copurchase_assortativity (degree-degree correlation) --------------------
+
+
+def q_copurchase_assortativity(sf_dir: str):
+    """Degree assortativity of the part co-purchase graph: the Pearson
+    correlation between the degrees at the two ends of every edge (both
+    directions, the standard Newman definition) — one number telling
+    whether hubs link to hubs (> 0) or to leaves (< 0), next to the
+    degree histogram and triangle census.
+
+    Scale shape: distinct pairs and exact degrees reuse the
+    degree-histogram plan (order-co-partitioned pair emission, pair-keyed
+    global dedup, part-keyed degrees); the two endpoint degrees attach by
+    co-partitioned lookups, and everything after is five exact int64
+    sufficient-statistic sums whose double formula is token-identical to
+    the SQL (bit-equal IEEE output — the ``corr_qty_discount``
+    discipline)."""
+    from ..ops.joins import copartition_attach
+    from ..util import compact_nonempty
+
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def route_order(df: pd.DataFrame) -> pd.DataFrame:
+        return _route(df.drop_duplicates(), "l_orderkey")
+
+    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[["l_orderkey", "l_partkey"]].drop_duplicates()
+        m = g.merge(g, on="l_orderkey", suffixes=("_a", "_b"))
+        m = m[m["l_partkey_a"] < m["l_partkey_b"]]
+        p = m[["l_partkey_a", "l_partkey_b"]].drop_duplicates()
+        p.columns = ["x", "y"]
+        return _route_pair(p.astype({"x": np.int64, "y": np.int64}))
+
+    pairs = compact_nonempty(
+        li.map_batches(route_order, batch_format="pandas")
+        .groupby("_pkey")
+        .map_groups(emit_pairs, batch_format="pandas")
+        .groupby("_pkey")
+        .map_groups(
+            lambda g: g.drop_duplicates(["x", "y"])[["x", "y"]],
+            batch_format="pandas",
+        )
+    ).materialize()
+
+    def inc_partial(df: pd.DataFrame) -> pd.DataFrame:
+        parts_ = np.concatenate(
+            [df["x"].to_numpy(np.int64), df["y"].to_numpy(np.int64)]
+        )
+        c = pd.Series(parts_).value_counts()
+        out = pd.DataFrame(
+            {"part": c.index.to_numpy(np.int64), "deg": c.to_numpy(np.int64)}
+        )
+        return _route(out, "part")
+
+    deg = compact_nonempty(
+        pairs.map_batches(inc_partial, batch_format="pandas")
+        .groupby("_pkey")
+        .map_groups(
+            lambda g: g.groupby("part", sort=False)["deg"].sum().reset_index(),
+            batch_format="pandas",
+        )
+    )
+
+    both = copartition_attach(
+        copartition_attach(pairs, deg, "x", "part", {"deg": "dx"}, how="inner"),
+        deg, "y", "part", {"deg": "dy"}, how="inner",
+    )
+
+    def stat_partial(df: pd.DataFrame) -> pd.DataFrame:
+        dx = df["dx"].to_numpy(np.int64)
+        dy = df["dy"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "n": [np.int64(2 * len(df))],
+                "sa": [np.int64(dx.sum() + dy.sum())],
+                "sab": [np.int64(2 * (dx * dy).sum())],
+                "saa": [np.int64((dx * dx).sum() + (dy * dy).sum())],
+                "n_pairs": [np.int64(len(df))],
+            }
+        )
+
+    stats = both.map_batches(stat_partial, batch_format="pandas")
+    n = int(stats.sum("n") or 0)
+    sa = int(stats.sum("sa") or 0)
+    sab = int(stats.sum("sab") or 0)
+    saa = int(stats.sum("saa") or 0)
+    n_pairs = int(stats.sum("n_pairs") or 0)
+    # symmetric edge list: sb == sa, sbb == saa; formula token-identical
+    # to the SQL so the double is bit-equal
+    num = float(n) * float(sab) - float(sa) * float(sa)
+    den = np.sqrt(float(n) * float(saa) - float(sa) * float(sa)) * np.sqrt(
+        float(n) * float(saa) - float(sa) * float(sa)
+    )
+    return pd.DataFrame(
+        {
+            "n_edges": pd.Series([n_pairs], dtype="int64"),
+            "assortativity": pd.Series([num / den], dtype="float64"),
+        }
+    )
+
+
+SQL_COPURCHASE_ASSORTATIVITY = """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey),
+deg AS (
+  SELECT part, CAST(COUNT(*) AS BIGINT) AS degree
+  FROM (SELECT x AS part FROM pairs UNION ALL SELECT y AS part FROM pairs)
+  GROUP BY part),
+e AS (
+  SELECT d1.degree AS a, d2.degree AS b
+  FROM pairs JOIN deg d1 ON pairs.x = d1.part JOIN deg d2 ON pairs.y = d2.part),
+sym AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(a) AS BIGINT) AS sa,
+             CAST(SUM(a*b) AS BIGINT) AS sab,
+             CAST(SUM(a*a) AS BIGINT) AS saa
+      FROM sym)
+SELECT CAST(n / 2 AS BIGINT) AS n_edges,
+       (CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+          - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+       / (sqrt(CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+               - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+          * sqrt(CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+                 - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)))
+         AS assortativity
+FROM s
+"""
+
+
 QUERIES_SEQ = {
     "event_transitions": q_event_transitions,
     "conversion_lag": q_conversion_lag,
     "corr_qty_discount": q_corr_qty_discount,
     "copurchase_degree_hist": q_copurchase_degree_hist,
     "urgent_lineitem_revenue": q_urgent_lineitem_revenue,
+    "copurchase_assortativity": q_copurchase_assortativity,
 }
 
 ORACLE_SQL_SEQ = {
@@ -425,6 +560,7 @@ ORACLE_SQL_SEQ = {
     "corr_qty_discount": SQL_CORR_QTY_DISCOUNT,
     "copurchase_degree_hist": SQL_COPURCHASE_DEGREE_HIST,
     "urgent_lineitem_revenue": SQL_URGENT_LINEITEM_REVENUE,
+    "copurchase_assortativity": SQL_COPURCHASE_ASSORTATIVITY,
 }
 
 from .analytics import ORACLE_SQL as _MAIN_SQL  # noqa: E402
