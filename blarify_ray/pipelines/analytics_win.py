@@ -739,6 +739,74 @@ FROM events GROUP BY 1, 3
 """
 
 
+# --- corpus_mixture (dataset-mixing quota sampler) ---------------------------
+
+#: per-source quota rule (SQL-expressible): sources whose trailing digit
+#: is even get the LARGE quota, the rest the SMALL one — upweighting a
+#: subset of sources is exactly what a training-mix config does; quotas
+#: above a source's supply degrade gracefully to "take all".
+MIX_QUOTA_LARGE = 18
+MIX_QUOTA_SMALL = 7
+
+
+def q_corpus_mixture(sf_dir: str):
+    """Deterministic DATASET MIXING: select each source's quota of
+    documents (per-source weights = the training-mix config) by smallest
+    multiplicative hash — the reproducible form of temperature/mixture
+    sampling an LLM data pipeline applies before tokenization. Ties and
+    re-runs are stable (hash, then doc_id); an over-supplied quota takes
+    the whole source.
+
+    Scale shape: identical to the stratified sampler — per-batch
+    per-source smallest-hash top-quota combiner, ONE source-routed
+    exchange of ≤ quota·|sources| rows per batch, vectorized final
+    merge; the corpus itself never shuffles."""
+    docs = _t(sf_dir, "documents", ["doc_id", "source"])
+
+    def quota_of(src: pd.Series) -> np.ndarray:
+        last = src.str[-1:].astype(str)
+        even = last.isin(["0", "2", "4", "6", "8"]).to_numpy()
+        return np.where(even, MIX_QUOTA_LARGE, MIX_QUOTA_SMALL)
+
+    def topq(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["source", "h", "doc_id"], kind="mergesort")
+        rk = df.groupby("source", sort=False).cumcount()
+        return df[rk < quota_of(df["source"])]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(np.int64)
+        h = (ids.astype(np.uint64) * np.uint64(_SAMPLE_MULT)) % np.uint64(_SAMPLE_MOD)
+        d = pd.DataFrame(
+            {"source": df["source"], "doc_id": ids, "h": h.astype(np.int64)}
+        )
+        return _route(topq(d), "source")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return topq(g)[["source", "doc_id"]].reset_index(drop=True)
+
+    return (
+        docs.map_batches(partial, batch_format="pandas")
+        .groupby("_pkey")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+SQL_CORPUS_MIXTURE = f"""
+WITH h AS (
+  SELECT source, doc_id,
+         CAST((CAST(doc_id AS HUGEINT) * {_SAMPLE_MULT}) % {_SAMPLE_MOD}
+              AS BIGINT) AS h
+  FROM documents),
+r AS (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk
+  FROM h)
+SELECT source, doc_id FROM r
+WHERE rk <= CASE WHEN right(source, 1) IN ('0','2','4','6','8')
+                 THEN {MIX_QUOTA_LARGE} ELSE {MIX_QUOTA_SMALL} END
+"""
+
+
 QUERIES_WIN = {
     "top3_orders_per_customer": q_top3_orders_per_customer,
     "median_price_by_flag": q_median_price_by_flag,
@@ -751,6 +819,7 @@ QUERIES_WIN = {
     "ngram_span_dups": q_ngram_span_dups,
     "event_bursts": q_event_bursts,
     "events_watermark_windows": q_events_watermark_windows,
+    "corpus_mixture": q_corpus_mixture,
 }
 
 ORACLE_SQL_WIN = {
@@ -765,6 +834,7 @@ ORACLE_SQL_WIN = {
     "ngram_span_dups": SQL_NGRAM_SPAN_DUPS,
     "event_bursts": SQL_EVENT_BURSTS,
     "events_watermark_windows": SQL_WATERMARK_WINDOWS,
+    "corpus_mixture": SQL_CORPUS_MIXTURE,
 }
 
 # self-register into the main battery (same contract as analytics_ext)
