@@ -120,3 +120,26 @@ def test_props_value_stats_missing_k(tmp_path):
     assert g.loc["ghost", "n_events"] == 2
     assert pd.isna(g.loc["ghost", "sum_k"]) and pd.isna(g.loc["ghost", "max_k"])
     assert g.loc["mix", "sum_k"] == 7 and g.loc["mix", "max_k"] == 7
+
+
+def test_corpus_mixture_oversupplied_quota(tmp_path):
+    """A source with fewer docs than its quota yields ALL its docs; the
+    engine must match the oracle on this degenerate-supply table too."""
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(10), pa.int64()),
+            "text": pa.array(["w"] * 10, pa.string()),
+            "lang": pa.array(["en"] * 10, pa.string()),
+            # src2 (even → LARGE quota 18) has only 3 docs; src1 (odd →
+            # SMALL quota 7) has 7 docs exactly at the boundary
+            "source": pa.array(["src2"] * 3 + ["src1"] * 7, pa.string()),
+            "n_chars": pa.array([1] * 10, pa.int64()),
+        }
+    )
+    sf = _write_sf(tmp_path, documents=tbl)
+    got = QUERIES["corpus_mixture"](sf)
+    want = _oracle(sf, ORACLE_SQL["corpus_mixture"])
+    _assert_match(got, want)
+    g = got.to_pandas() if hasattr(got, "to_pandas") else got
+    assert (g["source"] == "src2").sum() == 3  # whole under-supplied source
+    assert (g["source"] == "src1").sum() == 7  # exact boundary
