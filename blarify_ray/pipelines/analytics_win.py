@@ -807,6 +807,89 @@ WHERE rk <= CASE WHEN right(source, 1) IN ('0','2','4','6','8')
 """
 
 
+# --- user_daily_bursts (oracle-checked leave-one-out burst flag) -------------
+
+
+def q_user_daily_bursts(sf_dir: str):
+    """Per (user, day): event count + a burst flag — count ≥ 3 AND above
+    the user's LEAVE-ONE-OUT daily mean by 2 population standard
+    deviations (single-day users never burst). The SAME spec as the KG
+    mention-trend burst detector (`graph_analytics.mention_trends`),
+    here over the events table so the LOO math itself is
+    DuckDB-oracle-verified (the KG variant gets the rows-only check).
+
+    Scale shape: per-batch (user, day) count partials, ONE user-keyed
+    exchange where each user's full series lands in a partition and the
+    exact-integer sufficient statistics (Σn, Σn², m) drive float moments
+    token-identical to the SQL window sums."""
+    ev = _t(sf_dir, "events", ["user_id", "ts"])
+    day_us = 86_400_000_000
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ts = df["ts"].astype("int64").to_numpy()
+        day = (ts // day_us) * day_us
+        g = (
+            pd.DataFrame({"user_id": df["user_id"].to_numpy(np.int64), "day": day})
+            .groupby(["user_id", "day"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return _route(g, "user_id")
+
+    def flag(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby(["user_id", "day"], sort=False)["n"].sum().reset_index()
+        g = g.sort_values(["user_id", "day"], kind="mergesort")
+        grp = g.assign(sq=g["n"].astype("int64") ** 2).groupby("user_id", sort=False)
+        m = grp["n"].transform("size").to_numpy(np.int64)
+        sm = grp["n"].transform("sum").to_numpy(np.int64)
+        sq = grp["sq"].transform("sum").to_numpy(np.int64)
+        n = g["n"].to_numpy(np.int64)
+        denom = np.maximum(m - 1, 1)
+        loo_mean = (sm - n) / denom
+        loo_var = np.maximum((sq - n * n) / denom - loo_mean * loo_mean, 0.0)
+        return pd.DataFrame(
+            {
+                "user_id": g["user_id"].to_numpy(np.int64),
+                "day": g["day"].to_numpy(np.int64),
+                "n_events": n,
+                "is_burst": (m > 1)
+                & (n >= 3)
+                & (n > loo_mean + 2.0 * np.sqrt(loo_var)),
+            }
+        )
+
+    return (
+        ev.map_batches(partial, batch_format="pandas")
+        .groupby("_pkey")
+        .map_groups(flag, batch_format="pandas")
+    )
+
+
+SQL_USER_DAILY_BURSTS = """
+WITH d AS (
+  SELECT user_id,
+         CAST((epoch_us(ts) // 86400000000) * 86400000000 AS BIGINT) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+s AS (
+  SELECT user_id, day, n,
+         CAST(COUNT(*) OVER w AS BIGINT) AS m,
+         CAST(SUM(n) OVER w AS BIGINT) AS sm,
+         CAST(SUM(n*n) OVER w AS BIGINT) AS sq
+  FROM d WINDOW w AS (PARTITION BY user_id))
+SELECT user_id, day, n AS n_events,
+       (m > 1 AND n >= 3 AND
+        CAST(n AS DOUBLE) >
+          CAST(sm - n AS DOUBLE) / (m - 1)
+          + 2.0 * sqrt(GREATEST(
+              CAST(sq - n*n AS DOUBLE) / (m - 1)
+                - (CAST(sm - n AS DOUBLE) / (m - 1))
+                  * (CAST(sm - n AS DOUBLE) / (m - 1)),
+              0.0))) AS is_burst
+FROM s
+"""
+
+
 QUERIES_WIN = {
     "top3_orders_per_customer": q_top3_orders_per_customer,
     "median_price_by_flag": q_median_price_by_flag,
@@ -820,6 +903,7 @@ QUERIES_WIN = {
     "event_bursts": q_event_bursts,
     "events_watermark_windows": q_events_watermark_windows,
     "corpus_mixture": q_corpus_mixture,
+    "user_daily_bursts": q_user_daily_bursts,
 }
 
 ORACLE_SQL_WIN = {
@@ -835,6 +919,7 @@ ORACLE_SQL_WIN = {
     "event_bursts": SQL_EVENT_BURSTS,
     "events_watermark_windows": SQL_WATERMARK_WINDOWS,
     "corpus_mixture": SQL_CORPUS_MIXTURE,
+    "user_daily_bursts": SQL_USER_DAILY_BURSTS,
 }
 
 # self-register into the main battery (same contract as analytics_ext)
