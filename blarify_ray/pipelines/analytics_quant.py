@@ -95,6 +95,8 @@ def q_rolling_value_7d(sf_dir: str):
         bounds = np.r_[starts, len(g)]
         roll = np.empty(len(g), np.int64)
         for s0, s1 in zip(bounds[:-1], bounds[1:]):
+            if s1 == s0:
+                continue
             segs = seg[s0:s1]
             base = segs[0]
             spans = span[base : segs[-1] + 1]

@@ -48,8 +48,6 @@ def q_bigram_pmi_top(sf_dir: str):
     surviving (count ≥ ``PMI_MIN_COUNT``) bigrams via two co-partitioned
     lookups — the vocabulary is never broadcast and never lands on the
     driver. Final global sort+limit on the pruned bigram table."""
-    from ray.data.aggregate import Sum
-
     from ..ops.joins import copartition_attach
 
     docs = _t(sf_dir, "documents", ["text"])

@@ -1128,6 +1128,11 @@ def match_pattern(
     n_steps = len(steps)
     if n_steps == 0:
         return ray.data.from_arrow(_mp_empty(0))
+    for st in steps:
+        if st.get("dir") not in (None, "out", "in"):
+            raise ValueError(
+                f"step dir must be 'out' or 'in', got {st.get('dir')!r}"
+            )
     edges_ds = read_stage(paths["edges"], columns=["src_id", "dst_id", "pred"])
     need_types = src_type is not None or any(s.get("dst_type") for s in steps)
     ents_ds = read_stage(paths["entities"], columns=["entity_id", "type"])

@@ -57,10 +57,16 @@ def _t_doc_context(paths: dict[str, str], url: str) -> dict:
 
 
 def _t_k_hop(paths: dict[str, str], seed_ids: list[str], max_depth: int = 3,
-             offset: int = 0, limit: int | None = None) -> list[dict]:
+             offset: int = 0, limit: int | None = None,
+             direction: str = "out") -> list[dict]:
     from .pipelines.graph_queries import k_hop
 
-    return _rows(k_hop(paths, seed_ids, max_depth=max_depth, offset=offset, limit=limit))
+    return _rows(
+        k_hop(
+            paths, seed_ids, max_depth=max_depth, offset=offset, limit=limit,
+            direction=direction,
+        )
+    )
 
 
 def _t_workflows(paths: dict[str, str], max_depth: int = 6,
@@ -295,10 +301,13 @@ TOOLS: dict[str, Tool] = {
              "Doc row for a url plus its mentions and triples",
              _t_doc_context, {"url": {"type": "string"}}, ("url",)),
         Tool("k_hop_neighborhood",
-             "Entities within k hops of seed ids (minimal depth), paged",
+             "Entities within k hops of seed ids (minimal depth), paged; "
+             "direction follows outgoing edges, inbound references, or both",
              _t_k_hop,
              {"seed_ids": {"type": "array", "items": {"type": "string"}},
-              "max_depth": {"type": "integer", "default": 3}, **_PAGE},
+              "max_depth": {"type": "integer", "default": 3},
+              "direction": {"type": "string", "enum": ["out", "in", "both"],
+                            "default": "out"}, **_PAGE},
              ("seed_ids",)),
         Tool("workflow_traces",
              "DFS execution traces from entry points (depth-capped, LCP-deduped), paged",

@@ -170,7 +170,7 @@ def test_k_hop_direction(built, graph):
     from blarify_ray.pipelines.graph_queries import k_hop
 
     ents, triples = graph
-    seed = triples[0][1]  # some dst — has at least one inbound edge
+    seed = triples[0][2]  # some dst — has at least one inbound edge
     inbound = {r["entity_id"] for r in k_hop(built, [seed], max_depth=1, direction="in").take_all()}
     want_in = {seed} | {s for s, _, d in triples if d == seed}
     assert inbound == want_in
@@ -179,3 +179,10 @@ def test_k_hop_direction(built, graph):
     assert both == want_both
     with pytest.raises(ValueError):
         k_hop(built, [seed], direction="sideways")
+
+
+def test_invalid_dir_rejected(built):
+    with pytest.raises(ValueError):
+        match_pattern(built, [{"dir": "both"}], limit=5)
+    with pytest.raises(ValueError):
+        match_pattern(built, [{"dir": "OUT"}], limit=5)
