@@ -20,6 +20,11 @@ def main(argv: list[str] | None = None) -> int:
     b = sub.add_parser("build", help="run the full KG-construction pipeline")
     b.add_argument("--out", required=True, help="output/checkpoint directory")
     b.add_argument("--pages", type=int, required=True, help="synthetic corpus size")
+    b.add_argument(
+        "--warc-dir", default=None,
+        help="ingest pages from a WARC shard directory instead of the "
+             "synthetic source (sources/warc.py)",
+    )
     b.add_argument("--num-cpus", type=int, default=None)
 
     u = sub.add_parser("update", help="incremental update for changed pages")
@@ -79,7 +84,15 @@ def main(argv: list[str] | None = None) -> int:
         if args.cmd == "build":
             from .pipelines.kg_build import build_kg
 
-            paths = build_kg(args.out, args.pages)
+            if args.warc_dir:
+                from .sources.warc import read_pages_warc
+
+                paths = build_kg(
+                    args.out, args.pages, pages=read_pages_warc(args.warc_dir),
+                    source_fingerprint=f"warc:{args.warc_dir}:{args.pages}",
+                )
+            else:
+                paths = build_kg(args.out, args.pages)
             print(json.dumps({"status": "ok", "stages": paths}))
         elif args.cmd == "update":
             from .pipelines.incremental import incremental_update

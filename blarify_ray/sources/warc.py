@@ -1,0 +1,148 @@
+"""WARC-style crawl-archive source — the Common-Crawl ingestion form of
+the pages table.
+
+The engine's page contract is the parquet table ``(url, warc_ts, html,
+text, lang)``; real crawls arrive as WARC response records. This module
+round-trips that contract through a simplified-but-structurally-faithful
+WARC framing (version line, named headers, ``Content-Length``-framed
+binary payload — the parse uses the declared length, never delimiter
+splitting, so payloads containing header-like bytes survive):
+
+    WARC/1.0\\r\\n
+    WARC-Type: response\\r\\n
+    WARC-Target-URI: <url>\\r\\n
+    WARC-Date: <ISO-8601 µs>\\r\\n
+    X-Crawl-Lang: <lang>\\r\\n
+    Content-Length: <len(html)>\\r\\n
+    \\r\\n
+    <html bytes>\\r\\n\\r\\n
+
+Writes are DISTRIBUTED and deterministic: each Ray block becomes one
+gzip shard named by the md5 of its record bytes (re-runs overwrite
+byte-identical files — the retry-safe deterministic-filename tee
+pattern, ``pipelines/kg_build.py``). Reads are
+``ray.data.read_binary_files`` over the shard dir + a per-file parser
+(one Python loop per RECORD, never per byte) emitting PAGES-schema
+batches — so a WARC-ingested corpus feeds ``build_kg(pages=...)``
+unchanged. Reference analog: ``ProjectFilesIterator`` reading an
+on-disk tree (``project_files_iterator.py:39-103``); here the "tree" is
+a crawl-archive directory.
+"""
+
+from __future__ import annotations
+
+import gzip
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from ..schemas import PAGES
+
+_EPOCH = np.datetime64("1970-01-01T00:00:00", "us")
+
+
+def _ts_to_iso(us: int) -> str:
+    return str(_EPOCH + np.timedelta64(int(us), "us")) + "Z"
+
+
+def _iso_to_us(iso: str) -> int:
+    return int(
+        (np.datetime64(iso.rstrip("Z"), "us") - _EPOCH) // np.timedelta64(1, "us")
+    )
+
+
+def _record_bytes(url: str, ts_us: int, html: bytes, lang: str) -> bytes:
+    head = (
+        "WARC/1.0\r\n"
+        "WARC-Type: response\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        f"WARC-Date: {_ts_to_iso(ts_us)}\r\n"
+        f"X-Crawl-Lang: {lang}\r\n"
+        f"Content-Length: {len(html)}\r\n"
+        "\r\n"
+    ).encode("utf-8")
+    return head + html + b"\r\n\r\n"
+
+
+def write_pages_warc(pages: ray.data.Dataset, out_dir: str) -> str:
+    """Persist a PAGES-schema dataset as gzip WARC shards (one per Ray
+    block, deterministic content-hash filenames)."""
+    os.makedirs(out_dir, exist_ok=True)
+
+    def dump(t: pa.Table) -> pa.Table:
+        ts = t["warc_ts"].cast(pa.int64()).to_pylist()
+        parts = [
+            _record_bytes(u, s, h, lg)
+            for u, s, h, lg in zip(
+                t["url"].to_pylist(), ts, t["html"].to_pylist(),
+                t["lang"].to_pylist(),
+            )
+        ]
+        blob = b"".join(parts)
+        name = hashlib.md5(blob).hexdigest()
+        path = os.path.join(out_dir, f"{name}.warc.gz")
+        tmp = path + ".tmp"
+        with gzip.open(tmp, "wb", compresslevel=1) as f:
+            f.write(blob)
+        os.replace(tmp, path)  # atomic; retries rewrite the same bytes
+        return pa.Table.from_pydict({"shard": pa.array([name], pa.string())})
+
+    pages.map_batches(dump, batch_format="pyarrow").materialize()
+    return out_dir
+
+
+def _parse_records(blob: bytes) -> list[dict]:
+    rows: list[dict] = []
+    pos = 0
+    n = len(blob)
+    while pos < n:
+        head_end = blob.index(b"\r\n\r\n", pos)
+        headers = blob[pos:head_end].decode("utf-8").split("\r\n")
+        if not headers or headers[0] != "WARC/1.0":
+            raise ValueError(f"bad WARC record at offset {pos}")
+        h = dict(line.split(": ", 1) for line in headers[1:] if ": " in line)
+        clen = int(h["Content-Length"])
+        body_start = head_end + 4
+        html = blob[body_start : body_start + clen]
+        rows.append(
+            {
+                "url": h["WARC-Target-URI"],
+                "warc_ts": int(_iso_to_us(h["WARC-Date"])),
+                "html": html,
+                "text": "",
+                "lang": h.get("X-Crawl-Lang", ""),
+            }
+        )
+        pos = body_start + clen + 4  # skip trailing \r\n\r\n
+    return rows
+
+
+def read_pages_warc(warc_dir: str) -> ray.data.Dataset:
+    """WARC shard dir → PAGES-schema dataset (distributed parse: one
+    task per shard via ``read_binary_files``)."""
+
+    def parse(t: pa.Table) -> pa.Table:
+        rows: list[dict] = []
+        for blob in t["bytes"].to_pylist():
+            # Ray's read_binary_files auto-decompresses .gz paths; keep
+            # the magic-byte check so raw blobs also parse
+            if blob[:2] == b"\x1f\x8b":
+                blob = gzip.decompress(blob)
+            rows.extend(_parse_records(blob))
+        tbl = pa.Table.from_pylist(rows)
+        return pa.Table.from_pydict(
+            {
+                "url": tbl["url"].cast(pa.string()),
+                "warc_ts": tbl["warc_ts"].cast(pa.timestamp("us")),
+                "html": tbl["html"].cast(pa.binary()),
+                "text": tbl["text"].cast(pa.string()),
+                "lang": tbl["lang"].cast(pa.string()),
+            },
+        ).cast(PAGES)
+
+    return ray.data.read_binary_files(warc_dir).map_batches(
+        parse, batch_format="pyarrow"
+    )
