@@ -146,3 +146,85 @@ def read_pages_warc(warc_dir: str) -> ray.data.Dataset:
     return ray.data.read_binary_files(warc_dir).map_batches(
         parse, batch_format="pyarrow"
     )
+
+
+# --- JSONL sibling (crawl dumps as JSON lines, html base64-encoded) ----------
+
+
+def write_pages_jsonl(pages: ray.data.Dataset, out_dir: str) -> str:
+    """PAGES dataset → gzip JSONL shards (html base64 — JSON carries no
+    binary); same deterministic content-hash shard naming as the WARC
+    writer."""
+    import base64
+    import json
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def dump(t: pa.Table) -> pa.Table:
+        ts = t["warc_ts"].cast(pa.int64()).to_pylist()
+        lines = [
+            json.dumps(
+                {
+                    "url": u,
+                    "warc_ts": s,
+                    "html_b64": base64.b64encode(h).decode("ascii"),
+                    "lang": lg,
+                },
+                sort_keys=True,
+            )
+            for u, s, h, lg in zip(
+                t["url"].to_pylist(), ts, t["html"].to_pylist(),
+                t["lang"].to_pylist(),
+            )
+        ]
+        blob = ("\n".join(lines) + "\n").encode("utf-8")
+        name = hashlib.md5(blob).hexdigest()
+        path = os.path.join(out_dir, f"{name}.jsonl.gz")
+        tmp = path + ".tmp"
+        with gzip.open(tmp, "wb", compresslevel=1) as f:
+            f.write(blob)
+        os.replace(tmp, path)
+        return pa.Table.from_pydict({"shard": pa.array([name], pa.string())})
+
+    pages.map_batches(dump, batch_format="pyarrow").materialize()
+    return out_dir
+
+
+def read_pages_jsonl(jsonl_dir: str) -> ray.data.Dataset:
+    """JSONL shard dir → PAGES-schema dataset (distributed per-shard
+    parse, one json.loads per LINE)."""
+    import base64
+    import json
+
+    def parse(t: pa.Table) -> pa.Table:
+        rows: list[dict] = []
+        for blob in t["bytes"].to_pylist():
+            if blob[:2] == b"\x1f\x8b":
+                blob = gzip.decompress(blob)
+            for line in blob.decode("utf-8").splitlines():
+                if not line:
+                    continue
+                o = json.loads(line)
+                rows.append(
+                    {
+                        "url": o["url"],
+                        "warc_ts": int(o["warc_ts"]),
+                        "html": base64.b64decode(o["html_b64"]),
+                        "text": "",
+                        "lang": o["lang"],
+                    }
+                )
+        tbl = pa.Table.from_pylist(rows)
+        return pa.Table.from_pydict(
+            {
+                "url": tbl["url"].cast(pa.string()),
+                "warc_ts": tbl["warc_ts"].cast(pa.timestamp("us")),
+                "html": tbl["html"].cast(pa.binary()),
+                "text": tbl["text"].cast(pa.string()),
+                "lang": tbl["lang"].cast(pa.string()),
+            },
+        ).cast(PAGES)
+
+    return ray.data.read_binary_files(jsonl_dir).map_batches(
+        parse, batch_format="pyarrow"
+    )

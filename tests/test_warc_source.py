@@ -87,3 +87,14 @@ def test_kg_from_warc_identical_to_synth():
     assert stage_rows(pa_, "edges", ["src_id", "dst_id", "pred", "weight"]) == stage_rows(
         pb, "edges", ["src_id", "dst_id", "pred", "weight"]
     )
+
+
+def test_jsonl_roundtrip_byte_exact():
+    from blarify_ray.sources.warc import read_pages_jsonl, write_pages_jsonl
+
+    d = "/tmp/blarify_ray_test_jsonl"
+    shutil.rmtree(d, ignore_errors=True)
+    write_pages_jsonl(synth_pages(N), d)
+    back = read_pages_jsonl(d)
+    assert back.schema().names == PAGES.names
+    assert _rows(back) == _rows(synth_pages(N))
