@@ -19,7 +19,12 @@ def main(argv: list[str] | None = None) -> int:
 
     b = sub.add_parser("build", help="run the full KG-construction pipeline")
     b.add_argument("--out", required=True, help="output/checkpoint directory")
-    b.add_argument("--pages", type=int, required=True, help="synthetic corpus size")
+    b.add_argument(
+        "--pages", type=int, required=True,
+        help="corpus size: drives the gazetteer/entity universe — with "
+             "--warc-dir it must match the archive's generating corpus "
+             "size",
+    )
     b.add_argument(
         "--warc-dir", default=None,
         help="ingest pages from a WARC shard directory instead of the "
@@ -85,11 +90,15 @@ def main(argv: list[str] | None = None) -> int:
             from .pipelines.kg_build import build_kg
 
             if args.warc_dir:
-                from .sources.warc import read_pages_warc
+                from .sources.warc import archive_fingerprint, read_pages_warc
 
+                # CONTENT-based lineage: editing the archive invalidates
+                # the checkpoints (a path-keyed fingerprint would reuse
+                # stale stages after a re-export)
+                fp = archive_fingerprint(args.warc_dir)
                 paths = build_kg(
                     args.out, args.pages, pages=read_pages_warc(args.warc_dir),
-                    source_fingerprint=f"warc:{args.warc_dir}:{args.pages}",
+                    source_fingerprint=f"warc:{fp}:{args.pages}",
                 )
             else:
                 paths = build_kg(args.out, args.pages)

@@ -55,6 +55,8 @@ def _iso_to_us(iso: str) -> int:
 
 
 def _record_bytes(url: str, ts_us: int, html: bytes, lang: str) -> bytes:
+    if "\r" in url or "\n" in url or "\r" in lang or "\n" in lang:
+        raise ValueError(f"CR/LF in WARC header field: {url!r} / {lang!r}")
     head = (
         "WARC/1.0\r\n"
         "WARC-Type: response\r\n"
@@ -67,12 +69,62 @@ def _record_bytes(url: str, ts_us: int, html: bytes, lang: str) -> bytes:
     return head + html + b"\r\n\r\n"
 
 
+def _write_shard(blob: bytes, out_dir: str, ext: str) -> str:
+    """Content-hash-named gzip shard with atomic replace: retries of the
+    same batch rewrite byte-identical files. Two genuinely IDENTICAL
+    batches collide to one shard (their bytes are equal — effectively a
+    batch-level dedup; the synth/crawl contract has unique urls, so
+    identical batches only arise from duplicated inputs)."""
+    name = hashlib.md5(blob).hexdigest()
+    path = os.path.join(out_dir, f"{name}{ext}")
+    tmp = path + ".tmp"
+    with gzip.open(tmp, "wb", compresslevel=1) as f:
+        f.write(blob)
+    os.replace(tmp, path)
+    return name
+
+
+def _clean_shards(out_dir: str, ext: str) -> None:
+    """Driver-side pre-clean: a RE-export must not union with a previous
+    export's shards (content-hash names never collide across exports)."""
+    os.makedirs(out_dir, exist_ok=True)
+    for f in os.listdir(out_dir):
+        if f.endswith(ext) or f.endswith(ext + ".tmp"):
+            os.remove(os.path.join(out_dir, f))
+
+
+def _shard_files(src_dir: str, ext: str) -> list[str]:
+    """Explicit sorted shard list (never directory-walk: excludes crashed
+    writes' ``.tmp`` files and foreign files)."""
+    return sorted(
+        os.path.join(src_dir, f) for f in os.listdir(src_dir) if f.endswith(ext)
+    )
+
+
+def archive_fingerprint(src_dir: str, ext: str = ".warc.gz") -> str:
+    """Content fingerprint of a shard dir — the filenames ARE content
+    hashes, so a digest of the sorted listing changes exactly when the
+    archive's bytes do (used for checkpoint lineage by the CLI)."""
+    names = ";".join(os.path.basename(f) for f in _shard_files(src_dir, ext))
+    return hashlib.md5(names.encode("utf-8")).hexdigest()
+
+
 def write_pages_warc(pages: ray.data.Dataset, out_dir: str) -> str:
     """Persist a PAGES-schema dataset as gzip WARC shards (one per Ray
-    block, deterministic content-hash filenames)."""
-    os.makedirs(out_dir, exist_ok=True)
+    block — ``batch_size=None`` keeps whole blocks together — with
+    deterministic content-hash filenames; the dir is pre-cleaned of
+    previous exports). ``text`` must be empty (crawl archives carry raw
+    html; text is DERIVED downstream) — a non-empty text row raises
+    rather than silently dropping data."""
+    _clean_shards(out_dir, ".warc.gz")
 
     def dump(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.Table.from_pydict({"shard": pa.array([], pa.string())})
+        import pyarrow.compute as pc
+
+        if pc.any(pc.not_equal(t["text"], "")).as_py():
+            raise ValueError("WARC export requires empty text (derived downstream)")
         ts = t["warc_ts"].cast(pa.int64()).to_pylist()
         parts = [
             _record_bytes(u, s, h, lg)
@@ -81,16 +133,10 @@ def write_pages_warc(pages: ray.data.Dataset, out_dir: str) -> str:
                 t["lang"].to_pylist(),
             )
         ]
-        blob = b"".join(parts)
-        name = hashlib.md5(blob).hexdigest()
-        path = os.path.join(out_dir, f"{name}.warc.gz")
-        tmp = path + ".tmp"
-        with gzip.open(tmp, "wb", compresslevel=1) as f:
-            f.write(blob)
-        os.replace(tmp, path)  # atomic; retries rewrite the same bytes
+        name = _write_shard(b"".join(parts), out_dir, ".warc.gz")
         return pa.Table.from_pydict({"shard": pa.array([name], pa.string())})
 
-    pages.map_batches(dump, batch_format="pyarrow").materialize()
+    pages.map_batches(dump, batch_format="pyarrow", batch_size=None).materialize()
     return out_dir
 
 
@@ -120,9 +166,27 @@ def _parse_records(blob: bytes) -> list[dict]:
     return rows
 
 
+def _rows_to_pages(rows: list[dict]) -> pa.Table:
+    if not rows:
+        return pa.Table.from_pydict(
+            {f.name: pa.array([], f.type) for f in PAGES}, schema=PAGES
+        )
+    tbl = pa.Table.from_pylist(rows)
+    return pa.Table.from_pydict(
+        {
+            "url": tbl["url"].cast(pa.string()),
+            "warc_ts": tbl["warc_ts"].cast(pa.timestamp("us")),
+            "html": tbl["html"].cast(pa.binary()),
+            "text": tbl["text"].cast(pa.string()),
+            "lang": tbl["lang"].cast(pa.string()),
+        },
+    ).cast(PAGES)
+
+
 def read_pages_warc(warc_dir: str) -> ray.data.Dataset:
-    """WARC shard dir → PAGES-schema dataset (distributed parse: one
-    task per shard via ``read_binary_files``)."""
+    """WARC shard dir → PAGES-schema dataset (distributed parse over the
+    explicit ``*.warc.gz`` shard list — crashed writes' ``.tmp`` files
+    are never ingested)."""
 
     def parse(t: pa.Table) -> pa.Table:
         rows: list[dict] = []
@@ -132,20 +196,11 @@ def read_pages_warc(warc_dir: str) -> ray.data.Dataset:
             if blob[:2] == b"\x1f\x8b":
                 blob = gzip.decompress(blob)
             rows.extend(_parse_records(blob))
-        tbl = pa.Table.from_pylist(rows)
-        return pa.Table.from_pydict(
-            {
-                "url": tbl["url"].cast(pa.string()),
-                "warc_ts": tbl["warc_ts"].cast(pa.timestamp("us")),
-                "html": tbl["html"].cast(pa.binary()),
-                "text": tbl["text"].cast(pa.string()),
-                "lang": tbl["lang"].cast(pa.string()),
-            },
-        ).cast(PAGES)
+        return _rows_to_pages(rows)
 
-    return ray.data.read_binary_files(warc_dir).map_batches(
-        parse, batch_format="pyarrow"
-    )
+    return ray.data.read_binary_files(
+        _shard_files(warc_dir, ".warc.gz")
+    ).map_batches(parse, batch_format="pyarrow")
 
 
 # --- JSONL sibling (crawl dumps as JSON lines, html base64-encoded) ----------
@@ -158,9 +213,11 @@ def write_pages_jsonl(pages: ray.data.Dataset, out_dir: str) -> str:
     import base64
     import json
 
-    os.makedirs(out_dir, exist_ok=True)
+    _clean_shards(out_dir, ".jsonl.gz")
 
     def dump(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.Table.from_pydict({"shard": pa.array([], pa.string())})
         ts = t["warc_ts"].cast(pa.int64()).to_pylist()
         lines = [
             json.dumps(
@@ -177,16 +234,12 @@ def write_pages_jsonl(pages: ray.data.Dataset, out_dir: str) -> str:
                 t["lang"].to_pylist(),
             )
         ]
-        blob = ("\n".join(lines) + "\n").encode("utf-8")
-        name = hashlib.md5(blob).hexdigest()
-        path = os.path.join(out_dir, f"{name}.jsonl.gz")
-        tmp = path + ".tmp"
-        with gzip.open(tmp, "wb", compresslevel=1) as f:
-            f.write(blob)
-        os.replace(tmp, path)
+        name = _write_shard(
+            ("\n".join(lines) + "\n").encode("utf-8"), out_dir, ".jsonl.gz"
+        )
         return pa.Table.from_pydict({"shard": pa.array([name], pa.string())})
 
-    pages.map_batches(dump, batch_format="pyarrow").materialize()
+    pages.map_batches(dump, batch_format="pyarrow", batch_size=None).materialize()
     return out_dir
 
 
@@ -214,17 +267,8 @@ def read_pages_jsonl(jsonl_dir: str) -> ray.data.Dataset:
                         "lang": o["lang"],
                     }
                 )
-        tbl = pa.Table.from_pylist(rows)
-        return pa.Table.from_pydict(
-            {
-                "url": tbl["url"].cast(pa.string()),
-                "warc_ts": tbl["warc_ts"].cast(pa.timestamp("us")),
-                "html": tbl["html"].cast(pa.binary()),
-                "text": tbl["text"].cast(pa.string()),
-                "lang": tbl["lang"].cast(pa.string()),
-            },
-        ).cast(PAGES)
+        return _rows_to_pages(rows)
 
-    return ray.data.read_binary_files(jsonl_dir).map_batches(
-        parse, batch_format="pyarrow"
-    )
+    return ray.data.read_binary_files(
+        _shard_files(jsonl_dir, ".jsonl.gz")
+    ).map_batches(parse, batch_format="pyarrow")

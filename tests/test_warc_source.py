@@ -98,3 +98,46 @@ def test_jsonl_roundtrip_byte_exact():
     back = read_pages_jsonl(d)
     assert back.schema().names == PAGES.names
     assert _rows(back) == _rows(synth_pages(N))
+
+
+def test_reexport_cleans_previous_shards():
+    from blarify_ray.sources.warc import archive_fingerprint, write_pages_warc
+
+    d = "/tmp/blarify_ray_test_warc_reexp"
+    shutil.rmtree(d, ignore_errors=True)
+    write_pages_warc(synth_pages(20), d)
+    fp1 = archive_fingerprint(d)
+    write_pages_warc(synth_pages(30), d)  # re-export: no union with old shards
+    fp2 = archive_fingerprint(d)
+    assert fp1 != fp2  # content fingerprint tracks the archive bytes
+    back = read_pages_warc(d)
+    assert back.count() >= 30
+    assert _rows(back) == _rows(synth_pages(30))
+
+
+def test_crlf_header_fields_rejected():
+    from blarify_ray.sources.warc import _record_bytes
+
+    with pytest.raises(ValueError):
+        _record_bytes("https://x/a\r\nX-Evil: 1", 0, b"", "en")
+    with pytest.raises(ValueError):
+        _record_bytes("https://x/a", 0, b"", "e\nn")
+
+
+def test_nonempty_text_rejected():
+    from blarify_ray.sources.warc import write_pages_warc
+
+    tbl = pa.table(
+        {
+            "url": pa.array(["https://x/a"], pa.string()),
+            "warc_ts": pa.array([0], pa.timestamp("us")),
+            "html": pa.array([b"<html/>"], pa.binary()),
+            "text": pa.array(["already extracted"], pa.string()),
+            "lang": pa.array(["en"], pa.string()),
+        },
+        schema=PAGES,
+    )
+    d = "/tmp/blarify_ray_test_warc_text"
+    shutil.rmtree(d, ignore_errors=True)
+    with pytest.raises(Exception):
+        write_pages_warc(ray.data.from_arrow(tbl), d)
