@@ -1014,3 +1014,6 @@ from . import analytics_rel  # noqa: E402, F401
 
 # decision-support composition battery (Q4/Q17/Q22/Q8 shapes) — same contract
 from . import analytics_tpch  # noqa: E402, F401
+
+# sequence-packing battery (concat-and-chunk pack plan) — same contract
+from . import analytics_pack  # noqa: E402, F401
