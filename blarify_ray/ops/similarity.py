@@ -8,6 +8,9 @@
   path: assignment partitions the corpus once; queries touch a fraction.
 - embedding_near_dup: cosine near-duplicate pairs via sign-LSH (random
   hyperplane) blocking + exact cosine verify.
+- semdedup: SemDeDup-style semantic dedup (Abbas et al. 2023, public) —
+  k-means clustering + within-cluster pairwise cosine; higher-id docs
+  dominated by a lower-id cluster-mate above the threshold are dropped.
 
 Reference analog: vector similarity search with min-score and top-k
 (``blarify/repositories/graph_db_manager/queries.py:2298-2356``).
@@ -321,6 +324,117 @@ def embedding_near_dup(
         )
 
     return enriched.map_batches(verify, batch_format="pyarrow")
+
+
+# --- SemDeDup (semantic dedup via embedding clustering) -----------------------
+
+
+def _semdedup_empty() -> pa.Table:
+    return pa.Table.from_pydict(
+        {
+            "vec_id": pa.array([], pa.int64()),
+            "dup_of": pa.array([], pa.int64()),
+            "cos": pa.array([], pa.float64()),
+        }
+    )
+
+
+def semdedup(
+    ds: ray.data.Dataset,
+    threshold: float = 0.96,
+    n_clusters: int = 16,
+    partitions: int = 16,
+    max_cluster: int = 4096,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> ray.data.Dataset:
+    """Semantic dedup over an embedding column (SemDeDup shape, Abbas et
+    al. 2023 — public): k-means clusters the corpus, each cluster gets a
+    local pairwise-cosine pass, and a row is DROPPED when some lower-id
+    member of its cluster is within ``threshold`` cosine — the same
+    dominated-by-lower-id drop rule as the engine's other near-dup ops.
+    Returns the dropped rows as ``(vec_id, dup_of, cos)`` where
+    ``dup_of`` is the smallest dominating lower id; kept set = corpus −
+    result.
+
+    Scale shape: clustering is the IVF trainer (driver-side seeded
+    sample, cluster count is a parameter — size it ∝ corpus/target
+    cluster size, the SemDeDup recipe); assignment is map-only; ONE
+    cell-keyed exchange co-locates whole clusters (vectors travel once,
+    as float32 blobs); the per-cluster O(m²/2) cosine check is a single
+    triangular matmul. Clusters above ``max_cluster`` are processed in
+    contiguous id-sorted blocks (pairs across blocks are not compared —
+    the hot-cluster cap, same trade as ``max_lsh_bucket``)."""
+    import pandas as pd
+
+    if ds.limit(1).count() == 0:
+        return ray.data.from_arrow(_semdedup_empty())
+    idx = IvfIndex.train(ds, n_clusters, emb_col=emb_col)
+    assigned = idx.assign(ds.select_columns([id_col, emb_col]), emb_col=emb_col)
+
+    def pack(t: pa.Table) -> pa.Table:
+        m = _unit(_mat(t[emb_col]))
+        cells = np.asarray(t["centroid"].to_pylist(), dtype=np.int64)
+        out = pd.DataFrame(
+            {
+                "cell": cells,
+                "id": np.asarray(t[id_col].to_pylist(), dtype=np.int64),
+                "v": [r.astype(np.float32).tobytes() for r in m],
+            }
+        )
+        out["_pkey"] = (out["cell"] % partitions).astype("int32")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def cell_dups(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _cell, sub in g.groupby("cell", sort=False):
+            sub = sub.sort_values("id", kind="mergesort")
+            ids = sub["id"].to_numpy(np.int64)
+            for s0 in range(0, len(sub), max_cluster):
+                blk = sub.iloc[s0 : s0 + max_cluster]
+                if len(blk) < 2:
+                    continue
+                m = (
+                    np.frombuffer(b"".join(blk["v"]), dtype=np.float32)
+                    .reshape(len(blk), -1)
+                    .astype(np.float64)
+                )
+                bids = ids[s0 : s0 + max_cluster]
+                sims = m @ m.T
+                # strictly-lower-triangle: candidate dominators are
+                # LOWER-id rows only (ids are sorted within the block)
+                hit = np.tril(sims >= threshold, k=-1)
+                dropped = hit.any(axis=1)
+                if not dropped.any():
+                    continue
+                first = np.argmax(hit[dropped], axis=1)  # smallest lower id
+                di = np.flatnonzero(dropped)
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": bids[di],
+                            "dup_of": bids[first],
+                            "cos": np.round(sims[di, first], 6),
+                        }
+                    )
+                )
+        if not outs:
+            return pd.DataFrame(
+                {
+                    "vec_id": pd.Series([], dtype="int64"),
+                    "dup_of": pd.Series([], dtype="int64"),
+                    "cos": pd.Series([], dtype="float64"),
+                }
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    from ..util import compact_nonempty
+
+    return compact_nonempty(
+        assigned.map_batches(pack, batch_format="pyarrow")
+        .groupby("_pkey")
+        .map_groups(cell_dups, batch_format="pandas")
+    )
 
 
 # --- k-NN graph construction -------------------------------------------------

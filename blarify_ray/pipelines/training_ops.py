@@ -347,6 +347,23 @@ def q_knn_graph_ivf(sf_dir: str):
         ["vec_id", "nn_id", "rank"]
     )
 
+def q_semdedup_embeddings(sf_dir: str):
+    """SemDeDup semantic dedup over the embeddings table (see
+    ``ops/similarity.semdedup``): k-means clusters + within-cluster
+    cosine; dropped rows returned as (vec_id, dup_of, cos). Planted-
+    ground-truth pytest verification (no SQL oracle — iterative k-means
+    is not SQL-expressible)."""
+    from ..ops.similarity import semdedup
+
+    emb = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    # the synthetic embeddings carry no true dups (max pairwise cos
+    # ≈ 0.51 at sf0.01) — 0.45 exercises the drop path deterministically,
+    # same calibration as q_embedding_near_dup's 0.5
+    return semdedup(emb, threshold=0.45, n_clusters=16)
+
+
 QUERIES = {
     "media_features": q_media_features,
     "approx_distinct_users": q_approx_distinct_users,
@@ -366,4 +383,5 @@ QUERIES = {
     "heavy_words_docs": q_heavy_words_docs,
     "clean_corpus_docs": q_clean_corpus_docs,
     "source_length_quantiles": q_source_length_quantiles,
+    "semdedup_embeddings": q_semdedup_embeddings,
 }
