@@ -244,11 +244,13 @@ def q_region_revenue(sf_dir: str):
     from ray.data.aggregate import Sum
 
     region = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    # missing region → sentinel no real regionkey equals → empty result,
+    # matching the SQL's inner join (not a KeyError)
     rkey = {
         n: k for k, n in zip(
             region["r_regionkey"].to_pylist(), region["r_name"].to_pylist()
         )
-    }[REGION_NAME]
+    }.get(REGION_NAME, -1)
     dims_ref = _q5q7_partials(sf_dir)
 
     def partial(t: pa.Table) -> pa.Table:

@@ -143,16 +143,16 @@ def q_small_qty_revenue(sf_dir: str):
     from ..util import get_broadcast
 
     part = _t(sf_dir, "part", ["p_partkey", "p_brand"])
-    brand_keys = np.sort(
-        part.map_batches(
-            lambda t: pa.Table.from_pydict(
-                {"p_partkey": t.filter(pc.equal(t["p_brand"], _Q17_BRAND))["p_partkey"]}
-            ),
-            batch_format="pyarrow",
-        )
-        .to_pandas()["p_partkey"]
-        .to_numpy(np.int64)
-    )
+    # take_all keeps the empty case well-typed (an all-empty Dataset
+    # loses its columns through to_pandas) — a corpus without the brand
+    # must produce the SQL's NULL row, not a KeyError
+    brand_rows = part.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"p_partkey": t.filter(pc.equal(t["p_brand"], _Q17_BRAND))["p_partkey"]}
+        ),
+        batch_format="pyarrow",
+    ).take_all()  # brand-part scale
+    brand_keys = np.sort(np.asarray([r["p_partkey"] for r in brand_rows], np.int64))
     keys_ref = _ray.put(brand_keys)
     li = _t(sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice"])
 
@@ -171,18 +171,18 @@ def q_small_qty_revenue(sf_dir: str):
         out = g.groupby("pkey", sort=False)[["s", "n"]].sum().reset_index()
         return out[["pkey", "s", "n"]]
 
-    stats = (
+    stat_rows = (
         li.map_batches(qty_partial, batch_format="pandas")
         .groupby("_pkey")
         .map_groups(qty_merge, batch_format="pandas")
-        .to_pandas()  # brand-part scale
+        .take_all()  # brand-part scale; well-typed even when empty
     )
-    stats = stats.sort_values("pkey")
+    stat_rows.sort(key=lambda r: r["pkey"])
     stats_ref = _ray.put(
         (
-            stats["pkey"].to_numpy(np.int64),
-            stats["s"].to_numpy(np.int64),
-            stats["n"].to_numpy(np.int64),
+            np.asarray([r["pkey"] for r in stat_rows], np.int64),
+            np.asarray([r["s"] for r in stat_rows], np.int64),
+            np.asarray([r["n"] for r in stat_rows], np.int64),
         )
     )
 
@@ -202,13 +202,15 @@ def q_small_qty_revenue(sf_dir: str):
         cents = _round_half_away(
             df["l_extendedprice"].to_numpy(np.float64)[keep] * 100
         )
-        return pd.DataFrame({"c": [int(cents.sum())]})
+        return pd.DataFrame({"c": [int(cents.sum())], "m": [int(keep.sum())]})
 
-    total = (
-        li.map_batches(cents_partial, batch_format="pandas")
-        .sum("c")
-        or 0
-    )
+    parts = li.map_batches(cents_partial, batch_format="pandas").take_all()
+    total = sum(r["c"] for r in parts)
+    m = sum(r["m"] for r in parts)
+    if m == 0:
+        # SUM over zero qualifying rows is NULL in SQL (a float64 NaN in
+        # the oracle's frame) — not 0
+        return pd.DataFrame({"avg_yearly_cents": pd.Series([np.nan], dtype="float64")})
     return pd.DataFrame(
         {"avg_yearly_cents": pd.Series([_round_half_away(np.array([total / 7.0]))[0]], dtype="int64")}
     )
@@ -261,7 +263,7 @@ def q_idle_rich_customers(sf_dir: str):
     s_pos = int(bals.sum("s") or 0)
     n_pos = int(bals.sum("n") or 0)
 
-    buyers = np.sort(
+    uq = (
         _t(sf_dir, "orders", ["o_custkey", "o_orderdate"])
         .map_batches(
             lambda t: pa.Table.from_pydict(
@@ -277,7 +279,10 @@ def q_idle_rich_customers(sf_dir: str):
         )
         .unique("k")
     )
-    buyers_ref = _ray.put(np.asarray(buyers, np.int64))
+    # unique() returns None when no order clears the cutoff — every
+    # customer is then a non-buyer, not a crash
+    buyers = np.sort(np.asarray(uq if uq is not None else [], dtype=np.int64))
+    buyers_ref = _ray.put(buyers)
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         bk = get_broadcast(buyers_ref)
@@ -351,11 +356,17 @@ def q_nation_market_share(sf_dir: str):
 
     nat = _t(sf_dir, "nation", None).to_pandas()
     reg = _t(sf_dir, "region", None).to_pandas()
-    region_key = int(reg[reg["r_name"] == _Q8_REGION]["r_regionkey"].iloc[0])
-    region_nations = set(
-        nat[nat["n_regionkey"] == region_key]["n_nationkey"].astype(int)
+    # missing dimension values degrade like the SQL's joins instead of
+    # raising: no region → no in-region orders (empty result); no target
+    # nation → numerator 0 (share-0.0 rows), via a sentinel key
+    rk = reg.loc[reg["r_name"] == _Q8_REGION, "r_regionkey"]
+    region_nations = (
+        set(nat[nat["n_regionkey"] == int(rk.iloc[0])]["n_nationkey"].astype(int))
+        if len(rk)
+        else set()
     )
-    target_nation = int(nat[nat["n_name"] == _Q8_NATION]["n_nationkey"].iloc[0])
+    tn = nat.loc[nat["n_name"] == _Q8_NATION, "n_nationkey"]
+    target_nation = int(tn.iloc[0]) if len(tn) else -1
 
     li = _t(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
     supp = _t(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
