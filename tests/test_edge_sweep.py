@@ -269,6 +269,39 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+# Rows-only queries that consume sf_dir tables directly (the kg_*
+# battery synthesizes its own page corpus and is covered by the
+# serial-golden tests). No SQL oracle exists for these; the edge bar
+# is: runs to completion and yields a well-formed frame on the nasty
+# tables (empty/whitespace/unicode texts, duplicate embeddings, a
+# 1e-3-norm vector, a sparse 1,000,000 doc_id).
+ROWS_ONLY_SF_CONSUMERS = [
+    "media_features", "approx_distinct_users", "approx_distinct_users_by_type",
+    "minhash_dedup_docs", "simhash_docs", "simhash_pairs_docs",
+    "lang_id_docs", "quality_docs", "fingerprints_docs",
+    "vector_topk_ivf", "knn_graph_ivf", "embedding_near_dup",
+    "doc_length_quantiles", "lm_perplexity_docs", "bpe_token_counts",
+    "heavy_words_docs", "clean_corpus_docs", "source_length_quantiles",
+    "semdedup_embeddings",
+]
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_SF_CONSUMERS)
+def test_edge_sweep_rows_only_runs(name, edge_sf, ray_session):
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "__ray_entry___edge", os.path.join(os.path.dirname(__file__), "..", "__ray_entry__.py")
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    got = m.queries()[name](edge_sf)
+    if hasattr(got, "to_pandas"):
+        got = got.to_pandas()
+    assert isinstance(got, pd.DataFrame)
+    assert len(got) >= 0  # crash-free on the adversarial tables is the bar
+
+
 @pytest.mark.parametrize("name", sorted(ORACLE_SQL))
 def test_edge_sweep_matches_oracle(name, edge_sf, ray_session):
     got = QUERIES[name](edge_sf)
