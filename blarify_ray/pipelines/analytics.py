@@ -1017,3 +1017,6 @@ from . import analytics_tpch  # noqa: E402, F401
 
 # sequence-packing battery (concat-and-chunk pack plan) — same contract
 from . import analytics_pack  # noqa: E402, F401
+
+# training-export battery (shuffle-shard plan, fuzzy decontamination) — same contract
+from . import analytics_export  # noqa: E402, F401

@@ -1,0 +1,261 @@
+"""Training-export battery — the last mile of an LLM data pipeline,
+DuckDB-oracle checked:
+
+- ``shuffle_shards_docs``: a deterministic seeded GLOBAL shuffle of the
+  corpus plus the shard/position plan a training-data writer consumes —
+  for every document its shuffle key, its exact global position in
+  shuffled order, and the fixed-size output shard it lands in. This is
+  the "shuffle globally, then write N-doc shards" step that follows
+  cleaning/packing in every large-corpus prep flow.
+- ``fuzzy_contamination``: near-duplicate benchmark decontamination —
+  flags (doc, benchmark-snippet) pairs whose DISTINCT-token containment
+  |snippet ∩ doc| / |snippet| clears a threshold, the relaxation of
+  ``benchmark_contamination``'s verbatim contains-scan that survives
+  small edits (the n-gram-overlap decontamination from the GPT-3/PaLM
+  appendix methodology, expressed over token sets so the oracle can
+  state the identical join).
+
+Scale shapes:
+
+- ``shuffle_shards_docs`` is the ``analytics_pack`` bounded-driver
+  prefix sum transplanted onto the HASH domain: keys are uniform by
+  construction, so fixed-width key-range buckets are balanced without
+  sampling. Pass A reduces to ``EXPORT_N_BUCKETS`` int64 counts on the
+  driver (constant state at any corpus size); pass B routes (doc_id,
+  key) int rows — never text — through ONE exchange and ranks within
+  buckets vectorized. A writer that owns shard s reads only the rows
+  with ``shard_id == s``: resumable, partitioned output by
+  construction.
+- ``fuzzy_contamination`` broadcasts a benchmark-scale inverted index
+  (token → snippet ids, built once with ``ray.put``) and streams the
+  corpus map-only: per batch, docs explode to DISTINCT (doc, token)
+  pairs that merge against the index vectorized — no corpus-side
+  shuffle, no pairwise doc×snippet loop. Benchmark suites are ~10^5
+  snippets at any corpus size, so the broadcast side is constant.
+
+Reference analog: the reference materializes query results in sorted
+batched pages (``blarify/repositories/graph_db_manager/
+neo4j_manager.py:96-107``); the shard plan is that boundary discipline
+applied to a token-training corpus. The decontamination scan extends
+``analytics_ext.q_benchmark_contamination``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray as _ray
+
+from .analytics import _WS_SPLIT, _route, _t
+
+#: documents per output shard (the writer's unit of work / resume)
+EXPORT_SHARD_DOCS = 100
+#: fixed bucket count for the hash-range prefix sum — driver state is
+#: one int64 per bucket at ANY corpus size
+EXPORT_N_BUCKETS = 4096
+#: Knuth multiplicative hash on the 2^32 ring — SQL-expressible; the
+#: engine computes in uint64 ((a*b) mod 2^64) mod 2^32 == (a*b) mod
+#: 2^32, so wraparound matches DuckDB's exact HUGEINT arithmetic even
+#: for doc_id far beyond 2^32
+_SHUFFLE_MULT = 2654435761
+_SHUFFLE_MOD = 4294967296
+
+#: every FUZZY_MOD-th doc donates a snippet (benchmark-scale set)
+FUZZY_MOD = 41
+#: words per snippet (leading words of the donor doc)
+FUZZY_WORDS = 8
+#: containment threshold as an exact integer ratio: 10*common >= 8*|snippet|
+FUZZY_NUM, FUZZY_DEN = 8, 10
+
+
+def q_shuffle_shards_docs(sf_dir: str):
+    """Deterministic global-shuffle export plan over ``documents``:
+    (doc_id, shuffle_key, pos, shard_id) where ``pos`` is the exact
+    rank under ORDER BY (shuffle_key, doc_id) and ``shard_id = pos //
+    EXPORT_SHARD_DOCS``. Same two-pass bounded-driver prefix sum as
+    ``pack_chunks_docs``, bucketed on the uniform hash range instead of
+    the id range."""
+    width = _SHUFFLE_MOD // EXPORT_N_BUCKETS  # exact: 2^32 / 2^12
+
+    docs = _t(sf_dir, "documents", ["doc_id"])
+
+    def key(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["doc_id"].to_numpy(np.int64)
+        h = (d.astype(np.uint64) * np.uint64(_SHUFFLE_MULT)) % np.uint64(_SHUFFLE_MOD)
+        h = h.astype(np.int64)  # < 2^32, exact in int64
+        return pd.DataFrame({"doc_id": d, "shuffle_key": h, "bucket": h // width})
+
+    # 24 B/doc int table consumed by both passes — one corpus-column scan
+    keyed = docs.map_batches(key, batch_format="pandas").materialize()
+
+    # pass A: per-bucket row counts → driver cumsum (bucket-scale)
+    def bucket_partial(df: pd.DataFrame) -> pd.DataFrame:
+        s = df.groupby("bucket", sort=False).size().reset_index(name="n")
+        return pd.DataFrame(
+            {"bucket": s["bucket"].to_numpy(np.int64), "n": s["n"].to_numpy(np.int64)}
+        )
+
+    parts = keyed.map_batches(bucket_partial, batch_format="pandas").to_pandas()
+    counts = np.zeros(EXPORT_N_BUCKETS + 1, np.int64)
+    if len(parts):
+        np.add.at(counts, parts["bucket"].to_numpy(np.int64), parts["n"].to_numpy(np.int64))
+    base = np.zeros(EXPORT_N_BUCKETS + 1, np.int64)
+    base[1:] = np.cumsum(counts[:-1])  # rows in all LOWER hash buckets
+
+    # pass B: one bucket-keyed exchange; within-bucket vectorized rank.
+    # a _pkey group may hold several buckets — rank per bucket run
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["bucket", "shuffle_key", "doc_id"], kind="mergesort")
+        b = g["bucket"].to_numpy(np.int64)
+        idx = np.arange(len(g), dtype=np.int64)
+        new = np.ones(len(g), dtype=bool)
+        new[1:] = b[1:] != b[:-1]
+        first = idx[np.maximum.accumulate(np.where(new, idx, 0))]
+        pos = base[b] + (idx - first)
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(np.int64),
+                "shuffle_key": g["shuffle_key"].to_numpy(np.int64),
+                "pos": pos,
+                "shard_id": pos // EXPORT_SHARD_DOCS,
+            }
+        )
+
+    return (
+        keyed.map_batches(lambda df: _route(df, "bucket"), batch_format="pandas")
+        .groupby("_pkey")
+        .map_groups(finish, batch_format="pandas")
+    )
+
+
+SQL_SHUFFLE_SHARDS = f"""
+WITH k AS (
+  SELECT doc_id,
+         CAST((CAST(doc_id AS HUGEINT) * {_SHUFFLE_MULT}) % {_SHUFFLE_MOD}
+              AS BIGINT) AS shuffle_key
+  FROM documents),
+r AS (
+  SELECT doc_id, shuffle_key,
+         ROW_NUMBER() OVER (ORDER BY shuffle_key, doc_id) - 1 AS pos
+  FROM k)
+SELECT doc_id, shuffle_key, CAST(pos AS BIGINT) AS pos,
+       CAST(pos // {EXPORT_SHARD_DOCS} AS BIGINT) AS shard_id
+FROM r
+"""
+
+
+def _doc_tokens(texts: pd.Series, limit: int | None = None) -> pd.Series:
+    """DISTINCT whitespace tokens per row (list), matching the SQL's
+    regexp_split_to_array(trim(...)) with '' tokens dropped; ``limit``
+    keeps only the first N tokens BEFORE dedup (snippet derivation)."""
+    toks = texts.fillna("").str.strip(" \t\n").map(_WS_SPLIT.split)
+    if limit is not None:
+        toks = toks.map(lambda ts: ts[:limit])
+    return toks.map(lambda ts: sorted({t for t in ts if t}))
+
+
+def q_fuzzy_contamination(sf_dir: str):
+    """Near-dup decontamination: (doc_id, bench_id, n_common,
+    containment) for every (corpus doc, benchmark snippet) pair whose
+    DISTINCT-token containment |snippet ∩ doc| / |snippet| >=
+    FUZZY_NUM/FUZZY_DEN, thresholded in exact integer arithmetic on
+    both sides. Snippets are the first FUZZY_WORDS words of every
+    FUZZY_MOD-th doc (so the oracle derives the identical set);
+    zero-token snippets match nothing by construction."""
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def snippet_partial(df: pd.DataFrame) -> pd.DataFrame:
+        sel = df[df["doc_id"] % FUZZY_MOD == 0]
+        toks = _doc_tokens(sel["text"], limit=FUZZY_WORDS)
+        out = pd.DataFrame({"bench_id": sel["doc_id"].to_numpy(np.int64), "toks": toks})
+        out = out.explode("toks").dropna(subset=["toks"])
+        return pd.DataFrame(
+            {"bench_id": out["bench_id"].to_numpy(np.int64), "tok": out["toks"].astype(str)}
+        )
+
+    bench = docs.map_batches(snippet_partial, batch_format="pandas").take_all()
+    # benchmark-scale by construction (|docs| / FUZZY_MOD snippets)
+    btok = pd.DataFrame(
+        {"bench_id": [r["bench_id"] for r in bench], "tok": [r["tok"] for r in bench]}
+    )
+    bsz = btok.groupby("bench_id").size()
+    index_ref = _ray.put((btok, bsz.index.to_numpy(np.int64), bsz.to_numpy(np.int64)))
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        from ..util import get_broadcast
+
+        bt, bid, bn = get_broadcast(index_ref)
+        if not len(bt) or not len(df):
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype=np.int64),
+                    "bench_id": pd.Series([], dtype=np.int64),
+                    "n_common": pd.Series([], dtype=np.int64),
+                    "containment": pd.Series([], dtype=np.float64),
+                }
+            )
+        d = pd.DataFrame({"doc_id": df["doc_id"].to_numpy(np.int64),
+                          "toks": _doc_tokens(df["text"])})
+        d = d.explode("toks").dropna(subset=["toks"]).rename(columns={"toks": "tok"})
+        hits = d.merge(bt, on="tok", how="inner")
+        g = hits.groupby(["doc_id", "bench_id"], sort=False).size().reset_index(name="n_common")
+        sz = pd.Series(bn, index=bid)
+        g["bsz"] = sz.loc[g["bench_id"]].to_numpy(np.int64)
+        g = g[g["n_common"] * FUZZY_DEN >= g["bsz"] * FUZZY_NUM]
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(np.int64),
+                "bench_id": g["bench_id"].to_numpy(np.int64),
+                "n_common": g["n_common"].to_numpy(np.int64),
+                "containment": g["n_common"].to_numpy(np.float64)
+                / g["bsz"].to_numpy(np.float64),
+            }
+        )
+
+    return docs.map_batches(scan, batch_format="pandas")
+
+
+SQL_FUZZY_CONTAMINATION = f"""
+WITH btok AS (
+  SELECT DISTINCT doc_id AS bench_id, tok
+  FROM (SELECT doc_id,
+               unnest((regexp_split_to_array(
+                 trim(text, ' ' || chr(9) || chr(10)), '[ \t\n]+'))[1:{FUZZY_WORDS}]) AS tok
+        FROM documents WHERE doc_id % {FUZZY_MOD} = 0)
+  WHERE tok <> ''),
+bsz AS (SELECT bench_id, COUNT(*) AS sz FROM btok GROUP BY bench_id),
+dtok AS (
+  SELECT DISTINCT doc_id, tok
+  FROM (SELECT doc_id,
+               unnest(regexp_split_to_array(
+                 trim(text, ' ' || chr(9) || chr(10)), '[ \t\n]+')) AS tok
+        FROM documents)
+  WHERE tok <> ''),
+hits AS (
+  SELECT d.doc_id, b.bench_id, COUNT(*) AS n_common
+  FROM dtok d JOIN btok b USING (tok)
+  GROUP BY d.doc_id, b.bench_id)
+SELECT h.doc_id, h.bench_id, CAST(h.n_common AS BIGINT) AS n_common,
+       h.n_common * 1.0 / s.sz AS containment
+FROM hits h JOIN bsz s USING (bench_id)
+WHERE h.n_common * {FUZZY_DEN} >= s.sz * {FUZZY_NUM}
+"""
+
+
+QUERIES_EXPORT = {
+    "shuffle_shards_docs": q_shuffle_shards_docs,
+    "fuzzy_contamination": q_fuzzy_contamination,
+}
+
+ORACLE_SQL_EXPORT = {
+    "shuffle_shards_docs": SQL_SHUFFLE_SHARDS,
+    "fuzzy_contamination": SQL_FUZZY_CONTAMINATION,
+}
+
+# self-register into the main battery (same contract as analytics_ext)
+from .analytics import ORACLE_SQL as _MAIN_SQL  # noqa: E402
+from .analytics import QUERIES as _MAIN_QUERIES  # noqa: E402
+
+_MAIN_QUERIES.update(QUERIES_EXPORT)
+_MAIN_SQL.update(ORACLE_SQL_EXPORT)
