@@ -6,6 +6,9 @@
   from a driver-side sample, centroid assignment as a map_batches stage,
   search probes only the nprobe nearest centroid partitions. The scale
   path: assignment partitions the corpus once; queries touch a fraction.
+- PqCodebook: product quantization — per-subspace k-means codebooks,
+  m-uint8-codes-per-vector corpus table, ADC (lookup-table) search; the
+  memory path when raw vectors don't fit cluster RAM.
 - embedding_near_dup: cosine near-duplicate pairs via sign-LSH (random
   hyperplane) blocking + exact cosine verify.
 - semdedup: SemDeDup-style semantic dedup (Abbas et al. 2023, public) —
@@ -193,6 +196,120 @@ class IvfIndex:
         q = _unit(np.asarray(query_vec, dtype=np.float64))
         probed = ray.data.read_parquet(files, columns=[id_col, emb_col])
         return knn_bruteforce(probed, q[None, :], k, id_col=id_col, emb_col=emb_col)[0]
+
+
+# --- Product quantization (PQ / ADC search) ----------------------------------
+
+
+class PqCodebook:
+    """Product quantization (Jégou et al., TPAMI 2011 — public): unit-
+    normalized vectors split into ``m`` contiguous subspaces, one
+    ``n_codes``-entry k-means codebook per subspace trained on a
+    driver-side seeded sample; the corpus encodes to ``m`` uint8 codes
+    per vector in one map-only pass. Search scores by asymmetric
+    distance computation (ADC): a per-query (m × n_codes) lookup table
+    of subspace inner products is built once, and a batch scores as
+    Σ_m LUT[m, code[:, m]] — a pure gather + sum over the code table,
+    no float matmul against raw vectors.
+
+    100-TB shape: the code table is the ONLY corpus-scale search
+    artifact — ``m`` bytes/vector (64-d float32 = 256 B → 8 B at m=8,
+    32×), raw embeddings are read once at encode time and never again;
+    the codebook (m × n_codes × dsub floats) broadcasts via ``ray.put``;
+    search streams the code table with per-batch partial top-k (the
+    ``knn_bruteforce`` exchange shape — only k rows leave a batch).
+    Compose with ``IvfIndex`` for IVF-PQ: hive-partition the codes by
+    centroid and ADC-score only the probed fraction.
+
+    Reference analog: the min-score vector search of
+    ``blarify/repositories/graph_db_manager/queries.py:2298-2356``,
+    re-expressed for corpora whose raw vectors don't fit in cluster RAM.
+    """
+
+    def __init__(self, codebooks: np.ndarray):
+        self.codebooks = np.asarray(codebooks, dtype=np.float64)  # (m, ks, dsub)
+        self.m, self.ks, self.dsub = self.codebooks.shape
+
+    @classmethod
+    def train(
+        cls, ds: ray.data.Dataset, m: int = 8, n_codes: int = 256,
+        emb_col: str = "embedding", sample_n: int = 4096, iters: int = 10, seed: int = 7,
+    ) -> "PqCodebook":
+        sample = ds.random_sample(1.0, seed=seed).limit(sample_n).take_all()
+        vecs = _unit(np.array([r[emb_col] for r in sample], dtype=np.float64))
+        d = vecs.shape[1]
+        if d % m:
+            raise ValueError(f"dim {d} not divisible by m={m}")
+        dsub = d // m
+        ks = min(n_codes, len(vecs))
+        rng = np.random.RandomState(seed)
+        books = np.empty((m, ks, dsub), np.float64)
+        for s in range(m):
+            sub = vecs[:, s * dsub : (s + 1) * dsub]
+            cent = sub[rng.choice(len(sub), size=ks, replace=False)]
+            for _ in range(iters):
+                # euclidean assignment: argmin |x-c|² = argmax x·c - |c|²/2
+                a = np.argmax(sub @ cent.T - 0.5 * (cent * cent).sum(1), axis=1)
+                for c in range(ks):
+                    members = sub[a == c]
+                    if len(members):
+                        cent[c] = members.mean(axis=0)
+            books[s] = cent
+        return cls(books)
+
+    def encode(
+        self, ds: ray.data.Dataset, id_col: str = "vec_id", emb_col: str = "embedding",
+    ) -> ray.data.Dataset:
+        """(id, code: fixed-width list<uint8>) — the m-byte corpus table."""
+        cb_ref = ray.put(self.codebooks)
+        m, ks, dsub = self.m, self.ks, self.dsub
+
+        def enc(t: pa.Table) -> pa.Table:
+            cb = ray.get(cb_ref)
+            vecs = _unit(_mat(t[emb_col]))
+            codes = np.empty((len(vecs), m), np.uint8)
+            for s in range(m):
+                sub = vecs[:, s * dsub : (s + 1) * dsub]
+                codes[:, s] = np.argmax(
+                    sub @ cb[s].T - 0.5 * (cb[s] * cb[s]).sum(1), axis=1
+                ).astype(np.uint8)
+            return pa.Table.from_pydict(
+                {
+                    "id": t[id_col].cast(pa.int64()),
+                    "code": pa.FixedSizeListArray.from_arrays(
+                        pa.array(codes.reshape(-1), pa.uint8()), m
+                    ),
+                }
+            )
+
+        return ds.map_batches(enc, batch_format="pyarrow")
+
+    def search(
+        self, codes_ds: ray.data.Dataset, query_vec: np.ndarray, k: int,
+    ) -> list[tuple[int, float]]:
+        """ADC top-k over an encoded corpus: approx cosine = Σ_m
+        q_sub[m] · codebook[m, code_m]. Gather + sum per batch, partial
+        top-k rows out, k-scale driver merge."""
+        q = _unit(np.asarray(query_vec, dtype=np.float64))
+        lut = np.einsum("mkd,md->mk", self.codebooks, q.reshape(self.m, self.dsub))
+        lut_ref = ray.put(lut)
+        m = self.m
+
+        def partial(t: pa.Table) -> pa.Table:
+            lt = ray.get(lut_ref)
+            arr = t["code"].combine_chunks()
+            codes = np.asarray(arr.values, dtype=np.int64).reshape(len(arr), m)
+            scores = lt[np.arange(m)[None, :], codes].sum(axis=1)
+            ids = np.asarray(t["id"].to_pylist(), dtype=np.int64)
+            kk = min(k, len(ids))
+            top = np.argpartition(-scores, kk - 1)[:kk]
+            return pa.Table.from_pydict(
+                {"id": pa.array(ids[top], pa.int64()),
+                 "s": pa.array(scores[top], pa.float64())}
+            )
+
+        rows = codes_ds.map_batches(partial, batch_format="pyarrow").take_all()
+        return sorted(((r["id"], r["s"]) for r in rows), key=lambda t: (-t[1], t[0]))[:k]
 
 
 def embedding_near_dup(

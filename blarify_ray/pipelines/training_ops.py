@@ -15,7 +15,7 @@ import pyarrow.parquet as pq
 import ray.data as rd
 
 from ..ops.dedup import minhash_near_dup, simhash_docs, simhash_near_dup
-from ..ops.similarity import IvfIndex, embedding_near_dup
+from ..ops.similarity import IvfIndex, PqCodebook, embedding_near_dup
 from ..ops.text_analysis import fingerprints, lang_id, quality_score
 
 
@@ -77,6 +77,29 @@ def q_vector_topk_ivf(sf_dir: str):
 def q_embedding_near_dup(sf_dir: str):
     emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
     return embedding_near_dup(emb, threshold=0.5)
+
+
+def q_vector_topk_pq(sf_dir: str):
+    """ANN through product quantization: train per-subspace codebooks,
+    encode the corpus to m uint8 codes/vector (the only corpus-scale
+    search artifact), ADC top-k for vec 0's own vector. The memory-
+    bound ANN path: raw vectors are scanned once at encode time."""
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    qtbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    qvec = None
+    dim = 0
+    for vid, v in zip(qtbl["vec_id"].to_pylist(), qtbl["embedding"].to_pylist()):
+        dim = len(v)
+        if vid == 0:
+            qvec = np.asarray(v, dtype=np.float64)
+            break
+    m = next(m for m in (8, 4, 2, 1) if dim % m == 0)
+    book = PqCodebook.train(emb, m=m)
+    codes = book.encode(emb).materialize()  # m B/vector
+    hits = book.search(codes, qvec, k=10)
+    import pandas as pd
+
+    return pd.DataFrame({"vec_id": [i for i, _ in hits], "rank": list(range(1, len(hits) + 1))})
 
 
 def q_media_features(sf_dir: str):
@@ -375,6 +398,7 @@ QUERIES = {
     "quality_docs": q_quality_docs,
     "fingerprints_docs": q_fingerprints_docs,
     "vector_topk_ivf": q_vector_topk_ivf,
+    "vector_topk_pq": q_vector_topk_pq,
     "knn_graph_ivf": q_knn_graph_ivf,
     "embedding_near_dup": q_embedding_near_dup,
     "doc_length_quantiles": q_doc_length_quantiles,

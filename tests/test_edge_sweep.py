@@ -279,7 +279,7 @@ ROWS_ONLY_SF_CONSUMERS = [
     "media_features", "approx_distinct_users", "approx_distinct_users_by_type",
     "minhash_dedup_docs", "simhash_docs", "simhash_pairs_docs",
     "lang_id_docs", "quality_docs", "fingerprints_docs",
-    "vector_topk_ivf", "knn_graph_ivf", "embedding_near_dup",
+    "vector_topk_ivf", "vector_topk_pq", "knn_graph_ivf", "embedding_near_dup",
     "doc_length_quantiles", "lm_perplexity_docs", "bpe_token_counts",
     "heavy_words_docs", "clean_corpus_docs", "source_length_quantiles",
     "semdedup_embeddings",

@@ -156,6 +156,33 @@ def test_embedding_near_dup():
     assert any({r["a"], r["b"]} == {0, 7} for r in pairs)
 
 
+def test_pq_adc_recall():
+    """PQ encode → ADC search: codes are m uint8/vector, the planted
+    near-duplicate of the query lands in the top ranks, recall@10 vs
+    brute force clears the ANN bar."""
+    from blarify_ray.ops.similarity import PqCodebook
+
+    ds, m = _emb_ds(n=200, d=16)
+    book = PqCodebook.train(ds, m=4)
+    codes = book.encode(ds).materialize()
+    row = codes.take(1)[0]
+    assert len(row["code"]) == 4  # 16 floats → 4 bytes
+    got = book.search(codes, m[0], k=10)
+    ids = [i for i, _ in got]
+    assert 7 in ids[:3]  # the planted near-dup of vec 0 scores near the top
+    assert 0 in ids[:3]  # the query itself too
+    exact = {i for i, _ in knn_bruteforce(ds, m[0], k=10)[0]}
+    assert len(exact & set(ids)) / 10 >= 0.6
+
+
+def test_pq_dim_not_divisible_raises():
+    from blarify_ray.ops.similarity import PqCodebook
+
+    ds, _ = _emb_ds(n=30, d=10)
+    with pytest.raises(ValueError):
+        PqCodebook.train(ds, m=4)
+
+
 def test_lang_id_heuristic():
     assert lang_id_text("the cat sat on the mat and it was happy with this")[0] == "en"
     assert lang_id_text("der Hund und die Katze sind in dem Haus mit einem Ball")[0] == "de"
