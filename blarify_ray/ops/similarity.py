@@ -312,6 +312,63 @@ class PqCodebook:
         return sorted(((r["id"], r["s"]) for r in rows), key=lambda t: (-t[1], t[0]))[:k]
 
 
+def write_ivfpq(
+    ivf: IvfIndex, pq: PqCodebook, ds: ray.data.Dataset, out_dir: str,
+    id_col: str = "vec_id", emb_col: str = "embedding",
+) -> str:
+    """IVF-PQ layout (the billion-scale ANN shape): ONE fused corpus
+    pass assigns each vector to its centroid AND encodes it to m uint8
+    codes, then hive-partitions the (id, code) table by centroid —
+    zero-shuffle (the ``edges_by_dst`` split). The persisted index is
+    ~(m + 8) bytes/vector; raw embeddings are never read again."""
+    cent_ref = ray.put(ivf.centroids)
+    cb_ref = ray.put(pq.codebooks)
+    m, dsub = pq.m, pq.dsub
+
+    def assign_encode(t: pa.Table) -> pa.Table:
+        cent, cb = ray.get(cent_ref), ray.get(cb_ref)
+        vecs = _unit(_mat(t[emb_col]))
+        codes = np.empty((len(vecs), m), np.uint8)
+        for s in range(m):
+            sub = vecs[:, s * dsub : (s + 1) * dsub]
+            codes[:, s] = np.argmax(
+                sub @ cb[s].T - 0.5 * (cb[s] * cb[s]).sum(1), axis=1
+            ).astype(np.uint8)
+        return pa.Table.from_pydict(
+            {
+                "id": t[id_col].cast(pa.int64()),
+                "code": pa.FixedSizeListArray.from_arrays(
+                    pa.array(codes.reshape(-1), pa.uint8()), m
+                ),
+                "centroid": pa.array(np.argmax(vecs @ cent.T, axis=1).astype(np.int32)),
+            }
+        )
+
+    ds.map_batches(assign_encode, batch_format="pyarrow").write_parquet(
+        out_dir, partition_cols=["centroid"]
+    )
+    return out_dir
+
+
+def search_ivfpq(
+    ivf: IvfIndex, pq: PqCodebook, layout_dir: str, query_vec: np.ndarray,
+    k: int, nprobe: int = 4,
+) -> list[tuple[int, float]]:
+    """ADC top-k against a ``write_ivfpq`` layout: reads ONLY the
+    ``nprobe`` probed centroid dirs' code files, scores by lookup-table
+    gather + sum. A query touches nprobe/n_centroids of an m-byte-per-
+    vector table — the compounding of both prunes."""
+    import glob
+    import os
+
+    dirs = ivf.probe_dirs(layout_dir, query_vec, nprobe)
+    files = sorted(f for d in dirs for f in glob.glob(os.path.join(d, "*.parquet")))
+    if not files:
+        return []
+    codes = ray.data.read_parquet(files, columns=["id", "code"])
+    return pq.search(codes, query_vec, k)
+
+
 def embedding_near_dup(
     ds: ray.data.Dataset, threshold: float = 0.9, n_planes: int = 16, n_bands: int = 4,
     id_col: str = "vec_id", emb_col: str = "embedding", dim: int | None = None, seed: int = 11,

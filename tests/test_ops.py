@@ -175,6 +175,26 @@ def test_pq_adc_recall():
     assert len(exact & set(ids)) / 10 >= 0.6
 
 
+def test_ivfpq_layout_prunes_and_recalls(tmp_path):
+    """IVF-PQ: one fused assign+encode pass, hive split by centroid,
+    probed ADC search touches only nprobe dirs and keeps recall."""
+    import os
+
+    from blarify_ray.ops.similarity import PqCodebook, search_ivfpq, write_ivfpq
+
+    ds, m = _emb_ds(n=200, d=16)
+    ivf = IvfIndex.train(ds, n_centroids=8)
+    book = PqCodebook.train(ds, m=4)
+    layout = write_ivfpq(ivf, book, ds, str(tmp_path / "ivfpq"))
+    all_dirs = {d for d in os.listdir(layout) if d.startswith("centroid=")}
+    assert len(all_dirs) > 4  # genuinely split
+    got = search_ivfpq(ivf, book, layout, m[0], k=10, nprobe=4)
+    ids = [i for i, _ in got]
+    assert 0 in ids[:3] and 7 in ids  # query + planted near-dup retrieved
+    exact = {i for i, _ in knn_bruteforce(ds, m[0], k=10)[0]}
+    assert len(exact & set(ids)) / 10 >= 0.5  # both prunes compound
+
+
 def test_pq_dim_not_divisible_raises():
     from blarify_ray.ops.similarity import PqCodebook
 
