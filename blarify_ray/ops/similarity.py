@@ -314,13 +314,18 @@ class PqCodebook:
 
 def write_ivfpq(
     ivf: IvfIndex, pq: PqCodebook, ds: ray.data.Dataset, out_dir: str,
-    id_col: str = "vec_id", emb_col: str = "embedding",
+    id_col: str = "vec_id", emb_col: str = "embedding", keep_raw: bool = True,
 ) -> str:
     """IVF-PQ layout (the billion-scale ANN shape): ONE fused corpus
     pass assigns each vector to its centroid AND encodes it to m uint8
-    codes, then hive-partitions the (id, code) table by centroid —
-    zero-shuffle (the ``edges_by_dst`` split). The persisted index is
-    ~(m + 8) bytes/vector; raw embeddings are never read again."""
+    codes, then hive-partitions the table by centroid — zero-shuffle
+    (the ``edges_by_dst`` split). With ``keep_raw`` the raw vector
+    travels along INTO the same layout so re-ranked search can point-
+    read it column-pruned (the FAISS-refine / DiskANN discipline: ADC
+    is a shortlist generator — quantization error cannot resolve
+    near-tie neighbors, so exact re-scoring of the shortlist is what
+    buys recall); without it the index is ~(m + 8) bytes/vector and
+    search is pure ADC."""
     cent_ref = ray.put(ivf.centroids)
     cb_ref = ray.put(pq.codebooks)
     m, dsub = pq.m, pq.dsub
@@ -334,15 +339,16 @@ def write_ivfpq(
             codes[:, s] = np.argmax(
                 sub @ cb[s].T - 0.5 * (cb[s] * cb[s]).sum(1), axis=1
             ).astype(np.uint8)
-        return pa.Table.from_pydict(
-            {
-                "id": t[id_col].cast(pa.int64()),
-                "code": pa.FixedSizeListArray.from_arrays(
-                    pa.array(codes.reshape(-1), pa.uint8()), m
-                ),
-                "centroid": pa.array(np.argmax(vecs @ cent.T, axis=1).astype(np.int32)),
-            }
-        )
+        cols = {
+            "id": t[id_col].cast(pa.int64()),
+            "code": pa.FixedSizeListArray.from_arrays(
+                pa.array(codes.reshape(-1), pa.uint8()), m
+            ),
+            "centroid": pa.array(np.argmax(vecs @ cent.T, axis=1).astype(np.int32)),
+        }
+        if keep_raw:
+            cols["embedding"] = t[emb_col]
+        return pa.Table.from_pydict(cols)
 
     ds.map_batches(assign_encode, batch_format="pyarrow").write_parquet(
         out_dir, partition_cols=["centroid"]
@@ -352,12 +358,15 @@ def write_ivfpq(
 
 def search_ivfpq(
     ivf: IvfIndex, pq: PqCodebook, layout_dir: str, query_vec: np.ndarray,
-    k: int, nprobe: int = 4,
+    k: int, nprobe: int = 4, rerank: int = 0,
 ) -> list[tuple[int, float]]:
-    """ADC top-k against a ``write_ivfpq`` layout: reads ONLY the
-    ``nprobe`` probed centroid dirs' code files, scores by lookup-table
-    gather + sum. A query touches nprobe/n_centroids of an m-byte-per-
-    vector table — the compounding of both prunes."""
+    """Search a ``write_ivfpq`` layout: reads ONLY the ``nprobe``
+    probed centroid dirs' code column (parquet column pruning keeps any
+    stored raw vectors off the wire), scores by ADC lookup-table
+    gather + sum. With ``rerank=r > 0`` the ADC top-r shortlist is
+    re-scored with exact cosine against raw vectors point-read from the
+    SAME probed dirs (requires ``keep_raw``) — a query then touches
+    nprobe/n_centroids of the code table plus r raw vectors."""
     import glob
     import os
 
@@ -366,7 +375,17 @@ def search_ivfpq(
     if not files:
         return []
     codes = ray.data.read_parquet(files, columns=["id", "code"])
-    return pq.search(codes, query_vec, k)
+    if not rerank:
+        return pq.search(codes, query_vec, k)
+    shortlist = pq.search(codes, query_vec, max(k, rerank))
+    import pyarrow.compute as pc
+
+    ids = pa.array(sorted(i for i, _ in shortlist), pa.int64())
+    raw = ray.data.read_parquet(files, columns=["id", "embedding"]).map_batches(
+        lambda t: t.filter(pc.is_in(t["id"], value_set=ids)), batch_format="pyarrow"
+    )
+    q = _unit(np.asarray(query_vec, dtype=np.float64))
+    return knn_bruteforce(raw, q[None, :], k, id_col="id", emb_col="embedding")[0]
 
 
 def embedding_near_dup(

@@ -193,6 +193,13 @@ def test_ivfpq_layout_prunes_and_recalls(tmp_path):
     assert 0 in ids[:3] and 7 in ids  # query + planted near-dup retrieved
     exact = {i for i, _ in knn_bruteforce(ds, m[0], k=10)[0]}
     assert len(exact & set(ids)) / 10 >= 0.5  # both prunes compound
+    # refine: exact re-scoring of the ADC shortlist — every exact
+    # neighbor living in a probed cell must now surface, with TRUE
+    # cosine scores (rank-1 = the query itself at cos ≈ 1)
+    ref = search_ivfpq(ivf, book, layout, m[0], k=10, nprobe=8, rerank=50)
+    rids = [i for i, _ in ref]
+    assert rids[0] == 0 and abs(ref[0][1] - 1.0) < 1e-9
+    assert len(exact & set(rids)) / 10 >= 0.8
 
 
 def test_pq_dim_not_divisible_raises():
