@@ -568,6 +568,126 @@ def ngram_span_dups(
     )
 
 
+def ngram_span_removal(
+    ds: ray.data.Dataset,
+    text_col: str,
+    id_col: str,
+    n_tokens: int = 20,
+    max_bucket: int = 1000,
+    partitions: int = 64,
+) -> ray.data.Dataset:
+    """Apply exact-substring dedup (the ExactSubstr CLEANUP, Lee et al.
+    2022): every occurrence of an ``n_tokens``-token window that appears
+    verbatim in ≥2 distinct documents is excised EXCEPT the corpus-wide
+    first occurrence (min doc id, then min position) — overlapping
+    duplicate windows union into one removed span. Returns
+    ds[(id, text_clean, n_removed)] covering EVERY input doc (null text
+    → "" / 0 removed). Grams shared by more than ``max_bucket`` docs
+    are left in place (the hot-boilerplate cap, mirrored by the oracle).
+
+    Scale shape: stage 1 is ``ngram_span_dups``'s windows+group pass
+    with a drop-the-global-first rule per gram (all rows of a gram hash
+    land in one partition group, so the within-group first IS global);
+    only fixed-width (id, pos) int marks come out. Stage 2 co-partitions
+    marks with the doc TEXT by ``hash(id) % partitions`` — the one
+    text-moving exchange, inherent to string surgery — and rebuilds each
+    doc with a vectorized difference-array mask over token positions."""
+
+    def windows(df: pd.DataFrame) -> pd.DataFrame:
+        s = df.set_index(id_col)[text_col].fillna("").str.split(" ").explode()
+        if s.empty:
+            return pd.DataFrame(
+                {"h": pd.Series([], dtype=np.uint64),
+                 "id": pd.Series([], dtype=np.int64),
+                 "pos": pd.Series([], dtype=np.int64),
+                 "_pkey": pd.Series([], dtype="int32")}
+            )
+        th = pd.util.hash_array(s.to_numpy(dtype=object))
+        doc = s.index.to_numpy()
+        pos = pd.Series(1, index=s.index).groupby(level=0).cumcount().to_numpy()
+        L = len(th) - n_tokens + 1
+        if L <= 0:
+            return windows(df.iloc[0:0])
+        h = np.zeros(L, dtype=np.uint64)
+        for j in range(n_tokens):
+            h = h * NGRAM_SPAN_B + th[j : L + j]
+        keep = doc[:L] == doc[n_tokens - 1 :]
+        out = pd.DataFrame(
+            {"h": h[keep], "id": doc[:L][keep].astype(np.int64),
+             "pos": pos[:L][keep].astype(np.int64)}
+        )
+        out["_pkey"] = (out["h"] % np.uint64(partitions)).astype("int32")
+        return out
+
+    def marks(g: pd.DataFrame) -> pd.DataFrame:
+        nd = g.groupby("h")["id"].nunique()
+        hot = nd[(nd >= 2) & (nd <= max_bucket)]
+        m = g[g["h"].isin(hot.index)]
+        m = m.sort_values(["h", "id", "pos"], kind="mergesort")
+        first = np.ones(len(m), dtype=bool)
+        hv = m["h"].to_numpy()
+        first[1:] = hv[1:] != hv[:-1]
+        m = m[~first]
+        out = pd.DataFrame(
+            {"id": m["id"].to_numpy(np.int64), "pos": m["pos"].to_numpy(np.int64)}
+        )
+        out["_pkey"] = (
+            pd.util.hash_array(out["id"].to_numpy()) % np.uint64(partitions)
+        ).astype("int32")
+        return out
+
+    mark_rows = (
+        ds.map_batches(windows, batch_format="pandas")
+        .groupby("_pkey")
+        .map_groups(marks, batch_format="pandas")
+    )
+
+    def doc_rows(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {"id": df[id_col].to_numpy(np.int64),
+             "text": df[text_col].fillna("").astype(str),
+             "pos": np.int64(-1)}
+        )
+        out["_pkey"] = (
+            pd.util.hash_array(out["id"].to_numpy()) % np.uint64(partitions)
+        ).astype("int32")
+        return out
+
+    def widen_marks(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["text"] = ""
+        return df[["id", "text", "pos", "_pkey"]]
+
+    def excise(g: pd.DataFrame) -> pd.DataFrame:
+        docs = g[g["pos"] < 0]
+        mk = g[g["pos"] >= 0]
+        by_doc = {k: v["pos"].to_numpy(np.int64) for k, v in mk.groupby("id")}
+        ids, cleaned, removed = [], [], []
+        for did, text in zip(docs["id"].to_numpy(np.int64), docs["text"]):
+            toks = text.split(" ")
+            p = by_doc.get(did)
+            if p is None or not len(toks):
+                ids.append(did); cleaned.append(text); removed.append(0)
+                continue
+            diff = np.zeros(len(toks) + 1, np.int64)
+            np.add.at(diff, p, 1)
+            np.add.at(diff, np.minimum(p + n_tokens, len(toks)), -1)
+            cut = np.cumsum(diff[:-1]) > 0
+            kept = [t for t, c in zip(toks, cut) if not c]
+            ids.append(did); cleaned.append(" ".join(kept)); removed.append(int(cut.sum()))
+        return pd.DataFrame(
+            {"id": np.asarray(ids, np.int64), "text_clean": cleaned,
+             "n_removed": np.asarray(removed, np.int64)}
+        )
+
+    return (
+        ds.map_batches(doc_rows, batch_format="pandas")
+        .union(mark_rows.map_batches(widen_marks, batch_format="pandas"))
+        .groupby("_pkey")
+        .map_groups(excise, batch_format="pandas")
+    )
+
+
 # --- exact set-similarity join (prefix-filtered) -----------------------------
 
 

@@ -243,14 +243,72 @@ WHERE h.n_common * {FUZZY_DEN} >= s.sz * {FUZZY_NUM}
 """
 
 
+#: window length for the span-removal cleanup (matches analytics_win's
+#: ngram_span_dups removal LIST so list and cleanup agree)
+SPAN_RM_TOKENS = 8
+
+
+def q_span_removed_docs(sf_dir: str):
+    """Exact-substring dedup APPLIED (the ExactSubstr cleanup): every
+    duplicated SPAN_RM_TOKENS-token window excised except the
+    corpus-wide first occurrence; (doc_id, text_clean, n_removed) for
+    every doc. The engine ships (hash, id, pos) ints through the gram
+    exchange and text through ONE co-partitioned excision exchange; the
+    oracle restates the whole surgery over literal grams."""
+    from ..ops.dedup import ngram_span_removal
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    out = ngram_span_removal(docs, "text", "doc_id", n_tokens=SPAN_RM_TOKENS)
+    return out.map_batches(
+        lambda df: df.rename(columns={"id": "doc_id"}), batch_format="pandas"
+    )
+
+
+SQL_SPAN_REMOVED = f"""
+WITH d AS (
+  SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS toks FROM documents),
+w AS (
+  SELECT doc_id, gs.i - 1 AS pos,
+         array_to_string(toks[gs.i : gs.i + {SPAN_RM_TOKENS - 1}], ' ') AS gram
+  FROM d, LATERAL (
+    SELECT unnest(generate_series(1, len(toks) - {SPAN_RM_TOKENS - 1})) AS i) gs),
+q AS (SELECT gram FROM w GROUP BY gram
+      HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 1000),
+m AS (
+  SELECT doc_id, pos FROM (
+    SELECT w.doc_id, w.pos,
+           ROW_NUMBER() OVER (PARTITION BY w.gram ORDER BY w.doc_id, w.pos) AS rn
+    FROM w JOIN q USING (gram))
+  WHERE rn > 1),
+r AS (
+  SELECT DISTINCT m.doc_id, u.p FROM m, LATERAL (
+    SELECT unnest(generate_series(m.pos, m.pos + {SPAN_RM_TOKENS - 1})) AS p) u),
+t AS (
+  SELECT doc_id, toks[gs.i] AS tok, gs.i - 1 AS pos
+  FROM d, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) gs),
+kept AS (
+  SELECT t.doc_id, t.tok, t.pos FROM t
+  LEFT JOIN r ON t.doc_id = r.doc_id AND t.pos = r.p
+  WHERE r.p IS NULL)
+SELECT d.doc_id,
+       COALESCE(k.txt, '') AS text_clean,
+       CAST(len(d.toks) - COALESCE(k.cnt, 0) AS BIGINT) AS n_removed
+FROM d LEFT JOIN (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS txt, COUNT(*) AS cnt
+  FROM kept GROUP BY doc_id) k USING (doc_id)
+"""
+
+
 QUERIES_EXPORT = {
     "shuffle_shards_docs": q_shuffle_shards_docs,
     "fuzzy_contamination": q_fuzzy_contamination,
+    "span_removed_docs": q_span_removed_docs,
 }
 
 ORACLE_SQL_EXPORT = {
     "shuffle_shards_docs": SQL_SHUFFLE_SHARDS,
     "fuzzy_contamination": SQL_FUZZY_CONTAMINATION,
+    "span_removed_docs": SQL_SPAN_REMOVED,
 }
 
 # self-register into the main battery (same contract as analytics_ext)

@@ -531,6 +531,45 @@ def test_ngram_span_dups_planted():
     assert all(r["n_docs"] == 2 for r in out)
 
 
+def test_ngram_span_removal_planted():
+    """Keep-first semantics: doc 0 (lowest id) keeps the shared run,
+    doc 1 loses EXACTLY the duplicated window union; untouched and
+    short/null docs come back byte-identical with n_removed 0."""
+    from blarify_ray.ops.dedup import ngram_span_removal
+
+    shared = " ".join(f"tok{i}" for i in range(25))
+    rng = np.random.default_rng(11)
+
+    def noise(n):
+        return " ".join(f"w{v}" for v in rng.integers(0, 10_000, n))
+
+    rows = [
+        {"doc_id": 0, "text": noise(30) + " " + shared + " " + noise(10)},
+        {"doc_id": 1, "text": shared + " " + noise(40)},
+        {"doc_id": 2, "text": noise(60)},
+        {"doc_id": 3, "text": "short"},
+        {"doc_id": 4, "text": None},
+    ]
+    ds = rd.from_items(rows)
+    out = {r["id"]: r for r in ngram_span_removal(ds, "text", "doc_id", n_tokens=20).take_all()}
+    assert set(out) == {0, 1, 2, 3, 4}
+    # doc 0 is the canonical occurrence — untouched
+    assert out[0]["text_clean"] == rows[0]["text"] and out[0]["n_removed"] == 0
+    # doc 1: the 6 overlapping duplicate windows union to tokens [0, 25)
+    want1 = " ".join(rows[1]["text"].split(" ")[25:])
+    assert out[1]["text_clean"] == want1 and out[1]["n_removed"] == 25
+    assert out[2]["text_clean"] == rows[2]["text"] and out[2]["n_removed"] == 0
+    assert out[3]["text_clean"] == "short" and out[3]["n_removed"] == 0
+    assert out[4]["text_clean"] == "" and out[4]["n_removed"] == 0
+    # idempotence: cleaning the cleaned corpus removes nothing
+    ds2 = rd.from_items(
+        [{"doc_id": k, "text": v["text_clean"]} for k, v in out.items()]
+    )
+    out2 = {r["id"]: r for r in ngram_span_removal(ds2, "text", "doc_id", n_tokens=20).take_all()}
+    assert all(r["n_removed"] == 0 for r in out2.values())
+    assert all(out2[k]["text_clean"] == out[k]["text_clean"] for k in out)
+
+
 # --- composed cleaning pipeline -------------------------------------------------
 
 
