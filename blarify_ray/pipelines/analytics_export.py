@@ -47,7 +47,7 @@ import pandas as pd
 
 import ray as _ray
 
-from .analytics import _WS_SPLIT, _route, _t
+from .analytics import _WS_SPLIT, ROUTE_PARTS, _route, _t
 
 #: documents per output shard (the writer's unit of work / resume)
 EXPORT_SHARD_DOCS = 100
@@ -299,16 +299,163 @@ FROM d LEFT JOIN (
 """
 
 
+#: tokens per non-overlapping block for the paragraph-granularity dedup
+BLOCK_TOKENS = 6
+
+
+def q_block_dedup_docs(sf_dir: str):
+    """Block-level dedup — the RefinedWeb/C4 paragraph-dedup step at the
+    granularity this corpus affords: each doc splits into consecutive
+    NON-overlapping BLOCK_TOKENS-token blocks (last block may be short);
+    every block whose content appears anywhere earlier in the corpus
+    (ordered by doc_id, block index — within-doc repeats included,
+    unlike the distinct-doc rule of ``span_removed_docs``) is excised.
+    Returns (doc_id, text_clean, n_blocks, n_removed) for every doc.
+
+    Scale shape: blocks travel the dedup exchange as (hash64, doc_id,
+    idx) int rows — text never shuffles with them; the winner per hash
+    is the lexicographic (doc_id, idx) min, resolved vectorized per
+    hash-routed group; excision is ONE doc-routed exchange where the
+    loser (doc_id, idx) markers co-partition with the doc text."""
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def split_blocks(text: str) -> list[str]:
+        toks = (text or "").split(" ")
+        return [
+            " ".join(toks[i : i + BLOCK_TOKENS])
+            for i in range(0, len(toks), BLOCK_TOKENS)
+        ]
+
+    def block_rows(df: pd.DataFrame) -> pd.DataFrame:
+        ids, idxs, blks = [], [], []
+        for did, text in zip(df["doc_id"].to_numpy(np.int64), df["text"]):
+            bs = split_blocks(text)
+            ids.extend([did] * len(bs))
+            idxs.extend(range(len(bs)))
+            blks.extend(bs)
+        h = pd.util.hash_array(np.asarray(blks, dtype=object))
+        out = pd.DataFrame(
+            {
+                "bh": h.astype(np.uint64),
+                "doc_id": np.asarray(ids, np.int64),
+                "idx": np.asarray(idxs, np.int64),
+            }
+        )
+        out["bucket"] = (out["bh"] % np.uint64(ROUTE_PARTS)).astype(np.int64)
+        return out
+
+    rows = docs.map_batches(block_rows, batch_format="pandas")
+
+    # winner per block hash = (doc_id, idx) min; emit LOSERS only
+    def losers(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["bh", "doc_id", "idx"], kind="mergesort")
+        first = ~g["bh"].duplicated()
+        out = g.loc[~first, ["doc_id", "idx"]]
+        return pd.DataFrame(
+            {
+                "doc_id": out["doc_id"].to_numpy(np.int64),
+                "idx": out["idx"].to_numpy(np.int64),
+            }
+        )
+
+    dup = (
+        rows.map_batches(lambda df: _route(df, "bucket"), batch_format="pandas")
+        .groupby("_pkey")
+        .map_groups(losers, batch_format="pandas")
+    )
+
+    # excision: doc text + its loser markers co-partition by doc_id
+    def mark_doc(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+                "idx": np.int64(-1),
+                "text": df["text"].fillna("").astype(str),
+            }
+        )
+        return _route(out, "doc_id")
+
+    def mark_dup(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+                "idx": df["idx"].to_numpy(np.int64),
+                "text": "",
+            }
+        )
+        return _route(out, "doc_id")
+
+    unioned = docs.map_batches(mark_doc, batch_format="pandas").union(
+        dup.map_batches(mark_dup, batch_format="pandas")
+    )
+
+    def excise(g: pd.DataFrame) -> pd.DataFrame:
+        texts = g[g["idx"] < 0]
+        drops: dict[int, set] = {}
+        dd = g[g["idx"] >= 0]
+        for did, i in zip(dd["doc_id"].to_numpy(np.int64), dd["idx"].to_numpy(np.int64)):
+            drops.setdefault(did, set()).add(int(i))
+        out_id, out_txt, out_nb, out_rm = [], [], [], []
+        for did, text in zip(texts["doc_id"].to_numpy(np.int64), texts["text"]):
+            bs = split_blocks(text)
+            gone = drops.get(did, ())
+            kept = [b for i, b in enumerate(bs) if i not in gone]
+            out_id.append(did)
+            out_txt.append(" ".join(kept))
+            out_nb.append(len(bs))
+            out_rm.append(len(bs) - len(kept))
+        return pd.DataFrame(
+            {
+                "doc_id": np.asarray(out_id, np.int64),
+                "text_clean": pd.Series(out_txt, dtype=str),
+                "n_blocks": np.asarray(out_nb, np.int64),
+                "n_removed": np.asarray(out_rm, np.int64),
+            }
+        )
+
+    return unioned.groupby("_pkey").map_groups(excise, batch_format="pandas")
+
+
+SQL_BLOCK_DEDUP = f"""
+WITH d AS (
+  SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS toks FROM documents),
+nb AS (
+  SELECT doc_id, toks,
+         CAST(ceil(len(toks) / {BLOCK_TOKENS}.0) AS BIGINT) AS n_blocks
+  FROM d),
+b AS (
+  SELECT doc_id, gs.i AS bi,
+         array_to_string(
+           toks[(gs.i * {BLOCK_TOKENS} + 1) : (gs.i * {BLOCK_TOKENS} + {BLOCK_TOKENS})],
+           ' ') AS blk
+  FROM nb, LATERAL (SELECT unnest(generate_series(0, n_blocks - 1)) AS i) gs),
+w AS (
+  SELECT doc_id, bi, blk,
+         ROW_NUMBER() OVER (PARTITION BY blk ORDER BY doc_id, bi) AS rn
+  FROM b),
+kept AS (
+  SELECT doc_id, string_agg(blk, ' ' ORDER BY bi) AS txt, COUNT(*) AS cnt
+  FROM w WHERE rn = 1 GROUP BY doc_id)
+SELECT nb.doc_id,
+       COALESCE(k.txt, '') AS text_clean,
+       nb.n_blocks,
+       nb.n_blocks - COALESCE(k.cnt, 0) AS n_removed
+FROM nb LEFT JOIN kept k USING (doc_id)
+"""
+
+
 QUERIES_EXPORT = {
     "shuffle_shards_docs": q_shuffle_shards_docs,
     "fuzzy_contamination": q_fuzzy_contamination,
     "span_removed_docs": q_span_removed_docs,
+    "block_dedup_docs": q_block_dedup_docs,
 }
 
 ORACLE_SQL_EXPORT = {
     "shuffle_shards_docs": SQL_SHUFFLE_SHARDS,
     "fuzzy_contamination": SQL_FUZZY_CONTAMINATION,
     "span_removed_docs": SQL_SPAN_REMOVED,
+    "block_dedup_docs": SQL_BLOCK_DEDUP,
 }
 
 # self-register into the main battery (same contract as analytics_ext)

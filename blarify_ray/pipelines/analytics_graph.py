@@ -106,6 +106,113 @@ SELECT n_edges, n_wedges, n_triangles,
 FROM agg
 """
 
+# --- copurchase_two_hop (friends-of-friends) ---------------------------------
+
+
+def q_copurchase_two_hop(sf_dir: str):
+    """Distinct 2-hop-ONLY neighborhood size per part: nodes reachable
+    in exactly two hops of the co-purchase graph, excluding self and
+    direct neighbors; parts with an empty 2-hop-only set emit no row
+    (matching the SQL's inner GROUP BY).
+
+    Scale shape: two exchanges. (1) adjacency routed by MID — each
+    mid's neighbor list self-merges into wedge endpoints (a, b), the
+    same Θ(Σ deg(m)²) wedge enumeration the triangle census already
+    pays; ids only, never baskets. (2) candidates ∪ direct-edge marker
+    rows routed by NODE — one co-partitioned anti-join + distinct count
+    per group, so no neighbor set ever lands on the driver."""
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def route_orders(df: pd.DataFrame) -> pd.DataFrame:
+        return _route(df.drop_duplicates(), "l_orderkey")
+
+    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[["l_orderkey", "l_partkey"]].drop_duplicates()
+        m = g.merge(g, on="l_orderkey", suffixes=("_a", "_b"))
+        m = m[m["l_partkey_a"] < m["l_partkey_b"]]
+        p = m[["l_partkey_a", "l_partkey_b"]].drop_duplicates()
+        p.columns = ["x", "y"]
+        return p.astype({"x": np.int64, "y": np.int64})
+
+    pairs = (
+        li.map_batches(route_orders, batch_format="pandas")
+        .groupby("_pkey")
+        .map_groups(emit_pairs, batch_format="pandas")
+    )
+
+    def sym(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["x"].to_numpy(np.int64)
+        y = df["y"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {"src": np.concatenate([x, y]), "dst": np.concatenate([y, x])}
+        )
+
+    # edge-scale int table consumed by BOTH exchanges — pin it once
+    adj = pairs.map_batches(sym, batch_format="pandas").materialize()
+
+    # exchange 1: all of mid m's rows in one group → N(m) × N(m) wedges
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[["src", "dst"]].drop_duplicates()
+        m = g.merge(g, on="src", suffixes=("_a", "_b"))
+        m = m[m["dst_a"] != m["dst_b"]]
+        out = m[["dst_a", "dst_b"]].drop_duplicates()
+        out.columns = ["node", "nb"]
+        return out.astype({"node": np.int64, "nb": np.int64})
+
+    cands = (
+        adj.map_batches(lambda df: _route(df, "src"), batch_format="pandas")
+        .groupby("_pkey")
+        .map_groups(wedges, batch_format="pandas")
+    )
+
+    # exchange 2: candidates ∪ direct-edge markers routed by node →
+    # per-group anti-join + distinct count (all rows of a node co-locate)
+    def mark(direct: int):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.rename(columns={"src": "node", "dst": "nb"}).copy()
+            out["direct"] = np.int8(direct)
+            return _route(out, "node")
+
+        return f
+
+    unioned = cands.map_batches(mark(0), batch_format="pandas").union(
+        adj.map_batches(mark(1), batch_format="pandas")
+    )
+
+    def count_two_hop(g: pd.DataFrame) -> pd.DataFrame:
+        c = g[g["direct"] == 0][["node", "nb"]].drop_duplicates()
+        d = g[g["direct"] == 1][["node", "nb"]].drop_duplicates()
+        keep = c.merge(d, on=["node", "nb"], how="left", indicator=True)
+        keep = keep[keep["_merge"] == "left_only"]
+        out = keep.groupby("node", sort=False).size().reset_index(name="n_two_hop")
+        return pd.DataFrame(
+            {
+                "node": out["node"].to_numpy(np.int64),
+                "n_two_hop": out["n_two_hop"].to_numpy(np.int64),
+            }
+        )
+
+    return unioned.groupby("_pkey").map_groups(count_two_hop, batch_format="pandas")
+
+
+SQL_COPURCHASE_TWO_HOP = """
+WITH pairs AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+adj AS (SELECT u AS src, v AS dst FROM pairs
+        UNION ALL SELECT v AS src, u AS dst FROM pairs),
+two AS (
+  SELECT DISTINCT a.dst AS node, b.dst AS nb
+  FROM adj a JOIN adj b ON a.src = b.src
+  WHERE a.dst <> b.dst)
+SELECT t.node, CAST(COUNT(*) AS BIGINT) AS n_two_hop
+FROM two t LEFT JOIN adj d ON d.src = t.node AND d.dst = t.nb
+WHERE d.src IS NULL
+GROUP BY t.node
+"""
+
+
 # --- repeat_buyers (INTERSECT) ----------------------------------------------
 
 BUYER_YEAR_A = 1995
@@ -276,14 +383,18 @@ def q_knn_graph(sf_dir: str):
     emb = _rd.read_parquet(
         _os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
     )
-    out = knn_join_exact(emb, k=5).to_pandas()
-    return _pd.DataFrame(
-        {
-            "vec_id": out["vec_id"].astype("int64"),
-            "nn_id": out["nn_id"].astype("int64"),
-            "rank": out["rank"].astype("int64"),
-        }
-    )
+
+    # dtype casts stay per-batch — the k·n edge table never lands on the driver
+    def cast(df: _pd.DataFrame) -> _pd.DataFrame:
+        return _pd.DataFrame(
+            {
+                "vec_id": df["vec_id"].astype("int64"),
+                "nn_id": df["nn_id"].astype("int64"),
+                "rank": df["rank"].astype("int64"),
+            }
+        )
+
+    return knn_join_exact(emb, k=5).map_batches(cast, batch_format="pandas")
 
 
 SQL_KNN_GRAPH = """
@@ -301,6 +412,7 @@ SELECT vec_id, nn_id, CAST(rank AS BIGINT) AS rank FROM r WHERE rank < 5
 
 QUERIES_GRAPH = {
     "copurchase_triangles": q_copurchase_triangles,
+    "copurchase_two_hop": q_copurchase_two_hop,
     "repeat_buyers": q_repeat_buyers,
     "orders_status_pivot": q_orders_status_pivot,
     "vector_range_count": q_vector_range_count,
@@ -309,6 +421,7 @@ QUERIES_GRAPH = {
 
 ORACLE_SQL_GRAPH = {
     "copurchase_triangles": SQL_COPURCHASE_TRIANGLES,
+    "copurchase_two_hop": SQL_COPURCHASE_TWO_HOP,
     "repeat_buyers": SQL_REPEAT_BUYERS,
     "orders_status_pivot": SQL_ORDERS_STATUS_PIVOT,
     "vector_range_count": SQL_VECTOR_RANGE,

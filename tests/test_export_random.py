@@ -144,6 +144,43 @@ def test_span_removal_every_doc_identical(tmp_path, ray_session):
     assert (by.drop(index=2)["text_clean"] == "").all()
 
 
+def test_block_dedup_random(tmp_path, ray_session):
+    """Random corpora hitting block-dedup edges: within-doc repeated
+    blocks (removed — unlike span removal's distinct-doc rule), null
+    and empty texts (one '' block; only the first survives), partial
+    tail blocks, sparse huge doc_ids."""
+    from blarify_ray.pipelines.analytics_export import BLOCK_TOKENS
+
+    rng = np.random.RandomState(71)
+    vocab = [f"b{i}" for i in range(9)]
+    block = " ".join(vocab[:BLOCK_TOKENS])
+    ids, texts = [], []
+    for d in range(40):
+        ids.append(int(d * 101 + (d % 7 == 0) * 2**34))
+        if d % 11 == 0:
+            texts.append(None)  # null text → one '' block on both sides
+        elif d % 7 == 3:
+            texts.append(block + " " + block)  # within-doc repeat
+        else:
+            n = int(rng.randint(0, 4 * BLOCK_TOKENS))  # partial tails
+            texts.append(" ".join(vocab[rng.randint(len(vocab))] for _ in range(n)))
+    tbl = pa.Table.from_pydict(
+        {"doc_id": pa.array(np.array(ids, np.int64)), "text": pa.array(texts, pa.string())}
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    from blarify_ray.pipelines.analytics_export import SQL_BLOCK_DEDUP, q_block_dedup_docs
+
+    got = _norm(q_block_dedup_docs(str(tmp_path)).to_pandas())
+    want = _norm(_oracle(tmp_path, SQL_BLOCK_DEDUP))
+    for c in ("n_blocks", "n_removed"):
+        want[c] = want[c].astype("int64")
+    pd.testing.assert_frame_equal(got, want)
+    # the planted within-doc repeat must lose its second block
+    rep = got[got["doc_id"] == 3 * 101]
+    assert int(rep["n_removed"].iloc[0]) >= 1
+
+
 # ---------------------------------------------------------- fuzzy decontamination
 
 
