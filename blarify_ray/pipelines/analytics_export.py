@@ -444,11 +444,74 @@ FROM nb LEFT JOIN kept k USING (doc_id)
 """
 
 
+# --- PII redaction (the RefinedWeb/Pile scrubbing stage) ---------------------
+#
+# Patterns restricted to syntax with IDENTICAL semantics in Python re and
+# DuckDB's RE2 (character classes, bounded repeats, ASCII \b) so engine
+# and oracle state the same scrub. Applied in a fixed order (email →
+# phone → IP); match counts are taken on the ORIGINAL text on both sides.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def q_pii_redact_docs(sf_dir: str):
+    """PII scrub over ``documents``: emails → ``<EMAIL>``, NANP-style
+    phone numbers → ``<PHONE>``, dotted-quad IPs → ``<IP>``; returns
+    (doc_id, text_redacted, n_emails, n_phones, n_ips). Map-only — one
+    corpus scan, compiled-regex vectorized pandas kernels, nothing
+    shuffles; the 100-TB shape is embarrassingly parallel."""
+    import re
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    # re.ASCII: Python's \d/\b are Unicode-aware by default, RE2's are
+    # ASCII — without this flag engine and oracle diverge on unicode docs
+    rx_e = re.compile(PII_EMAIL, re.ASCII)
+    rx_p = re.compile(PII_PHONE, re.ASCII)
+    rx_i = re.compile(PII_IP, re.ASCII)
+
+    def scrub(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["text"].fillna("").astype(str)
+        n_e = s.str.count(rx_e).astype(np.int64)
+        n_p = s.str.count(rx_p).astype(np.int64)
+        n_i = s.str.count(rx_i).astype(np.int64)
+        red = (
+            s.str.replace(rx_e, "<EMAIL>", regex=True)
+            .str.replace(rx_p, "<PHONE>", regex=True)
+            .str.replace(rx_i, "<IP>", regex=True)
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+                "text_redacted": red,
+                "n_emails": n_e,
+                "n_phones": n_p,
+                "n_ips": n_i,
+            }
+        )
+
+    return docs.map_batches(scrub, batch_format="pandas")
+
+
+SQL_PII_REDACT = f"""
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(
+         COALESCE(text, ''), '{PII_EMAIL}', '<EMAIL>', 'g'),
+         '{PII_PHONE}', '<PHONE>', 'g'),
+         '{PII_IP}', '<IP>', 'g') AS text_redacted,
+       CAST(len(regexp_extract_all(COALESCE(text, ''), '{PII_EMAIL}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(COALESCE(text, ''), '{PII_PHONE}')) AS BIGINT) AS n_phones,
+       CAST(len(regexp_extract_all(COALESCE(text, ''), '{PII_IP}')) AS BIGINT) AS n_ips
+FROM documents
+"""
+
+
 QUERIES_EXPORT = {
     "shuffle_shards_docs": q_shuffle_shards_docs,
     "fuzzy_contamination": q_fuzzy_contamination,
     "span_removed_docs": q_span_removed_docs,
     "block_dedup_docs": q_block_dedup_docs,
+    "pii_redact_docs": q_pii_redact_docs,
 }
 
 ORACLE_SQL_EXPORT = {
@@ -456,6 +519,7 @@ ORACLE_SQL_EXPORT = {
     "fuzzy_contamination": SQL_FUZZY_CONTAMINATION,
     "span_removed_docs": SQL_SPAN_REMOVED,
     "block_dedup_docs": SQL_BLOCK_DEDUP,
+    "pii_redact_docs": SQL_PII_REDACT,
 }
 
 # self-register into the main battery (same contract as analytics_ext)

@@ -206,6 +206,52 @@ def test_fuzzy_contamination_random(tmp_path, ray_session):
     assert (got["containment"] >= 0.8 - 1e-12).all()
 
 
+# ------------------------------------------------------------------ PII redact
+
+
+def test_pii_redact_planted(tmp_path, ray_session):
+    """Planted emails/phones/IPs (the synthetic corpus has none) plus
+    the parity traps: unicode letters adjacent to digits (\\b must be
+    ASCII on both sides), an email whose tail looks like a phone, a
+    >255 dotted quad (still redacted — the pattern is syntactic),
+    nulls, and a 4-dash number that must NOT match."""
+    rng = np.random.RandomState(5)
+    cases = [
+        "contact me at alice.smith+x@example.co.uk today",
+        "call 555-123-4567 or 555-123-4567 twice",
+        "server at 10.0.255.300 and 1.2.3.4",
+        "émile123-456-7890 unicode-boundary trap",
+        "not-a-phone 1234-567-8901 four leading digits",
+        "bob@mail.org 192.168.0.1 777-888-9999 all three",
+        None,
+        "",
+        "plain words only",
+    ]
+    ids = list(range(len(cases))) + [100 + i for i in range(20)]
+    vocab = ["w%d" % i for i in range(10)]
+    texts = cases + [
+        " ".join(vocab[rng.randint(10)] for _ in range(rng.randint(0, 15)))
+        for _ in range(20)
+    ]
+    tbl = pa.Table.from_pydict(
+        {"doc_id": pa.array(np.array(ids, np.int64)), "text": pa.array(texts, pa.string())}
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    from blarify_ray.pipelines.analytics_export import SQL_PII_REDACT, q_pii_redact_docs
+
+    got = _norm(q_pii_redact_docs(str(tmp_path)).to_pandas())
+    want = _norm(_oracle(tmp_path, SQL_PII_REDACT))
+    for c in ("n_emails", "n_phones", "n_ips"):
+        want[c] = want[c].astype("int64")
+    pd.testing.assert_frame_equal(got, want)
+    by = got.set_index("doc_id")
+    assert by.loc[0, "n_emails"] == 1 and "<EMAIL>" in by.loc[0, "text_redacted"]
+    assert by.loc[1, "n_phones"] == 2
+    assert by.loc[5, ["n_emails", "n_phones", "n_ips"]].tolist() == [1, 1, 1]
+    assert by.loc[8, "text_redacted"] == "plain words only"
+
+
 # ---------------------------------------------------------------- PQ / IVF-PQ
 
 
