@@ -189,3 +189,65 @@ def frame_sample(
         )
 
     return media.map_batches(f, batch_format="pyarrow", batch_size=64)
+
+
+def audio_windows(
+    media: ray.data.Dataset, win_bytes: int = 64, hop_bytes: int = 32
+) -> ray.data.Dataset:
+    """Audio rows → fixed-length overlapping windows (the STFT-frame /
+    feature-window plumbing of a speech pipeline): one output row per
+    (media_id, win_idx) with byte offset/length and a FEATURE_DIM
+    energy-profile vector from the deterministic stub "decode". Real
+    audio decode would slot into the same batch signature (the
+    ``MediaDecoder`` pattern); windowing, offsets, schema and the
+    flat-map fan-out are real and tested. Map-only — windows of a row
+    are emitted in its own batch, nothing shuffles."""
+    if hop_bytes <= 0 or win_bytes <= 0:
+        raise ValueError("win_bytes and hop_bytes must be positive")
+
+    def f(batch: pa.Table) -> pa.Table:
+        mids, idxs, offs, lens, feats = [], [], [], [], []
+        for mid, kind, payload in zip(
+            batch["media_id"].to_pylist(),
+            batch["kind"].to_pylist(),
+            batch["payload"].to_pylist(),
+        ):
+            if kind != "audio":
+                continue
+            body = payload[len(_MAGIC) + 4 :]  # skip SYNM header
+            n = len(body)
+            start = 0
+            widx = 0
+            while start < n:
+                chunk = body[start : start + win_bytes]
+                arr = np.frombuffer(chunk, dtype=np.uint8).astype(np.float64)
+                prof = np.zeros(FEATURE_DIM, np.float32)
+                if len(arr):
+                    bins = np.array_split(arr, FEATURE_DIM)
+                    prof = np.array(
+                        [b.mean() if len(b) else 0.0 for b in bins], np.float32
+                    ) / 255.0
+                mids.append(mid)
+                idxs.append(widx)
+                offs.append(start)
+                lens.append(len(chunk))
+                feats.append(prof)
+                widx += 1
+                start += hop_bytes
+        feat_arr = (
+            np.stack(feats) if feats else np.zeros((0, FEATURE_DIM), np.float32)
+        )
+        return pa.Table.from_pydict(
+            {
+                "media_id": pa.array(mids, pa.int64()),
+                "win_idx": pa.array(idxs, pa.int32()),
+                "offset": pa.array(offs, pa.int64()),
+                "n_bytes": pa.array(lens, pa.int32()),
+                "features": pa.FixedSizeListArray.from_arrays(
+                    pa.array(feat_arr.reshape(-1), pa.float32()), FEATURE_DIM
+                ),
+            }
+        )
+
+    # small batches on purpose: payload rows are wide binary
+    return media.map_batches(f, batch_format="pyarrow", batch_size=64)

@@ -651,3 +651,33 @@ def test_grouped_quantiles_per_key_accuracy():
         for q, col in ((0.5, "p50"), (0.9, "p90")):
             rank = float(np.mean(vals <= r[col]))
             assert abs(rank - q) <= 0.08, (r["source"], q, r[col], rank)
+
+
+def test_audio_windows():
+    """Window plumbing invariants on the synthetic audio payloads:
+    only 'audio' rows fan out; offsets step by hop; every byte of the
+    body is covered; the tail window may be short; features are a
+    normalized FEATURE_DIM profile; deterministic."""
+    from blarify_ray.ops.multimodal import audio_windows, synth_media_payload
+
+    media = rd.from_arrow(synth_media_table(9))
+    rows = audio_windows(media, win_bytes=40, hop_bytes=24).take_all()
+    assert rows and all(r["media_id"] % 3 == 1 for r in rows)  # only audio
+    by_m = {}
+    for r in rows:
+        by_m.setdefault(r["media_id"], []).append(r)
+    for mid, rs in by_m.items():
+        rs.sort(key=lambda r: r["win_idx"])
+        body_len = len(synth_media_payload(mid, "audio")) - 8  # SYNM+u16+u16
+        assert [r["offset"] for r in rs] == [i * 24 for i in range(len(rs))]
+        # full coverage: last window reaches the end of the body
+        assert rs[-1]["offset"] + rs[-1]["n_bytes"] == body_len
+        # overlapping windows truncate at the body end, never beyond
+        assert all(r["n_bytes"] == min(40, body_len - r["offset"]) for r in rs)
+        assert all(len(r["features"]) == FEATURE_DIM for r in rs)
+        assert all(0.0 <= f <= 1.0 for r in rs for f in r["features"])
+    rows2 = audio_windows(rd.from_arrow(synth_media_table(9)), win_bytes=40, hop_bytes=24).take_all()
+    assert [r["features"][3] for r in rows] == [r["features"][3] for r in rows2]
+
+    with _pytest.raises(ValueError):
+        audio_windows(media, win_bytes=0)
