@@ -179,6 +179,12 @@ def _q_kg_components(sf_dir: str):
     return component_sizes(_kg_paths(sf_dir), k=20)
 
 
+def _q_kg_betweenness(sf_dir: str):
+    from blarify_ray.pipelines.graph_analytics import top_betweenness
+
+    return top_betweenness(_kg_paths(sf_dir), k=50, k_sources=16)
+
+
 def _q_kg_triangles(sf_dir: str):
     from blarify_ray.pipelines.graph_analytics import triangle_census
 
@@ -291,6 +297,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pagerank": _q_kg_pagerank,
         "kg_components": _q_kg_components,
         "kg_triangles": _q_kg_triangles,
+        "kg_betweenness": _q_kg_betweenness,
         "kg_kcore": _q_kg_kcore,
         "kg_communities": _q_kg_communities,
         "kg_centrality": _q_kg_centrality,

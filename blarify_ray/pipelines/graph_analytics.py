@@ -421,6 +421,38 @@ def weakly_connected_components(
     )
 
 
+def top_betweenness(
+    paths: dict[str, str], k: int = 50, k_sources: int = 16,
+    seed: int = 13, cfg: PipelineConfig = DEFAULT_CONFIG,
+) -> pd.DataFrame:
+    """Top-k entities by sampled betweenness centrality (Brandes over
+    ``k_sources`` deterministic sources, scaled n/k — the path-flavour
+    centrality next to PageRank and HyperBall harmonic). Delegates to
+    the size-tiered ``ops/betweenness.betweenness_sampled`` over the KG
+    as an undirected simple graph; ties → entity_id."""
+    from ..ops.betweenness import betweenness_sampled
+
+    edges = read_stage(paths["edges"], columns=["src_id", "dst_id"])
+    pairs = edges.map_batches(
+        lambda t: pa.Table.from_pydict({"x": t["src_id"], "y": t["dst_id"]}),
+        batch_format="pyarrow",
+    )
+    bc = betweenness_sampled(pairs, k_sources=k_sources, seed=seed, cfg=cfg)
+    out = (
+        bc.map_batches(
+            lambda df: df.rename(columns={"node": "entity_id"}),
+            batch_format="pandas",
+        )
+        .sort(["bc", "entity_id"], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+    )
+    return pd.DataFrame(
+        {"entity_id": out["entity_id"].astype(str),
+         "bc": out["bc"].astype("float64")}
+    )
+
+
 def triangle_census(
     paths: dict[str, str], cfg: PipelineConfig = DEFAULT_CONFIG
 ) -> pd.DataFrame:

@@ -281,6 +281,14 @@ def _t_centrality(paths: dict[str, str], k: int = 10) -> dict:
     }
 
 
+def _t_betweenness(paths: dict[str, str], k: int = 10, k_sources: int = 16) -> dict:
+    from .pipelines.graph_analytics import top_betweenness
+
+    top = top_betweenness(paths, k=k, k_sources=k_sources)
+    return {"top_betweenness": top.to_dict(orient="records"),
+            "k_sources": k_sources}
+
+
 _ID = {"type": "string", "description": "entity_id (md5 hex)"}
 _K = {"type": "integer", "default": 10}
 _PAGE = {
@@ -425,6 +433,13 @@ TOOLS: dict[str, Tool] = {
              "effective diameter, and the neighborhood function N(t)",
              _t_centrality,
              {"k": _K}),
+        Tool("get_betweenness",
+             "Top-k entities by sampled betweenness centrality (Brandes "
+             "dependency accumulation from k_sources deterministic "
+             "sources, scaled n/k) — the broker/bottleneck view of the "
+             "graph, complementing PageRank and harmonic centrality",
+             _t_betweenness,
+             {"k": _K, "k_sources": {"type": "integer", "default": 16}}),
     ]
 }
 

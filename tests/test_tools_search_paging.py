@@ -104,6 +104,10 @@ def test_tool_registry_and_calls(built):
     hs = [r["harmonic"] for r in cen["top_harmonic"]]
     assert hs == sorted(hs, reverse=True)
     assert cen["distance_distribution"][-1]["frac"] == pytest.approx(1.0)
+    bet = call_tool(built, "get_betweenness", {"k": 5, "k_sources": 8})
+    assert bet["top_betweenness"] and bet["k_sources"] == 8
+    bs = [r["bc"] for r in bet["top_betweenness"]]
+    assert bs == sorted(bs, reverse=True) and all(b >= 0.0 for b in bs)
     pat = call_tool(built, "match_pattern", {"steps": [{}, {}], "limit": 5})
     assert 0 < len(pat) <= 5 and set(pat[0]) == {"n0", "p1", "n1", "p2", "n2"}
     trend = call_tool(built, "get_trending_entities", {"k": 5})
