@@ -11,6 +11,7 @@ from __future__ import annotations
 import os
 
 import numpy as np
+import pandas as pd
 import pyarrow.parquet as pq
 import ray.data as rd
 
@@ -387,8 +388,52 @@ def q_semdedup_embeddings(sf_dir: str):
     return semdedup(emb, threshold=0.45, n_clusters=16)
 
 
+def q_quality_classifier_docs(sf_dir: str):
+    """Seed-labeled quality classifier (the CCNet/GPT-3 reference-corpus
+    scorer): label = the doc mentions the seed token, train the hashed
+    BoW logistic regression distributed (one dim-float gradient exchange
+    per epoch, model-scale driver state), score the corpus map-only.
+    Returns (doc_id, prob, label) — the learned scores must land the
+    labeled docs above 0.5 (asserted by test_classifier's planted-truth
+    runs; here the driver checks rows/schema)."""
+    import os as _os
+
+    import ray.data as _rd
+
+    from ..ops.classifier import score_logreg, train_logreg
+
+    docs = _rd.read_parquet(
+        _os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def label(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["text"].fillna("")
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+                "text": s,
+                "label": s.str.split().map(lambda ts: int("spark" in ts)).astype(np.int64),
+            }
+        )
+
+    labeled = docs.map_batches(label, batch_format="pandas").materialize()
+    w, _losses = train_logreg(labeled, "text", "label", dim=1 << 14, epochs=100, lr=12.0)
+    scored = score_logreg(labeled, w, "text", "doc_id", keep_cols=["label"])
+    return scored.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "doc_id": df["id"].to_numpy(np.int64),
+                "prob": df["prob"].to_numpy(np.float64),
+                "label": df["label"].to_numpy(np.int64),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
 QUERIES = {
     "media_features": q_media_features,
+    "quality_classifier_docs": q_quality_classifier_docs,
     "approx_distinct_users": q_approx_distinct_users,
     "approx_distinct_users_by_type": q_approx_distinct_users_by_type,
     "minhash_dedup_docs": q_minhash_dedup_docs,

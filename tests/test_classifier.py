@@ -1,0 +1,74 @@
+"""Distributed quality-classifier training: planted-truth separation,
+loss descent, determinism, and the degenerate inputs."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from blarify_ray.ops.classifier import (
+    hash_features,
+    score_logreg,
+    train_logreg,
+)
+
+
+def _planted_corpus(n: int, seed: int) -> pd.DataFrame:
+    """Positive docs draw from vocab A + shared noise, negatives from
+    vocab B + the same noise — linearly separable in BoW space."""
+    rng = np.random.RandomState(seed)
+    va = [f"good{i}" for i in range(30)]
+    vb = [f"bad{i}" for i in range(30)]
+    noise = [f"n{i}" for i in range(50)]
+    rows = []
+    for i in range(n):
+        y = i % 2
+        sig = va if y else vb
+        toks = [sig[rng.randint(30)] for _ in range(8)] + [
+            noise[rng.randint(50)] for _ in range(8)
+        ]
+        rng.shuffle(toks)
+        rows.append({"doc_id": i, "text": " ".join(toks), "label": y})
+    return pd.DataFrame(rows)
+
+
+def test_planted_separation_and_loss_descent(ray_session):
+    train = _planted_corpus(300, 3)
+    hold = _planted_corpus(120, 99)  # disjoint draws, same vocabularies
+    ds = rd.from_pandas(train)
+    w, losses = train_logreg(ds, "text", "label", dim=1 << 12, epochs=15, lr=3.0)
+    assert len(losses) == 15
+    assert losses[-1] < losses[0] * 0.5  # real descent, not noise
+    scored = score_logreg(rd.from_pandas(hold), w, "text", "doc_id").to_pandas()
+    m = scored.merge(hold[["doc_id", "label"]], left_on="id", right_on="doc_id")
+    acc = ((m["prob"] > 0.5).astype(int) == m["label"]).mean()
+    assert acc > 0.95
+
+
+def test_deterministic(ray_session):
+    train = _planted_corpus(100, 7)
+    w1, l1 = train_logreg(rd.from_pandas(train), "text", "label", dim=1 << 10, epochs=5)
+    w2, l2 = train_logreg(rd.from_pandas(train), "text", "label", dim=1 << 10, epochs=5)
+    # partial-sum association may differ across block splits — scores
+    # must agree to float tolerance, labels exactly
+    assert np.allclose(w1, w2, atol=1e-9)
+    assert l1 == pytest.approx(l2, abs=1e-9)
+
+
+def test_empty_and_null_text(ray_session):
+    df = pd.DataFrame(
+        {"doc_id": [0, 1, 2], "text": [None, "", "x y"], "label": [0, 1, 0]}
+    )
+    w, losses = train_logreg(rd.from_pandas(df), "text", "label", dim=64, epochs=3)
+    scored = score_logreg(rd.from_pandas(df), w, "text", "doc_id").to_pandas()
+    assert len(scored) == 3 and scored["prob"].between(0, 1).all()
+    # empty/null rows have no features: their score is exactly sigmoid(0)
+    assert scored.set_index("id").loc[0, "prob"] == pytest.approx(0.5)
+
+
+def test_hash_features_shapes():
+    idx, off = hash_features(pd.Series(["a b a", "", None, "c"]), dim=16)
+    assert off.tolist() == [0, 3, 3, 3, 4]
+    assert (idx < 16).all() and len(idx) == 4
+    # same token → same hashed dim
+    assert idx[0] == idx[2]
