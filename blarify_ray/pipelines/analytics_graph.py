@@ -37,7 +37,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .analytics import _cents, _route, _t
+from .analytics import ROUTE_PARTS, _cents, _route, _t
 
 # --- copurchase_triangles ---------------------------------------------------
 
@@ -210,6 +210,168 @@ SELECT t.node, CAST(COUNT(*) AS BIGINT) AS n_two_hop
 FROM two t LEFT JOIN adj d ON d.src = t.node AND d.dst = t.nb
 WHERE d.src IS NULL
 GROUP BY t.node
+"""
+
+
+# --- copurchase_local_cc (per-node clustering) -------------------------------
+
+
+def q_copurchase_local_cc(sf_dir: str):
+    """Local clustering coefficient per part: 2·t(v) / (d(v)·(d(v)−1))
+    over the co-purchase graph, one row per node (cc = 0 when d < 2).
+    KEY IDENTITY making this distributed-cheap: a node's triangle count
+    equals the number of CLOSED WEDGES CENTERED AT IT — so the mid-
+    routed wedge emission credits each node directly, no ×3 correction
+    and no per-triangle vertex unnest. Two exchanges: (1) adjacency by
+    MID → (a, b, mid) wedge rows + (mid, degree) rows; (2) wedges ∪
+    edge markers by the (a, b) endpoint pair → closure check, credits
+    summed per mid co-partitioned with its degree row."""
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def route_orders(df: pd.DataFrame) -> pd.DataFrame:
+        return _route(df.drop_duplicates(), "l_orderkey")
+
+    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[["l_orderkey", "l_partkey"]].drop_duplicates()
+        m = g.merge(g, on="l_orderkey", suffixes=("_a", "_b"))
+        m = m[m["l_partkey_a"] < m["l_partkey_b"]]
+        p = m[["l_partkey_a", "l_partkey_b"]].drop_duplicates()
+        p.columns = ["x", "y"]
+        return p.astype({"x": np.int64, "y": np.int64})
+
+    # edge-scale int table consumed by the wedge AND marker sides — pin once
+    pairs = (
+        li.map_batches(route_orders, batch_format="pandas")
+        .groupby("_pkey")
+        .map_groups(emit_pairs, batch_format="pandas")
+    ).materialize()
+
+    def sym(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["x"].to_numpy(np.int64)
+        y = df["y"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {"src": np.concatenate([x, y]), "dst": np.concatenate([y, x])}
+        )
+
+    adj = pairs.map_batches(sym, batch_format="pandas")
+
+    # exchange 1: per mid — degree row (kind 2) + a<b wedge rows (kind 0)
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[["src", "dst"]].drop_duplicates()
+        deg = g.groupby("src", sort=False).size().reset_index(name="n")
+        m = g.merge(g, on="src", suffixes=("_a", "_b"))
+        m = m[m["dst_a"] < m["dst_b"]]
+        wed = pd.DataFrame(
+            {"a": m["dst_a"].to_numpy(np.int64), "b": m["dst_b"].to_numpy(np.int64),
+             "mid": m["src"].to_numpy(np.int64), "kind": np.int8(0)}
+        )
+        dg = pd.DataFrame(
+            {"a": deg["src"].to_numpy(np.int64), "b": deg["n"].to_numpy(np.int64),
+             "mid": deg["src"].to_numpy(np.int64), "kind": np.int8(2)}
+        )
+        return pd.concat([wed, dg], ignore_index=True)
+
+    wl = (
+        adj.map_batches(lambda df: _route(df, "src"), batch_format="pandas")
+        .groupby("_pkey")
+        .map_groups(wedges, batch_format="pandas")
+    )
+
+    # exchange 2: wedges + edge markers by (a, b); degree rows by mid —
+    # one union so credits and degrees co-partition with their node
+    def route_pairhash(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        kind = out["kind"].to_numpy(np.int8)
+        key = np.where(
+            kind == 2,
+            pd.util.hash_array(out["mid"].to_numpy(np.int64)),
+            pd.util.hash_array(out["a"].to_numpy(np.int64)) * np.uint64(31)
+            + pd.util.hash_array(out["b"].to_numpy(np.int64)),
+        )
+        out["_pkey"] = (key % np.uint64(ROUTE_PARTS)).astype(np.int32)
+        return out
+
+    def edge_marker(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {"a": df["x"].to_numpy(np.int64), "b": df["y"].to_numpy(np.int64),
+             "mid": np.int64(-1), "kind": np.int8(1)}
+        )
+        return out
+
+    def closure_credits(g: pd.DataFrame) -> pd.DataFrame:
+        wed = g[g["kind"] == 0]
+        edg = g[g["kind"] == 1][["a", "b"]].drop_duplicates()
+        hit = wed.merge(edg, on=["a", "b"])
+        cred = hit.groupby("mid", sort=False).size().reset_index(name="t")
+        return pd.DataFrame(
+            {"node": cred["mid"].to_numpy(np.int64),
+             "t": cred["t"].to_numpy(np.int64), "kind": np.int8(0)}
+        )
+
+    routed = (
+        wl.map_batches(route_pairhash, batch_format="pandas")
+        .union(
+            pairs.map_batches(edge_marker, batch_format="pandas").map_batches(
+                route_pairhash, batch_format="pandas"
+            )
+        )
+    )
+
+    # degree rows pass through exchange 2 keyed by mid; credits keyed by
+    # (a,b) land elsewhere — a second mid-keyed exchange folds them
+    def split_deg(g: pd.DataFrame) -> pd.DataFrame:
+        dg = g[g["kind"] == 2]
+        out_deg = pd.DataFrame(
+            {"node": dg["mid"].to_numpy(np.int64),
+             "t": dg["b"].to_numpy(np.int64), "kind": np.int8(2)}
+        )
+        return pd.concat([closure_credits(g), out_deg], ignore_index=True)
+
+    merged = routed.groupby("_pkey").map_groups(split_deg, batch_format="pandas")
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        deg = g[g["kind"] == 2].groupby("node", sort=False)["t"].sum()
+        tri = g[g["kind"] == 0].groupby("node", sort=False)["t"].sum()
+        nodes = deg.index.to_numpy(np.int64)
+        d = deg.to_numpy(np.int64)
+        t = tri.reindex(deg.index, fill_value=0).to_numpy(np.int64)
+        cc = np.where(d >= 2, 2.0 * t / np.maximum(d * (d - 1), 1), 0.0)
+        return pd.DataFrame(
+            {"node": nodes, "degree": d, "n_tri": t,
+             "local_cc": cc.astype(np.float64)}
+        )
+
+    return (
+        merged.map_batches(lambda df: _route(df, "node"), batch_format="pandas")
+        .groupby("_pkey")
+        .map_groups(fold, batch_format="pandas")
+    )
+
+
+SQL_COPURCHASE_LOCAL_CC = """
+WITH pairs AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+    SELECT u AS node FROM pairs UNION ALL SELECT v AS node FROM pairs
+  ) GROUP BY node),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM pairs e1
+  JOIN pairs e2 ON e2.u = e1.v
+  JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v),
+tv AS (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri),
+tc AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS t FROM tv GROUP BY node)
+SELECT d.node, d.d AS degree, COALESCE(tc.t, 0) AS n_tri,
+       CASE WHEN d.d >= 2
+            THEN 2.0 * COALESCE(tc.t, 0) / (d.d * (d.d - 1))
+            ELSE 0.0 END AS local_cc
+FROM deg d LEFT JOIN tc USING (node)
 """
 
 
@@ -413,6 +575,7 @@ SELECT vec_id, nn_id, CAST(rank AS BIGINT) AS rank FROM r WHERE rank < 5
 QUERIES_GRAPH = {
     "copurchase_triangles": q_copurchase_triangles,
     "copurchase_two_hop": q_copurchase_two_hop,
+    "copurchase_local_cc": q_copurchase_local_cc,
     "repeat_buyers": q_repeat_buyers,
     "orders_status_pivot": q_orders_status_pivot,
     "vector_range_count": q_vector_range_count,
@@ -422,6 +585,7 @@ QUERIES_GRAPH = {
 ORACLE_SQL_GRAPH = {
     "copurchase_triangles": SQL_COPURCHASE_TRIANGLES,
     "copurchase_two_hop": SQL_COPURCHASE_TWO_HOP,
+    "copurchase_local_cc": SQL_COPURCHASE_LOCAL_CC,
     "repeat_buyers": SQL_REPEAT_BUYERS,
     "orders_status_pivot": SQL_ORDERS_STATUS_PIVOT,
     "vector_range_count": SQL_VECTOR_RANGE,
