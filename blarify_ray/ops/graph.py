@@ -780,3 +780,100 @@ def _scc_distributed(
     return out.map_batches(
         lambda df: df[["node", "scc"]], batch_format="pandas"
     )
+
+
+# --- modularity of a community partition -------------------------------------
+
+
+def modularity(
+    edges: ray.data.Dataset,
+    assign: ray.data.Dataset,
+    parts: int = 64,
+) -> float:
+    """Newman modularity Q of a community ASSIGNMENT over an undirected
+    simple graph: Q = (Σ_c m_c)/m − Σ_c (D_c / 2m)² — the quality score
+    for LPA/community output. ``edges`` has columns (x, y) (loops and
+    duplicate pairs collapse); ``assign`` has (node, community), unique
+    per node; edges with an unassigned endpoint are dropped.
+
+    Scale shape: two ``copartition_attach`` lookups stamp each edge with
+    its endpoint communities (the assignment is a node-scale dimension —
+    never broadcast, never on the driver); the intra-edge count is a
+    map-only sum, and Σ D_c² folds per community-routed partition into
+    ONE scalar per partition, so driver state is ``parts`` floats no
+    matter how many communities exist."""
+    import pyarrow as _pa
+
+    from .joins import copartition_attach
+
+    def clean(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.dropna(subset=["x", "y"])
+        df = df[df["x"] != df["y"]]
+        lo = np.minimum(df["x"].to_numpy(object), df["y"].to_numpy(object))
+        hi = np.maximum(df["x"].to_numpy(object), df["y"].to_numpy(object))
+        return pd.DataFrame({"x": lo, "y": hi}).drop_duplicates()
+
+    dedup = compact_nonempty(
+        edges.map_batches(clean, batch_format="pandas")
+        .map_batches(
+            lambda df: df.assign(
+                _pkey=(_hash_vals(df["x"].to_numpy()) % parts).astype(np.int32)
+            ),
+            batch_format="pandas",
+        )
+        .groupby("_pkey")
+        .map_groups(
+            lambda g: g[["x", "y"]].drop_duplicates(), batch_format="pandas"
+        )
+    ).materialize()
+
+    if dedup.count() == 0:
+        return 0.0
+
+    stamped = copartition_attach(
+        copartition_attach(
+            dedup, assign, "x", "node", {"community": "cx"}, partitions=parts
+        ),
+        assign, "y", "node", {"community": "cy"}, partitions=parts,
+    ).materialize()
+
+    m = stamped.count()
+    if m == 0:
+        return 0.0
+
+    def intra_partial(t: _pa.Table) -> _pa.Table:
+        import pyarrow.compute as _pc
+
+        eq = _pc.sum(
+            _pc.cast(_pc.equal(t["cx"], t["cy"]), _pa.int64())
+        ).as_py() or 0
+        return _pa.Table.from_pydict({"n": _pa.array([eq], _pa.int64())})
+
+    intra = sum(
+        r["n"] for r in stamped.map_batches(
+            intra_partial, batch_format="pyarrow"
+        ).take_all()
+    )
+
+    # Σ_c D_c²: community-routed degree fold, one scalar per partition
+    def degree_rows(df: pd.DataFrame) -> pd.DataFrame:
+        c = pd.concat([df["cx"], df["cy"]], ignore_index=True).astype(object)
+        out = pd.DataFrame({"community": c})
+        out["_pkey"] = (_hash_vals(out["community"].to_numpy()) % parts).astype(
+            np.int32
+        )
+        return out
+
+    def sq_partial(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.groupby("community", sort=False).size().to_numpy(np.float64)
+        return pd.DataFrame({"sq": [float((d * d).sum())]})
+
+    sq = sum(
+        r["sq"] for r in compact_nonempty(
+            stamped.map_batches(degree_rows, batch_format="pandas")
+        )
+        .groupby("_pkey")
+        .map_groups(sq_partial, batch_format="pandas")
+        .take_all()
+    )
+    return intra / m - sq / (4.0 * m * m)

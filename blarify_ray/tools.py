@@ -196,10 +196,28 @@ def _t_graph_stats(paths: dict[str, str], k_core_k: int = 2) -> dict:
     }
 
 
-def _t_communities(paths: dict[str, str], k: int = 10, iters: int = 5) -> list[dict]:
+def _t_communities(
+    paths: dict[str, str], k: int = 10, iters: int = 5,
+    with_modularity: bool = False,
+):
     from .pipelines.graph_analytics import top_communities
 
-    return top_communities(paths, k=k, iters=iters).take_all()
+    top = top_communities(paths, k=k, iters=iters).take_all()
+    if not with_modularity:
+        return top
+    from .ops.graph import modularity
+    from .pipelines.graph_analytics import label_propagation
+    from .state.manifest import read_stage
+
+    assign = label_propagation(paths, iters=iters).map_batches(
+        lambda df: df.rename(columns={"entity_id": "node"}),
+        batch_format="pandas",
+    )
+    pairs = read_stage(paths["edges"], columns=["src_id", "dst_id"]).map_batches(
+        lambda df: df.rename(columns={"src_id": "x", "dst_id": "y"}),
+        batch_format="pandas",
+    )
+    return {"communities": top, "modularity": modularity(pairs, assign)}
 
 
 def _t_match_pattern(
@@ -383,7 +401,8 @@ TOOLS: dict[str, Tool] = {
              "Top-k communities by member count (deterministic "
              "label-propagation over the undirected KG)",
              _t_communities,
-             {"k": _K, "iters": {"type": "integer", "default": 5}}),
+             {"with_modularity": {"type": "boolean", "default": False},
+              "k": _K, "iters": {"type": "integer", "default": 5}}),
         Tool("match_pattern",
              "Declarative graph-pattern match (Cypher MATCH analog): "
              "bind a chain (n0)-[p1]->(n1)-[p2]->… with optional "

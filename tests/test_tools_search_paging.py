@@ -104,6 +104,9 @@ def test_tool_registry_and_calls(built):
     hs = [r["harmonic"] for r in cen["top_harmonic"]]
     assert hs == sorted(hs, reverse=True)
     assert cen["distance_distribution"][-1]["frac"] == pytest.approx(1.0)
+    cm = call_tool(built, "get_communities", {"k": 3, "with_modularity": True})
+    assert set(cm) == {"communities", "modularity"} and cm["communities"]
+    assert -0.5 <= cm["modularity"] <= 1.0
     bet = call_tool(built, "get_betweenness", {"k": 5, "k_sources": 8})
     assert bet["top_betweenness"] and bet["k_sources"] == 8
     bs = [r["bc"] for r in bet["top_betweenness"]]
