@@ -444,6 +444,59 @@ FROM nb LEFT JOIN kept k USING (doc_id)
 """
 
 
+def write_training_shards(
+    sf_dir: str, out_dir: str, force: bool = False
+) -> dict:
+    """Materialize the ``shuffle_shards_docs`` plan: one hive partition
+    directory per shard (``shard_id=N/``) holding (doc_id, pos, text),
+    the unit a training-data writer consumes and the unit of resume.
+
+    Scale shape: the plan rows join their text via ONE co-partitioned
+    doc_id exchange (text moves exactly once), and the hive write splits
+    each batch across its shard dirs — no extra shuffle (the
+    ``edges_by_dst`` discipline). Resumable: the writer fingerprints the
+    input (path + size + mtime of ``documents.parquet``) into a marker
+    file; a rerun with a matching marker SKIPS the write entirely, and a
+    changed input rewrites into a fresh tmp dir swapped in atomically —
+    a crashed run can never leave a half-written layout behind the
+    marker."""
+    import json
+    import os
+    import shutil
+
+    from ..ops.joins import copartition_attach
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    fingerprint = f"{os.path.abspath(src)}:{st.st_size}:{st.st_mtime_ns}"
+    marker = os.path.join(out_dir, "_SHARDS_OK.json")
+    if not force and os.path.exists(marker):
+        with open(marker) as f:
+            meta = json.load(f)
+        if meta.get("fingerprint") == fingerprint:
+            return {**meta, "skipped": True}
+
+    plan = q_shuffle_shards_docs(sf_dir)
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    joined = copartition_attach(
+        plan, docs, "doc_id", "doc_id", {"text": "text"}
+    ).map_batches(
+        lambda df: df[["doc_id", "pos", "shard_id", "text"]],
+        batch_format="pandas",
+    )
+
+    tmp = out_dir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    joined.write_parquet(tmp, partition_cols=["shard_id"])
+    n_shards = sum(1 for d in os.listdir(tmp) if d.startswith("shard_id="))
+    meta = {"fingerprint": fingerprint, "n_shards": n_shards, "skipped": False}
+    with open(os.path.join(tmp, "_SHARDS_OK.json"), "w") as f:
+        json.dump(meta, f)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.replace(tmp, out_dir)
+    return meta
+
+
 # --- PII redaction (the RefinedWeb/Pile scrubbing stage) ---------------------
 #
 # Patterns restricted to syntax with IDENTICAL semantics in Python re and

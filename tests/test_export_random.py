@@ -206,6 +206,50 @@ def test_fuzzy_contamination_random(tmp_path, ray_session):
     assert (got["containment"] >= 0.8 - 1e-12).all()
 
 
+def test_write_training_shards_roundtrip_and_resume(tmp_path, ray_session):
+    """Shard layout == plan exactly (every doc once, in its planned
+    shard, text intact); rerun skips via the fingerprint marker; a
+    touched input invalidates and rewrites."""
+    import glob
+    import os
+    import time
+
+    import duckdb as _duckdb
+
+    ids = np.arange(0, 3700, 7, dtype=np.int64)  # sparse, several shards
+    texts = [f"doc {i} body" for i in ids]
+    _write_docs(tmp_path, ids, texts)
+
+    from blarify_ray.pipelines.analytics_export import (
+        ORACLE_SQL_EXPORT,
+        write_training_shards,
+    )
+
+    out = str(tmp_path / "shards")
+    meta = write_training_shards(str(tmp_path), out)
+    assert not meta["skipped"] and meta["n_shards"] >= 5
+
+    files = glob.glob(os.path.join(out, "shard_id=*", "*.parquet"))
+    got = _duckdb.sql(
+        f"SELECT doc_id, pos, CAST(shard_id AS BIGINT) AS shard_id, text "
+        f"FROM read_parquet({files!r}, hive_partitioning=1)"
+    ).df()
+    assert len(got) == len(ids)
+    want = _oracle(tmp_path, ORACLE_SQL_EXPORT["shuffle_shards_docs"])
+    m = got.merge(want, on="doc_id", suffixes=("", "_plan"))
+    assert (m["shard_id"] == m["shard_id_plan"]).all()
+    assert (m["pos"] == m["pos_plan"]).all()
+    assert (m["text"] == m["doc_id"].map(lambda i: f"doc {i} body")).all()
+
+    # identical input → skip; touched input → rewrite
+    again = write_training_shards(str(tmp_path), out)
+    assert again["skipped"]
+    time.sleep(0.02)
+    os.utime(str(tmp_path / "documents.parquet"))
+    third = write_training_shards(str(tmp_path), out)
+    assert not third["skipped"] and third["n_shards"] == meta["n_shards"]
+
+
 # ------------------------------------------------------------------ PII redact
 
 
