@@ -46,7 +46,7 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--out", required=True)
     q.add_argument(
         "--name", required=True,
-        choices=["top", "entry-points", "skeleton", "rollup", "pagerank", "components", "communities"],
+        choices=["top", "entry-points", "skeleton", "rollup", "pagerank", "components", "communities", "betweenness"],
     )
     q.add_argument("--num-cpus", type=int, default=None)
 
@@ -59,6 +59,16 @@ def main(argv: list[str] | None = None) -> int:
     m = sub.add_parser("serve-mcp", help="MCP-style JSON-RPC loop over stdio")
     m.add_argument("--out", required=True)
     m.add_argument("--num-cpus", type=int, default=None)
+
+    e = sub.add_parser(
+        "export-shards",
+        help="materialize the global-shuffle training-shard layout "
+             "(resumable: reruns skip on an unchanged input fingerprint)",
+    )
+    e.add_argument("--sf-dir", required=True, help="directory holding documents.parquet")
+    e.add_argument("--out", required=True, help="shard layout output directory")
+    e.add_argument("--force", action="store_true", help="rewrite even if the marker matches")
+    e.add_argument("--num-cpus", type=int, default=None)
 
     d = sub.add_parser("diff", help="ADDED/DELETED/MODIFIED between two built graphs")
     d.add_argument("--old", required=True, help="older build's output directory")
@@ -111,6 +121,11 @@ def main(argv: list[str] | None = None) -> int:
                 args.out, args.pages, idx, content_seed=args.content_seed
             )
             print(json.dumps({"status": "ok", "stages": paths}))
+        elif args.cmd == "export-shards":
+            from .pipelines.analytics_export import write_training_shards
+
+            meta = write_training_shards(args.sf_dir, args.out, force=args.force)
+            print(json.dumps({"status": "ok", **meta}))
         elif args.cmd == "diff":
             from .pipelines.graph_diff import entity_diff
 
@@ -158,6 +173,10 @@ def main(argv: list[str] | None = None) -> int:
                 from .pipelines.graph_analytics import top_communities
 
                 rows = top_communities(paths, k=10).take_all()
+            elif args.name == "betweenness":
+                from .pipelines.graph_analytics import top_betweenness
+
+                rows = top_betweenness(paths, k=10).to_dict(orient="records")
             else:
                 rows = bottom_up_rollup(paths).take_all()
             for r in rows:
