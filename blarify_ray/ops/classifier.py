@@ -93,6 +93,15 @@ def train_logreg(
     ships a dim-float partial; the driver holds only the model."""
     w = np.zeros(dim, np.float64)
     losses: list[float] = []
+    # driver-ingress guard: with many input blocks, fold batch partials
+    # per bucket BEFORE the driver so an epoch ships n_fold dim-blobs up,
+    # not one per block (a 100-TB corpus has millions of blocks); small
+    # inputs skip the extra exchange — same sums either way
+    n_fold = 64
+    try:
+        use_fold = ds.materialize().num_blocks() > n_fold
+    except Exception:
+        use_fold = True
     for _ in range(epochs):
         w_ref = ray.put(w)
 
@@ -103,17 +112,41 @@ def train_logreg(
             idx, offsets = hash_features(df[text_col], dim)
             y = df[label_col].to_numpy(np.float64)
             g, loss, n = _grad_partial(idx, offsets, y, wt, dim)
+            b = (
+                int(pd.util.hash_pandas_object(df[text_col].head(1)).iloc[0])
+                % n_fold
+                if len(df)
+                else 0
+            )
             return pd.DataFrame(
-                {"g": [g.astype(np.float32).tobytes()], "loss": [loss], "n": [n]}
+                {"_pkey": [np.int32(b)],
+                 "g": [g.astype(np.float32).tobytes()], "loss": [loss], "n": [n]}
             )
 
-        parts = ds.map_batches(partial, batch_format="pandas").take_all()
+        def fold(g_: pd.DataFrame) -> pd.DataFrame:
+            acc = np.zeros(dim, np.float64)
+            for blob in g_["g"]:
+                acc += np.frombuffer(blob, np.float32).astype(np.float64)
+            return pd.DataFrame(
+                {"g": [acc.astype(np.float64).tobytes()],
+                 "loss": [float(g_["loss"].sum())], "n": [int(g_["n"].sum())]}
+            )
+
+        staged = ds.map_batches(partial, batch_format="pandas")
+        if use_fold:
+            staged = staged.groupby("_pkey").map_groups(fold, batch_format="pandas")
+        parts = staged.take_all()
         if not parts:
             break
         g = np.zeros(dim, np.float64)
         loss, n = 0.0, 0
         for r in parts:
-            g += np.frombuffer(r["g"], np.float32).astype(np.float64)
+            blob = r["g"]  # folded rows are float64, raw partials float32
+            g += (
+                np.frombuffer(blob, np.float64)
+                if len(blob) == dim * 8
+                else np.frombuffer(blob, np.float32).astype(np.float64)
+            )
             loss += r["loss"]
             n += r["n"]
         if n == 0:

@@ -72,3 +72,17 @@ def test_hash_features_shapes():
     assert (idx < 16).all() and len(idx) == 4
     # same token → same hashed dim
     assert idx[0] == idx[2]
+
+
+def test_fold_path_many_blocks(ray_session):
+    """>64 input blocks trigger the bucket-fold reduce (driver ingress
+    bounded at 64 partials); training quality is unchanged."""
+    train = _planted_corpus(300, 3).sample(frac=1.0, random_state=1)
+    ds = rd.from_pandas(train).repartition(80).materialize()
+    assert ds.num_blocks() > 64
+    w, losses = train_logreg(ds, "text", "label", dim=1 << 12, epochs=15, lr=3.0)
+    assert losses[-1] < losses[0] * 0.5
+    hold = _planted_corpus(120, 99)
+    scored = score_logreg(rd.from_pandas(hold), w, "text", "doc_id").to_pandas()
+    m = scored.merge(hold[["doc_id", "label"]], left_on="id", right_on="doc_id")
+    assert (((m["prob"] > 0.5).astype(int) == m["label"]).mean()) > 0.95
