@@ -54,34 +54,41 @@ def _empty_bc() -> ray.data.Dataset:
 
 
 def _clean_edges(
-    edges: ray.data.Dataset, directed: bool
+    edges: ray.data.Dataset, directed: bool, parts: int = 64
 ) -> ray.data.Dataset:
-    """Distinct non-loop directed arcs; undirected input symmetrizes."""
+    """Distinct non-loop arcs; undirected input symmetrizes. Dedup is
+    PAIR-keyed (the ``canonical_edges`` discipline) so a hub node's arcs
+    spread across hash groups instead of piling into one."""
+    dropped = edges.map_batches(
+        lambda df: df.dropna(subset=["x", "y"]), batch_format="pandas"
+    )
+    if not directed:
+        from .graph import canonical_edges
 
-    def f(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.dropna(subset=["x", "y"])
-        df = df[df["x"] != df["y"]][["x", "y"]]
-        if not directed:
+        und = canonical_edges(dropped, parts)
+
+        def sym(df: pd.DataFrame) -> pd.DataFrame:
             back = df.rename(columns={"x": "y", "y": "x"})
-            df = pd.concat([df, back[["x", "y"]]], ignore_index=True)
-        return df.drop_duplicates()
+            return pd.concat([df, back[["x", "y"]]], ignore_index=True)
 
-    out = compact_nonempty(edges.map_batches(f, batch_format="pandas"))
-    # global distinct: route by src and dedup within groups
-    parts = 64
+        return compact_nonempty(
+            und.map_batches(sym, batch_format="pandas")
+        ).materialize()
 
     def route(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["_pkey"] = (_hash_vals(df["x"].to_numpy()) % parts).astype(np.int32)
+        df = df[df["x"] != df["y"]][["x", "y"]].drop_duplicates().copy()
+        df["_pkey"] = (
+            (_hash_vals(df["x"].to_numpy()) * np.uint64(31)
+             + _hash_vals(df["y"].to_numpy())) % parts
+        ).astype(np.int32)
         return df
 
-    def dedup(g: pd.DataFrame) -> pd.DataFrame:
-        return g[["x", "y"]].drop_duplicates()
-
     return compact_nonempty(
-        out.map_batches(route, batch_format="pandas")
+        dropped.map_batches(route, batch_format="pandas")
         .groupby("_pkey")
-        .map_groups(dedup, batch_format="pandas")
+        .map_groups(
+            lambda g: g[["x", "y"]].drop_duplicates(), batch_format="pandas"
+        )
     ).materialize()
 
 
@@ -109,9 +116,9 @@ def _pick_sources(nodes: ray.data.Dataset, k: int, seed: int) -> list:
     partial top-k, k-scale driver merge; identical in both tiers."""
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        # mix the seed in wrapping uint64 space (a plain Python product
-        # overflows the np.uint64 constructor)
-        mix = np.uint64(seed) * np.uint64(0x9E3779B97F4A7C15)
+        # wrap the seed mix in Python-int space, THEN convert — numpy
+        # scalar multiply would warn on overflow for any seed >= 2
+        mix = np.uint64((seed * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF)
         h = _hash_vals(df["node"].to_numpy()) ^ mix
         d = pd.DataFrame({"node": df["node"].astype(object), "h": h})
         return d.sort_values(["h", "node"]).head(k)

@@ -99,7 +99,10 @@ def train_logreg(
     # inputs skip the extra exchange — same sums either way
     n_fold = 64
     try:
-        use_fold = ds.materialize().num_blocks() > n_fold
+        # pin the input once — every epoch re-reads these cached blocks
+        # instead of re-executing the upstream plan
+        ds = ds.materialize()
+        use_fold = ds.num_blocks() > n_fold
     except Exception:
         use_fold = True
     for _ in range(epochs):

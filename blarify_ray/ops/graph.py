@@ -806,25 +806,13 @@ def modularity(
 
     from .joins import copartition_attach
 
-    def clean(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.dropna(subset=["x", "y"])
-        df = df[df["x"] != df["y"]]
-        lo = np.minimum(df["x"].to_numpy(object), df["y"].to_numpy(object))
-        hi = np.maximum(df["x"].to_numpy(object), df["y"].to_numpy(object))
-        return pd.DataFrame({"x": lo, "y": hi}).drop_duplicates()
-
-    dedup = compact_nonempty(
-        edges.map_batches(clean, batch_format="pandas")
-        .map_batches(
-            lambda df: df.assign(
-                _pkey=(_hash_vals(df["x"].to_numpy()) % parts).astype(np.int32)
-            ),
-            batch_format="pandas",
-        )
-        .groupby("_pkey")
-        .map_groups(
-            lambda g: g[["x", "y"]].drop_duplicates(), batch_format="pandas"
-        )
+    # orientation/dedup is exactly canonical_edges' job (pair-keyed
+    # routing, so a hub node's edges spread across groups)
+    dedup = canonical_edges(
+        edges.map_batches(
+            lambda df: df.dropna(subset=["x", "y"]), batch_format="pandas"
+        ),
+        parts,
     ).materialize()
 
     if dedup.count() == 0:

@@ -202,17 +202,28 @@ def _t_communities(
 ):
     from .pipelines.graph_analytics import top_communities
 
-    top = top_communities(paths, k=k, iters=iters).take_all()
     if not with_modularity:
-        return top
+        return top_communities(paths, k=k, iters=iters).take_all()
+    from ray.data.aggregate import Count
+
     from .ops.graph import modularity
     from .pipelines.graph_analytics import label_propagation
     from .state.manifest import read_stage
 
-    assign = label_propagation(paths, iters=iters).map_batches(
+    # ONE label-propagation run feeds both outputs (top_communities would
+    # re-run it, and modularity consumes the assignment twice)
+    labeled = label_propagation(paths, iters=iters).materialize()
+    top = (
+        labeled.groupby("community")
+        .aggregate(Count(alias_name="n_members"))
+        .sort(["n_members", "community"], descending=[True, False])
+        .limit(k)
+        .take_all()
+    )
+    assign = labeled.map_batches(
         lambda df: df.rename(columns={"entity_id": "node"}),
         batch_format="pandas",
-    )
+    ).materialize()
     pairs = read_stage(paths["edges"], columns=["src_id", "dst_id"]).map_batches(
         lambda df: df.rename(columns={"src_id": "x", "dst_id": "y"}),
         batch_format="pandas",
