@@ -147,6 +147,11 @@ def copartition_attach(
         return getattr(t, "kind", "") in ("i", "u")  # numpy dtype (pandas blocks)
 
     int_lcols = [c for c in lcols if _is_int_type(ltypes.get(c))]
+    rtypes = dict(zip(right.schema().names, right.schema().types))
+    # attached int columns drift to float64 the same way left ones do
+    # (null-widening + empty merge groups) — restore them too, so a
+    # caller routing on an attached key hashes the same bits everywhere
+    int_attach = [attach[c] for c in attach if _is_int_type(rtypes.get(c))]
     rkeep = [right_key, *[c for c in attach if c != right_key]]
     right = right.select_columns(rkeep)
     allcols = sorted(set(lcols) | set(rkeep) | {"_pkey", "_side"})
@@ -184,7 +189,7 @@ def copartition_attach(
                 rsub[rk] = rsub[rk].astype(str)
         out = lg.merge(rsub, left_on=left_key, right_on=rk, how=how)
         out = out[out_cols]
-        for c in int_lcols:  # undo the float64 drift from null-widening
+        for c in int_lcols + int_attach:  # undo float64 drift from null-widening
             if out[c].dtype != "int64":
                 try:
                     out[c] = out[c].astype("int64")

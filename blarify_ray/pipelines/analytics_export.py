@@ -559,12 +559,191 @@ FROM documents
 """
 
 
+# --- negative sampling (contrastive-training prep) ---------------------------
+
+#: negatives proposed per positive pair
+NEG_K = 2
+#: range buckets for the distributed part-rank prefix sum
+NEG_RANK_BUCKETS = 4096
+
+
+def q_negative_samples(sf_dir: str):
+    """Deterministic negative sampling over the order→part bipartite
+    graph — the skip-gram / GNN contrastive-training prep step: for each
+    DISTINCT positive (order, part) and j ∈ 1..NEG_K, propose candidate
+    rank ((o·31 + p + j·97) mod 2³² · 2654435761 mod 2³²) mod n_parts,
+    map the rank to its part id, and DROP proposals that collide with a
+    true positive of the same order (no retry — the dropped-row set is
+    part of the spec so the oracle can state the identical sampler).
+    Output: (l_orderkey, pos_part, j, neg_part). All arithmetic is
+    wrap-defined mod 2³² so uint64 engine math equals DuckDB HUGEINT.
+
+    Scale shape: the part-rank table comes from the bounded-driver
+    range-bucket prefix sum (the ``pack_chunks``/``shuffle_shards``
+    two-pass — NEG_RANK_BUCKETS int64s of driver state); candidates
+    attach their part id via ONE rank-keyed ``copartition_attach``; the
+    positive-collision drop is one (order, part)-routed anti-join. Ids
+    only through every exchange."""
+    from ..ops.joins import copartition_attach
+
+    # -- part rank table: rank = ROW_NUMBER() OVER (ORDER BY p_partkey) - 1
+    pt = _t(sf_dir, "part", ["p_partkey"])
+
+    def mm_partial(df: pd.DataFrame) -> pd.DataFrame:
+        p = df["p_partkey"].to_numpy(np.int64)
+        return pd.DataFrame({"lo": [int(p.min())], "hi": [int(p.max())], "n": [len(p)]})
+
+    mm = pt.map_batches(mm_partial, batch_format="pandas").to_pandas()
+    if not len(mm):
+        return pd.DataFrame(
+            {"l_orderkey": pd.Series([], dtype=np.int64),
+             "pos_part": pd.Series([], dtype=np.int64),
+             "j": pd.Series([], dtype=np.int64),
+             "neg_part": pd.Series([], dtype=np.int64)}
+        )
+    lo, hi, n_parts = int(mm["lo"].min()), int(mm["hi"].max()), int(mm["n"].sum())
+    width = (hi - lo) // NEG_RANK_BUCKETS + 1
+
+    def bucket_of(df: pd.DataFrame) -> pd.DataFrame:
+        p = df["p_partkey"].to_numpy(np.int64)
+        return pd.DataFrame({"p_partkey": p, "bucket": (p - lo) // width})
+
+    keyed = pt.map_batches(bucket_of, batch_format="pandas").materialize()
+    cnt = keyed.map_batches(
+        lambda df: df.groupby("bucket", sort=False).size().reset_index(name="n"),
+        batch_format="pandas",
+    ).to_pandas()
+    counts = np.zeros(NEG_RANK_BUCKETS + 1, np.int64)
+    np.add.at(counts, cnt["bucket"].to_numpy(np.int64), cnt["n"].to_numpy(np.int64))
+    base = np.zeros(NEG_RANK_BUCKETS + 1, np.int64)
+    base[1:] = np.cumsum(counts[:-1])
+
+    def rank_rows(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["bucket", "p_partkey"], kind="mergesort")
+        b = g["bucket"].to_numpy(np.int64)
+        idx = np.arange(len(g), dtype=np.int64)
+        new = np.ones(len(g), dtype=bool)
+        new[1:] = b[1:] != b[:-1]
+        first = idx[np.maximum.accumulate(np.where(new, idx, 0))]
+        return pd.DataFrame(
+            {"r": base[b] + (idx - first),
+             "p_partkey": g["p_partkey"].to_numpy(np.int64)}
+        )
+
+    ranks = (
+        keyed.map_batches(lambda df: _route(df, "bucket"), batch_format="pandas")
+        .groupby("_pkey")
+        .map_groups(rank_rows, batch_format="pandas")
+    )
+
+    # -- positives + hash-proposed candidates
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def pos_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return _route(
+            df.drop_duplicates().rename(
+                columns={"l_orderkey": "o", "l_partkey": "p"}
+            ),
+            "o",
+        )
+
+    pos = (
+        li.map_batches(pos_rows, batch_format="pandas")
+        .groupby("_pkey")
+        .map_groups(
+            lambda g: g[["o", "p"]].drop_duplicates(), batch_format="pandas"
+        )
+    ).materialize()
+
+    def propose(df: pd.DataFrame) -> pd.DataFrame:
+        o = np.repeat(df["o"].to_numpy(np.uint64), NEG_K)
+        p = np.repeat(df["p"].to_numpy(np.uint64), NEG_K)
+        j = np.tile(np.arange(1, NEG_K + 1, dtype=np.uint64), len(df))
+        m32 = np.uint64(_SHUFFLE_MOD)
+        b0 = (o * np.uint64(31) + p + j * np.uint64(97)) % m32
+        r = ((b0 * np.uint64(_SHUFFLE_MULT)) % m32) % np.uint64(n_parts)
+        return pd.DataFrame(
+            {"o": o.astype(np.int64), "p": p.astype(np.int64),
+             "j": j.astype(np.int64), "r": r.astype(np.int64)}
+        )
+
+    cand = pos.map_batches(propose, batch_format="pandas")
+    with_part = copartition_attach(
+        cand, ranks, "r", "r", {"p_partkey": "neg_part"}
+    )
+
+    # -- drop proposals colliding with a true positive of the same order
+    def mark_cand(df: pd.DataFrame) -> pd.DataFrame:
+        # copartition_attach can emit float64 neg_part on empty merge
+        # groups — cast EVERYTHING to int64 so the _k routing hash sees
+        # identical bits on both union sides
+        out = pd.DataFrame(
+            {"o": df["o"].to_numpy(np.int64), "p": df["p"].to_numpy(np.int64),
+             "j": df["j"].to_numpy(np.int64),
+             "neg_part": df["neg_part"].to_numpy(np.int64)}
+        )
+        out["kind"] = np.int8(0)
+        return _route(
+            out.assign(_k=out["o"] * np.int64(1_000_003) + out["neg_part"]), "_k"
+        ).drop(columns=["_k"])
+
+    def mark_pos(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {"o": df["o"].to_numpy(np.int64), "p": np.int64(-1),
+             "j": np.int64(-1), "neg_part": df["p"].to_numpy(np.int64)}
+        )
+        out["kind"] = np.int8(1)
+        return _route(
+            out.assign(_k=out["o"] * np.int64(1_000_003) + out["neg_part"]), "_k"
+        ).drop(columns=["_k"])
+
+    def anti(g: pd.DataFrame) -> pd.DataFrame:
+        c = g[g["kind"] == 0]
+        t = g[g["kind"] == 1][["o", "neg_part"]].drop_duplicates()
+        m = c.merge(t, on=["o", "neg_part"], how="left", indicator=True)
+        m = m[m["_merge"] == "left_only"]
+        return pd.DataFrame(
+            {"l_orderkey": m["o"].to_numpy(np.int64),
+             "pos_part": m["p"].to_numpy(np.int64),
+             "j": m["j"].to_numpy(np.int64),
+             "neg_part": m["neg_part"].to_numpy(np.int64)}
+        )
+
+    return (
+        with_part.map_batches(mark_cand, batch_format="pandas")
+        .union(pos.map_batches(mark_pos, batch_format="pandas"))
+        .groupby("_pkey")
+        .map_groups(anti, batch_format="pandas")
+    )
+
+
+SQL_NEGATIVE_SAMPLES = f"""
+WITH pos AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+pr AS (
+  SELECT p_partkey, ROW_NUMBER() OVER (ORDER BY p_partkey) - 1 AS r FROM part),
+n AS (SELECT COUNT(*) AS c FROM part),
+cand AS (
+  SELECT o, p, gs.j AS j,
+         CAST((((((o * 31 + p + gs.j * 97) % {_SHUFFLE_MOD})
+                 * {_SHUFFLE_MULT}) % {_SHUFFLE_MOD})
+               % (SELECT c FROM n)) AS BIGINT) AS r
+  FROM pos, (SELECT unnest(generate_series(1, {NEG_K})) AS j) gs)
+SELECT c.o AS l_orderkey, c.p AS pos_part, CAST(c.j AS BIGINT) AS j,
+       pr.p_partkey AS neg_part
+FROM cand c JOIN pr USING (r)
+LEFT JOIN pos x ON x.o = c.o AND x.p = pr.p_partkey
+WHERE x.o IS NULL
+"""
+
+
 QUERIES_EXPORT = {
     "shuffle_shards_docs": q_shuffle_shards_docs,
     "fuzzy_contamination": q_fuzzy_contamination,
     "span_removed_docs": q_span_removed_docs,
     "block_dedup_docs": q_block_dedup_docs,
     "pii_redact_docs": q_pii_redact_docs,
+    "negative_samples": q_negative_samples,
 }
 
 ORACLE_SQL_EXPORT = {
@@ -573,6 +752,7 @@ ORACLE_SQL_EXPORT = {
     "span_removed_docs": SQL_SPAN_REMOVED,
     "block_dedup_docs": SQL_BLOCK_DEDUP,
     "pii_redact_docs": SQL_PII_REDACT,
+    "negative_samples": SQL_NEGATIVE_SAMPLES,
 }
 
 # self-register into the main battery (same contract as analytics_ext)
