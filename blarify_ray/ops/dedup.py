@@ -865,3 +865,150 @@ def _shingle_rows(
     return pa.Table.from_pydict(
         {"id": pa.array(ids, pa.int64()), "gram": pa.array(grams, pa.string())}
     )
+
+
+# --- incremental dedup against a persisted hash index ------------------------
+
+#: hive buckets in the persisted content-hash index
+HASH_INDEX_BUCKETS = 64
+
+
+def _md5_bucket(md5s: "pd.Series") -> np.ndarray:
+    return (
+        pd.util.hash_array(md5s.to_numpy(dtype=object)) % HASH_INDEX_BUCKETS
+    ).astype(np.int64)
+
+
+def build_hash_index(
+    ds: ray.data.Dataset, text_col: str, id_col: str, out_dir: str
+) -> str:
+    """Persist the corpus's content-hash index: (md5, id-of-first-owner)
+    hive-partitioned by ``bucket = hash(md5) % HASH_INDEX_BUCKETS`` —
+    the historical-dedup sidecar a production ingest keeps between
+    crawls. ONE exchange builds it (the ``exact_dedup`` plan keyed the
+    same way the probes will be); the hive write splits batches across
+    bucket dirs with no extra shuffle. Probes then read only the buckets
+    their hashes land in (``dedup_against_index``) — a new-batch dedup
+    touches |new hashes| buckets, never the whole index."""
+    import os
+    import shutil
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        md5s = [hashlib.md5(x.encode("utf-8")).hexdigest() for x in df[text_col]]
+        out = pd.DataFrame({"md5": md5s, "owner_id": df[id_col].to_numpy(np.int64)})
+        out = out.sort_values(["md5", "owner_id"], kind="mergesort").drop_duplicates("md5")
+        out["bucket"] = _md5_bucket(out["md5"])
+        return _route_col(out, "bucket")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["md5", "owner_id"], kind="mergesort").drop_duplicates("md5")
+        return g[["md5", "owner_id", "bucket"]]
+
+    tmp = out_dir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        ds.map_batches(partial, batch_format="pandas", batch_size=4096)
+        .groupby("_pkey")
+        .map_groups(merge, batch_format="pandas")
+        .write_parquet(tmp, partition_cols=["bucket"])
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.replace(tmp, out_dir)
+    return out_dir
+
+
+def _route_col(df: pd.DataFrame, col: str, parts: int = 64) -> pd.DataFrame:
+    out = df.copy(deep=False)
+    out["_pkey"] = (
+        pd.util.hash_array(out[col].to_numpy()) % parts
+    ).astype("int32")
+    return out
+
+
+def dedup_against_index(
+    new_ds: ray.data.Dataset, text_col: str, id_col: str, index_dir: str
+) -> tuple[ray.data.Dataset, list[int]]:
+    """Filter a NEW batch against the persisted index: drops docs whose
+    content md5 already exists in history, AND exact-dedups the batch
+    internally (min id wins). Returns (fresh rows, probed bucket ids).
+
+    Scale shape: the new batch's hashes determine the probed buckets —
+    ONLY those hive dirs are read (column-pruned to md5), so deduping a
+    daily increment against a 100-TB history reads the touched fraction
+    of the index, not the corpus. One co-partitioned anti-join exchange;
+    text moves only for surviving rows' own batch lineage."""
+    import glob
+    import os
+
+    # pass 1: batch-internal exact dedup (min id per distinct text)
+    deduped = exact_dedup(new_ds, text_col, id_col).materialize()
+
+    def hash_rows(df: pd.DataFrame) -> pd.DataFrame:
+        md5s = [hashlib.md5(x.encode("utf-8")).hexdigest() for x in df[text_col]]
+        out = df.assign(_md5=md5s)
+        out["bucket"] = _md5_bucket(out["_md5"])
+        return out
+
+    hashed = deduped.map_batches(hash_rows, batch_format="pandas").materialize()
+
+    # probed buckets = the distinct buckets of the NEW hashes only
+    probe = sorted(
+        {
+            int(b)
+            for part in hashed.map_batches(
+                lambda df: pd.DataFrame({"b": df["bucket"].unique()}),
+                batch_format="pandas",
+            ).take_all()
+            for b in [part["b"]]
+        }
+    )
+    files = sorted(
+        f
+        for b in probe
+        for f in glob.glob(os.path.join(index_dir, f"bucket={b}", "*.parquet"))
+    )
+    if not files:
+        return hashed.drop_columns(["_md5", "bucket"]), probe
+
+    idx = ray.data.read_parquet(files, columns=["md5"])
+
+    # anti-join on slim (id, md5) pairs — clean fixed schema both sides
+    def mark_new(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {"_id": df[id_col].to_numpy(np.int64),
+             "_md5": df["_md5"].astype(object)}
+        )
+        out["_side"] = np.int8(0)
+        return _route_col(out, "_md5")
+
+    def mark_idx(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {"_id": np.int64(-1), "_md5": df["md5"].astype(object)}
+        )
+        out["_side"] = np.int8(1)
+        return _route_col(out, "_md5")
+
+    def anti(g: pd.DataFrame) -> pd.DataFrame:
+        fresh = g[g["_side"] == 0]
+        seen = set(g.loc[g["_side"] == 1, "_md5"])
+        if seen:
+            fresh = fresh[~fresh["_md5"].isin(seen)]
+        return pd.DataFrame(
+            {"_id": fresh["_id"].to_numpy(np.int64),
+             "_m": np.ones(len(fresh), np.int8)}
+        )
+
+    fresh_ids = (
+        hashed.map_batches(mark_new, batch_format="pandas")
+        .union(idx.map_batches(mark_idx, batch_format="pandas"))
+        .groupby("_pkey")
+        .map_groups(anti, batch_format="pandas")
+    )
+
+    # restore full rows via a co-partitioned semi-join on the id
+    from .joins import copartition_attach
+
+    out = copartition_attach(
+        deduped, fresh_ids, id_col, "_id", {"_m": "_m"}
+    ).drop_columns(["_m"])
+    return out, probe
