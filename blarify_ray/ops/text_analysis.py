@@ -355,3 +355,32 @@ def contamination(
         )
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def compression_ratio(
+    ds: ray.data.Dataset, text_col: str, id_col: str, level: int = 6
+) -> ray.data.Dataset:
+    """Per-doc zlib compression ratio — the MassiveText/Gopher
+    repetitiveness signal (highly compressible text ⇒ boilerplate or
+    repetition; near-incompressible ⇒ noise/binary junk). Map-only, one
+    corpus pass; stdlib zlib, no model. Ratio = compressed/raw bytes
+    (1-byte docs still defined; empty text → ratio of the empty
+    stream's overhead against a floor of 1 raw byte)."""
+    import zlib
+
+    def f(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_pylist()
+        raw = [len((x or "").encode("utf-8")) for x in texts]
+        comp = [len(zlib.compress((x or "").encode("utf-8"), level)) for x in texts]
+        return pa.Table.from_pydict(
+            {
+                "id": t[id_col].cast(pa.int64()),
+                "raw_bytes": pa.array(raw, pa.int64()),
+                "zlib_bytes": pa.array(comp, pa.int64()),
+                "zlib_ratio": pa.array(
+                    [c / max(r, 1) for c, r in zip(comp, raw)], pa.float64()
+                ),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")

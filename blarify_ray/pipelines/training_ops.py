@@ -44,6 +44,13 @@ def q_quality_docs(sf_dir: str):
     return quality_score(_docs(sf_dir), "text", "doc_id")
 
 
+def q_compression_docs(sf_dir: str):
+    """MassiveText/Gopher zlib-ratio repetitiveness signal (map-only)."""
+    from ..ops.text_analysis import compression_ratio
+
+    return compression_ratio(_docs(sf_dir), "text", "doc_id")
+
+
 def q_fingerprints_docs(sf_dir: str):
     return fingerprints(_docs(sf_dir), "text", "doc_id").select_columns(["id", "n_fingerprints"])
 
@@ -441,6 +448,7 @@ QUERIES = {
     "simhash_pairs_docs": q_simhash_pairs_docs,
     "lang_id_docs": q_lang_id_docs,
     "quality_docs": q_quality_docs,
+    "compression_docs": q_compression_docs,
     "fingerprints_docs": q_fingerprints_docs,
     "vector_topk_ivf": q_vector_topk_ivf,
     "vector_topk_pq": q_vector_topk_pq,

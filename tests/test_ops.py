@@ -681,3 +681,23 @@ def test_audio_windows():
 
     with _pytest.raises(ValueError):
         audio_windows(media, win_bytes=0)
+
+
+def test_compression_ratio_signal():
+    """Repetitive text compresses far better than high-entropy text; the
+    op is deterministic and defined on empty/null docs."""
+    import numpy as np_
+    from blarify_ray.ops.text_analysis import compression_ratio
+
+    rng = np_.random.RandomState(3)
+    noisy = "".join(chr(33 + rng.randint(90)) for _ in range(2000))
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array(["spam " * 400, noisy, "", None], pa.string()),
+    }))
+    out = {r["id"]: r for r in compression_ratio(docs, "text", "doc_id").take_all()}
+    assert out[0]["zlib_ratio"] < 0.05          # repetition → tiny ratio
+    assert out[1]["zlib_ratio"] > 0.5           # entropy → poor compression
+    assert out[0]["raw_bytes"] == 2000
+    assert out[2]["raw_bytes"] == 0 and out[3]["raw_bytes"] == 0
+    assert out[2]["zlib_ratio"] == out[3]["zlib_ratio"] > 0
