@@ -65,7 +65,10 @@ def read_manifest(out_dir: str, stage: str) -> dict | None:
     p = _manifest_path(out_dir, stage)
     if os.path.exists(p):
         with open(p) as f:
-            return json.load(f)
+            try:
+                return json.load(f)
+            except json.JSONDecodeError:
+                return None  # torn pre-atomic-write manifest → stage is stale
     return None
 
 
@@ -102,10 +105,20 @@ def run_stage(
         "wall_s": round(wall, 3),
         **(metrics or {}),
     }
-    with open(_manifest_path(out_dir, stage), "w") as f:
-        json.dump(man, f, indent=1)
+    _write_manifest_atomic(_manifest_path(out_dir, stage), man)
     _append_metrics(out_dir, man)
     return path, False
+
+
+def _write_manifest_atomic(path: str, man: dict) -> None:
+    """tmp + os.replace: a crash mid-write must never leave a TORN
+    manifest — a truncated _MANIFEST.json looks 'present' to existence
+    checks while failing to parse, the worst of both worlds (the data
+    dir rename is already atomic; the commit record must be too)."""
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(man, f, indent=1)
+    os.replace(tmp, path)
 
 
 def run_fused_stages(
@@ -144,8 +157,7 @@ def run_fused_stages(
             "wall_s": round(wall, 3),
             "fused_with": names[0] if stage == names[1] else names[1],
         }
-        with open(_manifest_path(out_dir, stage), "w") as f:
-            json.dump(man, f, indent=1)
+        _write_manifest_atomic(_manifest_path(out_dir, stage), man)
         _append_metrics(out_dir, man)
         out_paths.append(path)
     return out_paths[0], out_paths[1]
