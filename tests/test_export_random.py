@@ -371,3 +371,58 @@ def test_ivfpq_partial_probe_subset_of_probed_cells(tmp_path, ray_session):
     allowed = set(np.where(assigned == probe)[0].tolist())
     got = search_ivfpq(ivf, pqc, layout, q, k=5, nprobe=1, rerank=10)
     assert got and all(i in allowed for i, _ in got)
+
+
+def test_negative_samples_sparse_part_keys(tmp_path, ray_session):
+    """Sparse part keys spanning a huge range (bucket width >> 1, long
+    empty bucket runs) plus orders whose positives cover MOST of the
+    part universe (high collision rate) — compared against the SQL
+    sampler exactly."""
+    rng = np.random.RandomState(61)
+    pkeys = np.unique(rng.randint(0, 40_000_000, size=60).astype(np.int64))
+    pq.write_table(
+        pa.Table.from_pydict({"p_partkey": pa.array(pkeys, pa.int64())}),
+        str(tmp_path / "part.parquet"),
+    )
+    orders, parts = [], []
+    for o in range(25):
+        # order 0 buys almost everything → its proposals mostly collide
+        n = len(pkeys) - 2 if o == 0 else int(rng.randint(1, 6))
+        chosen = rng.choice(pkeys, size=n, replace=False)
+        orders.extend([o] * n)
+        parts.extend(chosen.tolist())
+    pq.write_table(
+        pa.Table.from_pydict(
+            {"l_orderkey": pa.array(orders, pa.int64()),
+             "l_partkey": pa.array(parts, pa.int64())}
+        ),
+        str(tmp_path / "lineitem.parquet"),
+    )
+
+    import duckdb as _d
+
+    from blarify_ray.pipelines.analytics_export import (
+        ORACLE_SQL_EXPORT,
+        QUERIES_EXPORT,
+    )
+
+    got = QUERIES_EXPORT["negative_samples"](str(tmp_path))
+    got = got.to_pandas() if hasattr(got, "to_pandas") else got
+    cols = sorted(got.columns)
+    got = got[cols].sort_values(cols).reset_index(drop=True)
+    con = _d.connect()
+    for t in ("lineitem", "part"):
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{tmp_path}/{t}.parquet')"
+        )
+    want = con.sql(ORACLE_SQL_EXPORT["negative_samples"]).df()
+    want = want[cols].sort_values(cols).reset_index(drop=True)
+    for c in cols:
+        want[c] = want[c].astype("int64")
+    pd.testing.assert_frame_equal(got, want)
+    # the saturated order must actually exercise the collision-drop path
+    n_pos_0 = len(pkeys) - 2
+    emitted_0 = (got["l_orderkey"] == 0).sum()
+    assert emitted_0 < 2 * n_pos_0  # at least one proposal collided
+    # negatives are always real parts, never the positive itself at j-row level
+    assert set(got["neg_part"]).issubset(set(pkeys.tolist()))
