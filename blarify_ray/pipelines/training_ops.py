@@ -51,6 +51,38 @@ def q_compression_docs(sf_dir: str):
     return compression_ratio(_docs(sf_dir), "text", "doc_id")
 
 
+def q_ccnet_buckets(sf_dir: str):
+    """The CCNet head/middle/tail split: score every doc's bits-per-byte
+    under the corpus trigram LM, estimate the tercile cutoffs with the
+    deterministic KLL sketch (blob-scale exchange, scores never leave
+    workers), and label each doc by comparing to the cutoffs — so the
+    ordering contract (every head bpb <= t1 < every tail's assignment
+    threshold) holds EXACTLY even though the cutoffs are approximate.
+    Returns (doc_id, bits_per_byte, bucket) with bucket in
+    {head, middle, tail}; head = most fluent (lowest bpb)."""
+    from ..ops.sketches import approx_quantiles
+    from ..ops.text_analysis import lm_perplexity, train_byte_trigram_lm
+
+    docs = _docs(sf_dir)
+    lm = train_byte_trigram_lm(docs, "text")
+    scored = lm_perplexity(docs, lm, "text", "doc_id").materialize()
+    cuts = approx_quantiles(scored, "bits_per_byte", [1 / 3, 2 / 3])
+    t1, t2 = float(cuts[1 / 3]), float(cuts[2 / 3])
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        bpb = df["bits_per_byte"].to_numpy(np.float64)
+        bucket = np.where(bpb <= t1, "head", np.where(bpb <= t2, "middle", "tail"))
+        return pd.DataFrame(
+            {
+                "doc_id": df["id"].to_numpy(np.int64),
+                "bits_per_byte": bpb,
+                "bucket": pd.Series(bucket, dtype=str),
+            }
+        )
+
+    return scored.map_batches(bucketize, batch_format="pandas")
+
+
 def q_fingerprints_docs(sf_dir: str):
     return fingerprints(_docs(sf_dir), "text", "doc_id").select_columns(["id", "n_fingerprints"])
 
@@ -449,6 +481,7 @@ QUERIES = {
     "lang_id_docs": q_lang_id_docs,
     "quality_docs": q_quality_docs,
     "compression_docs": q_compression_docs,
+    "ccnet_buckets": q_ccnet_buckets,
     "fingerprints_docs": q_fingerprints_docs,
     "vector_topk_ivf": q_vector_topk_ivf,
     "vector_topk_pq": q_vector_topk_pq,

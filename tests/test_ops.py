@@ -701,3 +701,45 @@ def test_compression_ratio_signal():
     assert out[0]["raw_bytes"] == 2000
     assert out[2]["raw_bytes"] == 0 and out[3]["raw_bytes"] == 0
     assert out[2]["zlib_ratio"] == out[3]["zlib_ratio"] > 0
+
+
+def test_ccnet_buckets(ray_session, tmp_path):
+    """CCNet split invariants on a tmp corpus with clearly separated
+    fluency tiers: every doc labeled, labels respect the bpb ordering
+    exactly (head max <= middle min <= tail min thresholds), roughly a
+    third each, deterministic."""
+    import pyarrow.parquet as _pq
+    import pandas as _pd
+    import numpy as np_
+
+    rng = np_.random.RandomState(9)
+    common = "the cat sat on the mat and looked at the dog "
+    rows = []
+    for i in range(120):
+        if i % 3 == 0:
+            t = common * 6                                  # fluent → low bpb
+        elif i % 3 == 1:
+            t = " ".join(common.split()[: 5 + i % 7]) + " " + "zq" * (i % 5)
+        else:
+            t = "".join(chr(97 + rng.randint(26)) for _ in range(300))  # noise
+        rows.append({"doc_id": i, "text": t})
+    _pq.write_table(pa.Table.from_pylist(rows), str(tmp_path / "documents.parquet"))
+
+    from blarify_ray.pipelines.training_ops import q_ccnet_buckets
+
+    out = q_ccnet_buckets(str(tmp_path)).to_pandas()
+    assert len(out) == 120 and set(out["bucket"]) == {"head", "middle", "tail"}
+    h = out[out["bucket"] == "head"]["bits_per_byte"]
+    m = out[out["bucket"] == "middle"]["bits_per_byte"]
+    t = out[out["bucket"] == "tail"]["bits_per_byte"]
+    assert h.max() <= m.min() and m.max() <= t.min()  # exact ordering contract
+    for part in (h, m, t):
+        assert 0.15 <= len(part) / 120 <= 0.55        # near-tercile split
+    # the repeated fluent text must land in head, the noise in tail
+    assert (out[out["doc_id"] % 3 == 0]["bucket"] == "head").all()
+    assert (out[out["doc_id"] % 3 == 2]["bucket"] == "tail").all()
+    out2 = q_ccnet_buckets(str(tmp_path)).to_pandas()
+    _pd.testing.assert_frame_equal(
+        out.sort_values("doc_id").reset_index(drop=True),
+        out2.sort_values("doc_id").reset_index(drop=True),
+    )
