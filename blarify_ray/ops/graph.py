@@ -865,3 +865,109 @@ def modularity(
         .take_all()
     )
     return intra / m - sq / (4.0 * m * m)
+
+
+def community_stats(
+    edges: ray.data.Dataset,
+    assign: ray.data.Dataset,
+    parts: int = 64,
+) -> ray.data.Dataset:
+    """Per-community structure diagnostics for an assignment over an
+    undirected simple graph: ``(community, n_nodes, n_internal, n_cut,
+    volume, conductance)`` where volume = Σ degrees, n_cut = edges with
+    exactly one endpoint inside, and conductance = n_cut / min(volume,
+    2m − volume) (0 when the denominator is 0 — a community spanning
+    the whole graph). The per-community sibling of ``modularity`` —
+    same two ``copartition_attach`` stamps, then ONE community-routed
+    exchange carrying (community, int, int, int) partial rows."""
+    from .joins import copartition_attach
+
+    dedup = canonical_edges(
+        edges.map_batches(
+            lambda df: df.dropna(subset=["x", "y"]), batch_format="pandas"
+        ),
+        parts,
+    ).materialize()
+    m = dedup.count()
+    empty = pd.DataFrame(
+        {"community": pd.Series([], dtype=object),
+         "n_nodes": pd.Series([], dtype=np.int64),
+         "n_internal": pd.Series([], dtype=np.int64),
+         "n_cut": pd.Series([], dtype=np.int64),
+         "volume": pd.Series([], dtype=np.int64),
+         "conductance": pd.Series([], dtype=np.float64)}
+    )
+    if m == 0:
+        return ray.data.from_pandas(empty)
+
+    stamped = copartition_attach(
+        copartition_attach(
+            dedup, assign, "x", "node", {"community": "cx"}, partitions=parts
+        ),
+        assign, "y", "node", {"community": "cy"}, partitions=parts,
+    )
+
+    # per-batch partials: (community, internal, cut, degree) int rows
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        cx = df["cx"].astype(object)
+        cy = df["cy"].astype(object)
+        same = (cx == cy).to_numpy()
+        rows = pd.DataFrame(
+            {"community": pd.concat([cx, cy], ignore_index=True),
+             "internal": np.concatenate([same, same]).astype(np.int64),
+             "cut": np.concatenate([~same, ~same]).astype(np.int64),
+             "deg": np.ones(2 * len(df), np.int64)}
+        )
+        agg = rows.groupby("community", sort=False).sum().reset_index()
+        return agg
+
+    def route(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy(deep=False)
+        out["_pkey"] = (_hash_vals(out["community"].to_numpy()) % parts).astype(
+            np.int32
+        )
+        return out
+
+    # node counts per community travel the same exchange
+    def node_partials(df: pd.DataFrame) -> pd.DataFrame:
+        agg = df.groupby("community", sort=False).size().reset_index(name="nn")
+        return pd.DataFrame(
+            {"community": agg["community"].astype(object),
+             "internal": np.int64(0), "cut": np.int64(0),
+             "deg": np.int64(0), "nn": agg["nn"].to_numpy(np.int64)}
+        )
+
+    def add_nn(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy(deep=False)
+        out["nn"] = np.int64(0)
+        return out
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("community", sort=False)[
+            ["internal", "cut", "deg", "nn"]
+        ].sum()
+        # internal edges were double-counted (one row per endpoint, both
+        # in the community); a cut edge lands in each community ONCE
+        n_int = (agg["internal"] // 2).to_numpy(np.int64)
+        n_cut = agg["cut"].to_numpy(np.int64)
+        vol = agg["deg"].to_numpy(np.int64)
+        other = 2 * m - vol
+        den = np.minimum(vol, other)
+        cond = np.where(den > 0, n_cut / np.maximum(den, 1), 0.0)
+        return pd.DataFrame(
+            {"community": agg.index.astype(object),
+             "n_nodes": agg["nn"].to_numpy(np.int64),
+             "n_internal": n_int, "n_cut": n_cut, "volume": vol,
+             "conductance": cond.astype(np.float64)}
+        )
+
+    unioned = (
+        stamped.map_batches(partials, batch_format="pandas")
+        .map_batches(add_nn, batch_format="pandas")
+        .union(assign.map_batches(node_partials, batch_format="pandas"))
+    )
+    return compact_nonempty(
+        unioned.map_batches(route, batch_format="pandas")
+        .groupby("_pkey")
+        .map_groups(fold, batch_format="pandas")
+    )

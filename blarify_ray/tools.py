@@ -227,8 +227,23 @@ def _t_communities(
     pairs = read_stage(paths["edges"], columns=["src_id", "dst_id"]).map_batches(
         lambda df: df.rename(columns={"src_id": "x", "dst_id": "y"}),
         batch_format="pandas",
+    ).materialize()
+    from .ops.graph import community_stats
+
+    top_ids = {r["community"] for r in top}
+    stats = (
+        community_stats(pairs, assign)
+        .map_batches(
+            lambda df: df[df["community"].isin(top_ids)],
+            batch_format="pandas",
+        )
+        .take_all()
     )
-    return {"communities": top, "modularity": modularity(pairs, assign)}
+    return {
+        "communities": top,
+        "modularity": modularity(pairs, assign),
+        "stats": sorted(stats, key=lambda r: -r["volume"]),
+    }
 
 
 def _t_match_pattern(

@@ -81,3 +81,47 @@ def test_duplicate_and_loop_edges_collapse(ray_session):
 def test_empty(ray_session):
     e, a = _ds([], {})
     assert modularity(e, a) == 0.0
+
+
+def _independent_stats(pairs, assign):
+    es = sorted({tuple(sorted(p)) for p in pairs if p[0] != p[1]})
+    m = len(es)
+    out = {}
+    for c in set(assign.values()):
+        members = {n for n, cc in assign.items() if cc == c}
+        internal = sum(1 for x, y in es if x in members and y in members)
+        cut = sum(1 for x, y in es if (x in members) != (y in members))
+        vol = sum(1 for x, y in es for e in (x, y) if e in members)
+        den = min(vol, 2 * m - vol)
+        out[c] = {
+            "n_nodes": len(members), "n_internal": internal, "n_cut": cut,
+            "volume": vol, "conductance": cut / den if den > 0 else 0.0,
+        }
+    return out
+
+
+def test_community_stats_matches_independent(ray_session):
+    from blarify_ray.ops.graph import community_stats
+
+    rng = np.random.RandomState(31)
+    pairs = sorted({tuple(sorted(rng.choice(10, 2, replace=False))) for _ in range(22)})
+    assign = {n: f"c{n % 3}" for n in range(10)}
+    e, a = _ds(pairs, assign)
+    got = {r["community"]: r for r in community_stats(e, a).take_all()}
+    want = _independent_stats(pairs, assign)
+    assert set(got) == set(want)
+    for c, w in want.items():
+        for k, v in w.items():
+            assert got[c][k] == pytest.approx(v, abs=1e-12), (c, k)
+
+
+def test_community_stats_whole_graph_one_community(ray_session):
+    from blarify_ray.ops.graph import community_stats
+
+    pairs = [(0, 1), (1, 2), (2, 0)]
+    e, a = _ds(pairs, {0: "z", 1: "z", 2: "z"})
+    rows = community_stats(e, a).take_all()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_internal"] == 3 and r["n_cut"] == 0 and r["volume"] == 6
+    assert r["conductance"] == 0.0  # denominator min(vol, 2m-vol) = 0

@@ -105,8 +105,12 @@ def test_tool_registry_and_calls(built):
     assert hs == sorted(hs, reverse=True)
     assert cen["distance_distribution"][-1]["frac"] == pytest.approx(1.0)
     cm = call_tool(built, "get_communities", {"k": 3, "with_modularity": True})
-    assert set(cm) == {"communities", "modularity"} and cm["communities"]
+    assert set(cm) == {"communities", "modularity", "stats"} and cm["communities"]
     assert -0.5 <= cm["modularity"] <= 1.0
+    assert cm["stats"] and len(cm["stats"]) <= 3
+    for s in cm["stats"]:
+        assert 0.0 <= s["conductance"] <= 1.0
+        assert s["volume"] == 2 * s["n_internal"] + s["n_cut"]
     bet = call_tool(built, "get_betweenness", {"k": 5, "k_sources": 8})
     assert bet["top_betweenness"] and bet["k_sources"] == 8
     bs = [r["bc"] for r in bet["top_betweenness"]]
