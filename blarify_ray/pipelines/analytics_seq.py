@@ -506,10 +506,14 @@ def q_copurchase_assortativity(sf_dir: str):
     den = np.sqrt(float(n) * float(saa) - float(sa) * float(sa)) * np.sqrt(
         float(n) * float(saa) - float(sa) * float(sa)
     )
+    # keep the IEEE result (NaN/inf) bit-identical to the SQL's double
+    # division — just without numpy's RuntimeWarning on degenerate input
+    with np.errstate(invalid="ignore", divide="ignore"):
+        val = num / den
     return pd.DataFrame(
         {
             "n_edges": pd.Series([n_pairs], dtype="int64"),
-            "assortativity": pd.Series([num / den], dtype="float64"),
+            "assortativity": pd.Series([val], dtype="float64"),
         }
     )
 
