@@ -264,3 +264,89 @@ def test_grouped_distinct_accuracy():
     assert got["a"] == pytest.approx(500, rel=0.1)
     assert got["b"] == pytest.approx(50, rel=0.1)
     assert got["c"] == pytest.approx(3, abs=1)
+
+
+@given(
+    st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF),
+        max_size=80,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_pii_regex_parity_python_vs_duckdb(s):
+    """The PII scrub's core cross-engine contract, fuzzed: for ANY text
+    (incl. unicode letters adjacent to digits — the \\b trap), Python
+    re with re.ASCII and DuckDB RE2 must agree on match COUNTS and the
+    fully-redacted string for all three patterns."""
+    import re
+
+    import duckdb
+
+    from blarify_ray.pipelines.analytics_export import (
+        PII_EMAIL,
+        PII_IP,
+        PII_PHONE,
+    )
+
+    pats = [(PII_EMAIL, "<EMAIL>"), (PII_PHONE, "<PHONE>"), (PII_IP, "<IP>")]
+    py = s
+    for pat, rep in pats:
+        py = re.sub(re.compile(pat, re.ASCII), rep, py)
+    con = duckdb.connect()
+    sql_expr = "?"
+    args = [s]
+    for pat, rep in pats:
+        sql_expr = f"regexp_replace({sql_expr}, ?, ?, 'g')"
+        args += [pat, rep]
+    want = con.execute(f"SELECT {sql_expr}", args).fetchone()[0]
+    assert py == want
+    for pat, _ in pats:
+        n_py = len(re.compile(pat, re.ASCII).findall(s))
+        n_sql = con.execute(
+            "SELECT len(regexp_extract_all(?, ?))", [s, pat]
+        ).fetchone()[0]
+        assert n_py == n_sql, pat
+
+
+@given(
+    st.lists(
+        st.one_of(st.none(), st.text(max_size=30)),
+        max_size=20,
+    ),
+    st.integers(min_value=1, max_value=64),
+)
+@settings(max_examples=60, deadline=None)
+def test_hash_features_csr_invariants(texts, dim):
+    """Hashed-BoW CSR: offsets are a monotone prefix sum of whitespace
+    token counts (null → 0), every index < dim, and the mapping is
+    deterministic and independent of surrounding rows."""
+    import pandas as pd_
+
+    from blarify_ray.ops.classifier import hash_features
+
+    idx, off = hash_features(pd_.Series(texts, dtype=object), dim)
+    assert len(off) == len(texts) + 1 and off[0] == 0
+    assert (off[1:] >= off[:-1]).all()
+    counts = [len((t or "").split()) for t in texts]
+    assert (off[1:] - off[:-1]).tolist() == counts
+    assert len(idx) == sum(counts)
+    assert (idx < dim).all() and (idx >= 0).all()
+    idx2, off2 = hash_features(pd_.Series(texts, dtype=object), dim)
+    assert (idx2 == idx).all() and (off2 == off).all()
+    # row-local: a row's slice is unchanged when scored alone
+    for i, t in enumerate(texts):
+        lone_idx, _ = hash_features(pd_.Series([t], dtype=object), dim)
+        assert (lone_idx == idx[off[i] : off[i + 1]]).all()
+
+
+@given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF), max_size=60))
+@settings(max_examples=40, deadline=None)
+def test_single_space_split_parity_python_vs_duckdb(s):
+    """Block dedup's tokenization contract: Python str.split(' ') and
+    DuckDB string_split(x, ' ') must agree exactly (consecutive spaces
+    produce empty tokens on BOTH sides — unlike whitespace split)."""
+    import duckdb
+
+    py = s.split(" ")
+    got = duckdb.connect().execute("SELECT string_split(?, ' ')", [s]).fetchone()[0]
+    assert got == py
