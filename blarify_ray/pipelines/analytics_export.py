@@ -42,6 +42,8 @@ applied to a token-training corpus. The decontamination scan extends
 
 from __future__ import annotations
 
+import hashlib
+
 import numpy as np
 import pandas as pd
 
@@ -333,15 +335,25 @@ def q_block_dedup_docs(sf_dir: str):
             ids.extend([did] * len(bs))
             idxs.extend(range(len(bs)))
             blks.extend(bs)
-        h = pd.util.hash_array(np.asarray(blks, dtype=object))
+        # md5-128 content identity (NOT a 64-bit convenience hash): a
+        # collision here would silently excise a non-duplicate block,
+        # diverging from the oracle's exact content-equality partition —
+        # same contract as exact_dedup_docs. Routing uses the digest's
+        # first 8 bytes; identity comparison uses all 16.
+        digs = [hashlib.md5(b.encode("utf-8", "surrogatepass")).digest() for b in blks]
+        hi = (
+            np.frombuffer(b"".join(digs), dtype=np.uint64).reshape(-1, 2)[:, 0]
+            if digs
+            else np.empty(0, np.uint64)
+        )
         out = pd.DataFrame(
             {
-                "bh": h.astype(np.uint64),
+                "bh": pd.Series(digs, dtype=object),
                 "doc_id": np.asarray(ids, np.int64),
                 "idx": np.asarray(idxs, np.int64),
             }
         )
-        out["bucket"] = (out["bh"] % np.uint64(ROUTE_PARTS)).astype(np.int64)
+        out["bucket"] = (hi % np.uint64(ROUTE_PARTS)).astype(np.int64)
         return out
 
     rows = docs.map_batches(block_rows, batch_format="pandas")
@@ -590,6 +602,12 @@ def q_negative_samples(sf_dir: str):
     pt = _t(sf_dir, "part", ["p_partkey"])
 
     def mm_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):  # empty parquet block: degrade, never ValueError
+            return pd.DataFrame(
+                {"lo": pd.Series([], dtype=np.int64),
+                 "hi": pd.Series([], dtype=np.int64),
+                 "n": pd.Series([], dtype=np.int64)}
+            )
         p = df["p_partkey"].to_numpy(np.int64)
         return pd.DataFrame({"lo": [int(p.min())], "hi": [int(p.max())], "n": [len(p)]})
 
@@ -725,7 +743,7 @@ pr AS (
 n AS (SELECT COUNT(*) AS c FROM part),
 cand AS (
   SELECT o, p, gs.j AS j,
-         CAST((((((o * 31 + p + gs.j * 97) % {_SHUFFLE_MOD})
+         CAST((((CAST(((o * 31 + p + gs.j * 97) % {_SHUFFLE_MOD}) AS HUGEINT)
                  * {_SHUFFLE_MULT}) % {_SHUFFLE_MOD})
                % (SELECT c FROM n)) AS BIGINT) AS r
   FROM pos, (SELECT unnest(generate_series(1, {NEG_K})) AS j) gs)

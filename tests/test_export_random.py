@@ -426,3 +426,62 @@ def test_negative_samples_sparse_part_keys(tmp_path, ray_session):
     assert emitted_0 < 2 * n_pos_0  # at least one proposal collided
     # negatives are always real parts, never the positive itself at j-row level
     assert set(got["neg_part"]).issubset(set(pkeys.tolist()))
+
+
+def test_negative_samples_overflow_zone_partkeys(tmp_path, ray_session):
+    """Partkeys and orderkeys pushing the wrapped hash base past
+    ~3.47e9, where an uncast BIGINT multiply by 2654435761 overflows
+    int64 in DuckDB — the oracle must use HUGEINT for the multiply and
+    agree with the engine's uint64 math (regression for the SQL cast)."""
+    pkeys = np.array([1, 4_000_000_000, 4_294_967_290, 2**40, 2**55], np.int64)
+    pq.write_table(
+        pa.Table.from_pydict({"p_partkey": pa.array(pkeys, pa.int64())}),
+        str(tmp_path / "part.parquet"),
+    )
+    # (o, p) combos chosen so (o*31 + p + j*97) % 2^32 lands high
+    orders = np.array([1, 138_547_000, 3, 7], np.int64)
+    parts = np.array([4_000_000_000, 1, 2**40, 4_294_967_290], np.int64)
+    pq.write_table(
+        pa.Table.from_pydict(
+            {"l_orderkey": pa.array(orders), "l_partkey": pa.array(parts)}
+        ),
+        str(tmp_path / "lineitem.parquet"),
+    )
+
+    import duckdb as _d
+
+    got = QUERIES_EXPORT["negative_samples"](str(tmp_path))
+    got = got.to_pandas() if hasattr(got, "to_pandas") else got
+    cols = sorted(got.columns)
+    got = got[cols].sort_values(cols).reset_index(drop=True)
+    con = _d.connect()
+    for t in ("lineitem", "part"):
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{tmp_path}/{t}.parquet')"
+        )
+    want = con.sql(ORACLE_SQL_EXPORT["negative_samples"]).df()
+    want = want[cols].sort_values(cols).reset_index(drop=True)
+    for c in cols:
+        want[c] = want[c].astype("int64")
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_negative_samples_empty_part_table(tmp_path, ray_session):
+    """An empty part table must degrade to the empty result (the SQL's
+    join against an empty rank table), never ValueError on an empty
+    batch partial."""
+    pq.write_table(
+        pa.Table.from_pydict({"p_partkey": pa.array([], pa.int64())}),
+        str(tmp_path / "part.parquet"),
+    )
+    pq.write_table(
+        pa.Table.from_pydict(
+            {"l_orderkey": pa.array([1, 2], pa.int64()),
+             "l_partkey": pa.array([3, 4], pa.int64())}
+        ),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    got = QUERIES_EXPORT["negative_samples"](str(tmp_path))
+    got = got.to_pandas() if hasattr(got, "to_pandas") else got
+    assert len(got) == 0
+    assert sorted(got.columns) == ["j", "l_orderkey", "neg_part", "pos_part"]
