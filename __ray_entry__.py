@@ -264,17 +264,45 @@ def _q_kg_skeleton_tree(sf_dir: str):
     return pd.DataFrame({"line": render_skeleton_tree(_kg_paths(sf_dir))})
 
 
+# Driver-row rotation (the driver snapshots at most ~50 entries per
+# round, in dict order): round 5 front-loads the 32 oracle queries that
+# have NEVER had a driver row in CORRECTNESS_r01–r04, then the queries
+# whose implementations changed this round, then fresh round-5 oracle
+# additions — so after this round every oracle query has been
+# driver-checked at least once (union tracked in COVERAGE.md).
+_DRIVER_PRIORITY = [
+    # never driver-checked through r4 (32)
+    "block_dedup_docs", "negative_samples", "pii_redact_docs",
+    "fuzzy_contamination", "shuffle_shards_docs", "span_removed_docs",
+    "pack_chunks_docs", "knn_graph", "vector_range_count",
+    "copurchase_two_hop", "copurchase_local_cc", "copurchase_triangles",
+    "copurchase_degree_hist", "copurchase_assortativity",
+    "chars_percentiles_by_lang", "ntile_chars_by_source",
+    "mode_event_per_user", "rolling_value_7d", "event_transitions",
+    "conversion_lag", "repeat_buyers", "idle_rich_customers",
+    "lineitem_profile", "orders_status_pivot", "late_orders_by_priority",
+    "urgent_lineitem_revenue", "small_qty_revenue", "nation_market_share",
+    "cheapest_part_per_brand", "sole_late_supplier", "corr_qty_discount",
+    "props_value_stats",
+    # re-checked this round: implementations rewritten (r5)
+    "vector_topk", "doc_stats_top10",
+]
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
-    """Ordered so the 40 DuckDB-oracle-backed queries come FIRST: the
-    round driver records at most ~50 entries per sweep, so oracle queries
-    (the hard correctness signal) must land driver rows before the
-    rows-only KG/training entries."""
+    """Ordered so the DuckDB-oracle-backed queries land driver rows
+    first (the round driver records at most ~50 entries per sweep), with
+    an explicit rotation list so every oracle query is driver-checked at
+    least once across rounds."""
     from blarify_ray.pipelines import analytics, training_ops
 
     q: dict[str, Callable[[str], Any]] = {}
     oracle_keys = set(analytics.ORACLE_SQL)
+    for name in _DRIVER_PRIORITY:
+        if name in analytics.QUERIES:
+            q[name] = analytics.QUERIES[name]
     for name, fn in analytics.QUERIES.items():
-        if name in oracle_keys:
+        if name in oracle_keys and name not in q:
             q[name] = fn
     kg: dict[str, Callable[[str], Any]] = {
         "kg_docs": _q_kg_docs,

@@ -228,21 +228,34 @@ GROUP BY user_id
 # --- doc_stats_top10 -------------------------------------------------------
 
 def q_doc_stats_top10(sf_dir: str):
+    """Longest-10 documents by char count (ProjectFileStats analog).
+
+    Scale shape: each batch keeps only its LOCAL top-10 (the sorted
+    table is slim but a global sort is still an all-to-all exchange);
+    the driver merges k-scale partials — ≤10 rows per block — the same
+    combiner pattern as ``topk_docs_per_source``."""
     docs = _t(sf_dir, "documents", ["doc_id", "text"])
 
-    def stats(t: pa.Table) -> pa.Table:
+    def stats_topk(t: pa.Table) -> pa.Table:
         texts = t["text"].to_pylist()
+        n_chars = np.array([len(x) for x in texts], np.int64)
+        n_lines = np.array([x.count("\n") + 1 for x in texts], np.int64)
+        did = t["doc_id"].to_numpy()
+        order = np.lexsort((did, -n_chars))[:10]  # (n_chars DESC, doc_id ASC)
         return pa.Table.from_pydict(
             {
-                "doc_id": t["doc_id"],
-                "n_chars": pa.array([len(x) for x in texts], pa.int64()),
-                "n_lines": pa.array([x.count("\n") + 1 for x in texts], pa.int64()),
+                "doc_id": pa.array(did[order], pa.int64()),
+                "n_chars": pa.array(n_chars[order], pa.int64()),
+                "n_lines": pa.array(n_lines[order], pa.int64()),
             }
         )
 
-    return docs.map_batches(stats, batch_format="pyarrow").sort(
-        ["n_chars", "doc_id"], descending=[True, False]
-    ).limit(10)
+    part = docs.map_batches(stats_topk, batch_format="pyarrow").to_pandas()
+    return (
+        part.sort_values(["n_chars", "doc_id"], ascending=[False, True], kind="mergesort")
+        .head(10)
+        .reset_index(drop=True)
+    )
 
 
 SQL_DOC_STATS = """
@@ -480,27 +493,40 @@ FROM documents
 # --- vector_topk -----------------------------------------------------------
 
 def q_vector_topk(sf_dir: str):
+    """Brute-force cosine top-10 against the vec_id=0 query vector.
+
+    Scale shape: the query vector comes from a FILTERED parquet read
+    (row-group predicate pushdown — never a full-table driver load);
+    each batch computes similarities on the zero-copy FixedSizeList→
+    ndarray view and keeps only its LOCAL top-10, so the driver merges
+    k-scale partials (≤10 rows per block) instead of sorting the whole
+    corpus through an all-to-all exchange."""
+    from ..ops.similarity import _mat
+
     emb = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
-    qtbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
-    qvec = None
-    for vid, v in zip(qtbl["vec_id"].to_pylist(), qtbl["embedding"].to_pylist()):
-        if vid == 0:
-            qvec = np.asarray(v, dtype=np.float64)
-            break
+    qtbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["embedding"],
+        filters=[("vec_id", "==", 0)],
+    )
+    qvec = _mat(qtbl["embedding"])[0]
     qn = qvec / np.linalg.norm(qvec)
 
-    def cos(t: pa.Table) -> pa.Table:
-        m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    def topk_partial(t: pa.Table) -> pa.Table:
+        m = _mat(t["embedding"])
         norms = np.linalg.norm(m, axis=1)
         sims = (m @ qn) / np.where(norms == 0, 1, norms)
-        return pa.Table.from_pydict({"vec_id": t["vec_id"], "s": pa.array(sims)})
+        vid = t["vec_id"].to_numpy()
+        order = np.lexsort((vid, -sims))[:10]  # (s DESC, vec_id ASC)
+        return pa.Table.from_pydict(
+            {"vec_id": pa.array(vid[order], pa.int64()), "s": pa.array(sims[order])}
+        )
 
-    return (
-        emb.map_batches(cos, batch_format="pyarrow")
-        .sort(["s", "vec_id"], descending=[True, False])
-        .limit(10)
-        .select_columns(["vec_id"])
-    )
+    part = emb.map_batches(topk_partial, batch_format="pyarrow").to_pandas()
+    part = part.sort_values(
+        ["s", "vec_id"], ascending=[False, True], kind="mergesort"
+    ).head(10)
+    return pd.DataFrame({"vec_id": part["vec_id"].to_numpy(np.int64)})
 
 
 SQL_VECTOR_TOPK = """

@@ -27,7 +27,6 @@ from ..corpus import entity_universe
 from ..linking import known_alias_norms
 from ..rules import Gazetteer
 from ..sources.pages import synth_pages
-from ..stages.canonicalize import build_canonical_map
 from ..stages.extract import extract_and_dedup
 from ..stages.materialize import (
     GRAPH_INPUT_COLUMNS,
@@ -37,6 +36,31 @@ from ..stages.materialize import (
 )
 from ..stages.mentions import detect_and_link, triples_projection
 from ..state.manifest import lineage_hash, read_manifest, read_stage, run_stage
+
+
+def canonical_dir(can_path: str) -> str:
+    """Path of the canonical map inside a committed S5 checkpoint — the
+    ``canonical/`` parquet directory (1 file from the driver tiers,
+    sharded from the distributed tier); falls back to the legacy
+    single-file layout for pre-existing caches."""
+    d = os.path.join(can_path, "canonical")
+    if os.path.isdir(d):
+        return d
+    return os.path.join(can_path, "canonical.parquet")
+
+
+def canonical_num_rows(path: str) -> int:
+    """Row count from parquet FOOTERS only (no column data is read) —
+    the broadcast-vs-copartition tier probe must stay metadata-cheap for
+    both the single-file and sharded layouts."""
+    if os.path.isdir(path):
+        import glob
+
+        return sum(
+            pq.read_metadata(f).num_rows
+            for f in glob.glob(os.path.join(path, "*.parquet"))
+        )
+    return pq.read_metadata(path).num_rows
 
 
 def tee_batch(t: pa.Table, out_dir: str) -> pa.Table:
@@ -130,20 +154,24 @@ def build_kg(
     )
 
     def produce_canonical(tmp: str) -> None:
+        from ..stages.canonicalize import write_canonical_map
+
         known = known_alias_norms(Gazetteer(entities))
         mr = read_stage(men_path, columns=["key", "resolved"])
-        tbl = build_canonical_map(mr, known, cfg)
-        pq.write_table(tbl, os.path.join(tmp, "canonical.parquet"))
+        # writes a parquet DIRECTORY: one file from the gated driver
+        # tiers, sharded files from the fully distributed tier (which
+        # never assembles a norm-scale table on the driver)
+        write_canonical_map(mr, known, cfg, os.path.join(tmp, "canonical"))
 
     can_path, _ = run_stage(out_dir, "canonical", can_lin, produce_canonical)
 
-    canon_file = os.path.join(can_path, "canonical.parquet")
+    canon_file = canonical_dir(can_path)
     # the canonical map is broadcast as a driver dict only while it fits
     # (canon_broadcast_max); above that it stays a sharded TABLE and the
     # S6 resolve becomes a hash-co-partitioned lookup join — the map
     # never materializes on one machine (open-vocabulary path).
     canon: dict | None = None
-    if pq.read_metadata(canon_file).num_rows <= cfg.canon_broadcast_max:
+    if canonical_num_rows(canon_file) <= cfg.canon_broadcast_max:
         canon_tbl = pq.read_table(canon_file)
         canon = {
             n: (nm, t, bool(new))
@@ -274,7 +302,7 @@ def build_kg(
 def triples_table(paths: dict[str, str], cfg: PipelineConfig = DEFAULT_CONFIG) -> ray.data.Dataset:
     """Canonicalized (url, sent_id, subj, pred, obj) triples — the P/R
     comparison surface vs the serial golden (FIXTURES.md §3)."""
-    canon_tbl = pq.read_table(os.path.join(paths["canonical"], "canonical.parquet"))
+    canon_tbl = pq.read_table(canonical_dir(paths["canonical"]))
     canon = {
         n: (nm, t, bool(new))
         for n, nm, t, new in zip(

@@ -386,14 +386,76 @@ def connected_components(pairs: ray.data.Dataset, cfg: PipelineConfig) -> dict:
     return {r["node"]: r["comp"] for r in rows}
 
 
+_CANON_SCHEMA = pa.schema(
+    [("norm", pa.string()), ("name", pa.string()),
+     ("etype", pa.string()), ("is_new", pa.bool_())]
+)
+
+
 def build_canonical_map(
     mentions_resolved: ray.data.Dataset,
     known_norm_to_name: dict[str, tuple[str, str]],
     cfg: PipelineConfig = DEFAULT_CONFIG,
 ) -> pa.Table:
-    """→ small Arrow table (norm, name, etype, is_new) for every distinct
-    unresolved surface norm. Materialized (entity-scale, not page-scale);
-    the driver broadcasts it to the resolve stages via ``ray.put``.
+    """→ Arrow table (norm, name, etype, is_new) on the DRIVER — the
+    in-memory convenience form (tests, small builds). ``kg_build`` uses
+    :func:`write_canonical_map`, which keeps the fully distributed tier
+    a dataset all the way to parquet and never collects it."""
+    res = _build_canonical(mentions_resolved, known_norm_to_name, cfg)
+    if isinstance(res, ray.data.Dataset):
+        pdf = res.to_pandas()
+        if not len(pdf):
+            return pa.Table.from_pydict(
+                {"norm": [], "name": [], "etype": [], "is_new": []},
+                schema=_CANON_SCHEMA,
+            )
+        pdf = pdf.sort_values("norm").reset_index(drop=True)
+        return pa.Table.from_pydict(
+            {
+                "norm": pdf["norm"].tolist(),
+                "name": pdf["name"].tolist(),
+                "etype": pdf["etype"].tolist(),
+                "is_new": [bool(b) for b in pdf["is_new"]],
+            },
+            schema=_CANON_SCHEMA,
+        )
+    return res
+
+
+def write_canonical_map(
+    mentions_resolved: ray.data.Dataset,
+    known_norm_to_name: dict[str, tuple[str, str]],
+    cfg: PipelineConfig,
+    out_dir: str,
+) -> None:
+    """Write the canonical map as a parquet DIRECTORY (1..N files).
+
+    The driver/mid tiers produce a driver-resident table and write one
+    file; the fully distributed tier (pairs above
+    ``cfg.cc_driver_max_pairs``) stays a hash-partitioned dataset end to
+    end and ``write_parquet``s sharded — no norm-scale dict or table
+    ever assembles on the driver in that regime (the open-vocabulary
+    path the S6 ``resolve_via_copartition`` side already has)."""
+    import os
+
+    import pyarrow.parquet as _pq
+
+    res = _build_canonical(mentions_resolved, known_norm_to_name, cfg)
+    os.makedirs(out_dir, exist_ok=True)
+    if isinstance(res, ray.data.Dataset):
+        res.write_parquet(out_dir)
+    else:
+        _pq.write_table(res, os.path.join(out_dir, "canonical-0.parquet"))
+
+
+def _build_canonical(
+    mentions_resolved: ray.data.Dataset,
+    known_norm_to_name: dict[str, tuple[str, str]],
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+) -> "pa.Table | ray.data.Dataset":
+    """Size-tiered canonicalization core. Returns a driver ``pa.Table``
+    from the two gated driver tiers, or a ``Dataset`` (norm, name,
+    etype, is_new) from the fully distributed tier.
 
     Size-tiered execution: the corpus-scale work (distinct unresolved
     norms) always runs distributed; when the resulting DISTINCT norm set
@@ -402,7 +464,10 @@ def build_canonical_map(
     (``canonical.canonicalize_surfaces`` — identical output by
     definition), skipping 3+ entity-scale shuffle executions whose fixed
     orchestration latency otherwise dominates the stage. Above the
-    threshold the fully distributed path below takes over."""
+    threshold the LSH/verify phase runs distributed; the pair
+    assembly is driver-side while the verified pair set fits
+    ``cfg.cc_driver_max_pairs``, and a fully dataset-native assembly
+    (:func:`_assemble_canonical_ds`) above that."""
     # ONE corpus-scale scan produces the distinct norm set; both tiers
     # reuse it (the tier probe must not pay a second scan)
     distinct = distinct_unk_norms(mentions_resolved).materialize()
@@ -514,69 +579,13 @@ def build_canonical_map(
                 if lab[i] != i
             }
     else:
-        import pandas as pd
+        return _assemble_canonical_ds(
+            pairs, keys, norms_ref, unk_ref, known_norm_to_name, cfg
+        )
 
-        from ..util import get_broadcast as get_broadcast_local
-
-        def att_partial(t: pa.Table) -> pa.Table:
-            # per-batch argmax per unk (vectorized): the driver merge sees
-            # at most one row per (unk, batch), not one per pair
-            iu = get_broadcast_local(unk_ref)
-            xi = t["x"].to_numpy()
-            yi = t["y"].to_numpy()
-            jv = t["j"].to_numpy()
-            mixed = iu[xi] ^ iu[yi]
-            if not mixed.any():
-                return pa.Table.from_pydict(
-                    {"unk": [], "kn": [], "j": []},
-                    schema=pa.schema(
-                        [("unk", pa.int32()), ("kn", pa.int32()), ("j", pa.float64())]
-                    ),
-                )
-            df = pd.DataFrame(
-                {
-                    "unk": np.where(iu[xi[mixed]], xi[mixed], yi[mixed]),
-                    "kn": np.where(iu[xi[mixed]], yi[mixed], xi[mixed]),
-                    "j": jv[mixed],
-                }
-            ).sort_values(
-                ["unk", "j", "kn"], ascending=[True, False, True], kind="mergesort"
-            ).drop_duplicates("unk")
-            return pa.Table.from_pydict(
-                {
-                    "unk": pa.array(df["unk"].to_numpy(np.int32)),
-                    "kn": pa.array(df["kn"].to_numpy(np.int32)),
-                    "j": pa.array(df["j"].to_numpy()),
-                }
-            )
-
-        adf = pairs.map_batches(att_partial, batch_format="pyarrow").to_pandas()
-        if len(adf):
-            adf = adf.sort_values(
-                ["unk", "j", "kn"], ascending=[True, False, True], kind="mergesort"
-            ).drop_duplicates("unk")
-            att_map = {
-                keys[u]: (j, keys[k])
-                for u, j, k in zip(adf["unk"], adf["j"], adf["kn"])
-            }
-
-        def uu_str(t: pa.Table) -> pa.Table:
-            kl = get_broadcast_local(norms_ref)
-            iu = get_broadcast_local(unk_ref)
-            xi = t["x"].to_numpy()
-            yi = t["y"].to_numpy()
-            both = iu[xi] & iu[yi]
-            return pa.Table.from_pydict(
-                {
-                    "x": pa.array([kl[i] for i in xi[both]], pa.string()),
-                    "y": pa.array([kl[i] for i in yi[both]], pa.string()),
-                }
-            )
-
-        uu = pairs.map_batches(uu_str, batch_format="pyarrow").materialize()
-        comp_map = connected_components(uu, cfg)
-
-    # Assemble on the driver — every table here is entity-scale.
+    # Assemble on the driver — both remaining tiers are gated
+    # (canon_driver_max_norms / cc_driver_max_pairs), so every table
+    # here is bounded driver state by configuration, not by luck.
 
     # per-component best attachment
     comp_best: dict[str, tuple[float, str]] = {}
@@ -602,13 +611,217 @@ def build_canonical_map(
             out["name"].append(c)  # min member = component label
             out["etype"].append("UNK")
             out["is_new"].append(True)
-    return pa.Table.from_pydict(
-        out,
-        schema=pa.schema(
-            [("norm", pa.string()), ("name", pa.string()),
-             ("etype", pa.string()), ("is_new", pa.bool_())]
-        ),
+    return pa.Table.from_pydict(out, schema=_CANON_SCHEMA)
+
+
+def _assemble_canonical_ds(
+    pairs: ray.data.Dataset,
+    keys: list[str],
+    norms_ref,
+    unk_ref,
+    known_norm_to_name: dict[str, tuple[str, str]],
+    cfg: PipelineConfig,
+) -> ray.data.Dataset:
+    """Fully dataset-native canonical-map assembly — the open-vocabulary
+    tier. Nothing norm-scale ever lands on the driver here: the
+    per-unknown attachment argmax is a per-batch partial merged through
+    ONE hash-routed exchange, the unk–unk clusters come from
+    ``connected_components_ds`` (hash-partitioned label datasets), the
+    per-COMPONENT best attachment is one comp-routed vectorized fold,
+    and the final (norm, name, etype, is_new) rows are produced per
+    batch against the broadcast key list. Exchanges carry fixed-width
+    int rows only; strings appear exactly once, in the output batches.
+
+    Driver state: the broadcast key list / unk mask (shared with the
+    LSH phase) and the gazetteer-scale known dict — both inputs, not
+    per-norm accumulations.
+
+    Reference contrast: the reference folds its whole surface universe
+    through one in-process dict (``blarify``'s name-registry shape); at
+    10⁸–10⁹ distinct web surfaces that is the driver-memory cliff this
+    tier removes (SURVEY §1.1)."""
+    import pandas as pd
+
+    from ..ops.joins import copartition_attach
+    from ..util import compact_nonempty
+    from ..util import get_broadcast as get_broadcast_local
+
+    P = cfg.agg_partitions
+    known_ref = ray.put(known_norm_to_name)
+    n_keys = len(keys)
+    # `pairs` was materialized inside the LSH hash_shuffle_scope; rebuild
+    # its lineage so the exchanges below plan under the caller's default
+    # (sort-based) shuffle strategy instead of dragging HASH_SHUFFLE in
+    pairs = compact_nonempty(pairs)
+
+    def att_partial(t: pa.Table) -> pa.Table:
+        # per-batch argmax per unk (vectorized): the merge exchange sees
+        # at most one row per (unk, batch), not one per pair
+        iu = get_broadcast_local(unk_ref)
+        xi = t["x"].to_numpy()
+        yi = t["y"].to_numpy()
+        jv = t["j"].to_numpy()
+        mixed = iu[xi] ^ iu[yi]
+        if not mixed.any():
+            return pa.Table.from_pydict(
+                {"unk": [], "kn": [], "j": []},
+                schema=pa.schema(
+                    [("unk", pa.int64()), ("kn", pa.int64()), ("j", pa.float64())]
+                ),
+            )
+        df = pd.DataFrame(
+            {
+                "unk": np.where(iu[xi[mixed]], xi[mixed], yi[mixed]).astype(np.int64),
+                "kn": np.where(iu[xi[mixed]], yi[mixed], xi[mixed]).astype(np.int64),
+                "j": jv[mixed],
+            }
+        ).sort_values(
+            ["unk", "j", "kn"], ascending=[True, False, True], kind="mergesort"
+        ).drop_duplicates("unk")
+        return pa.Table.from_pydict(
+            {
+                "unk": pa.array(df["unk"].to_numpy(np.int64)),
+                "kn": pa.array(df["kn"].to_numpy(np.int64)),
+                "j": pa.array(df["j"].to_numpy()),
+            }
+        )
+
+    def att_route(t: pa.Table) -> pa.Table:
+        pk = (t["unk"].to_numpy() % P).astype(np.int32)
+        return t.append_column("_pkey", pa.array(pk, pa.int32()))
+
+    def att_merge(g: pd.DataFrame) -> pd.DataFrame:
+        # global argmax per unk inside its hash partition (index order ==
+        # lex order, so min-kn int IS the spec's min-lex tie-break)
+        g = g.sort_values(
+            ["unk", "j", "kn"], ascending=[True, False, True], kind="mergesort"
+        ).drop_duplicates("unk")
+        return g[["unk", "kn", "j"]].reset_index(drop=True)
+
+    att_ds = (
+        pairs.map_batches(att_partial, batch_format="pyarrow")
+        .map_batches(att_route, batch_format="pyarrow")
+        .groupby("_pkey")
+        .map_groups(att_merge, batch_format="pandas")
+        .materialize()
     )
+    n_att = att_ds.count()
+
+    def uu_int(t: pa.Table) -> pa.Table:
+        iu = get_broadcast_local(unk_ref)
+        xi = t["x"].to_numpy()
+        yi = t["y"].to_numpy()
+        both = iu[xi] & iu[yi]
+        return pa.Table.from_pydict(
+            {
+                "x": pa.array(xi[both].astype(np.int64)),
+                "y": pa.array(yi[both].astype(np.int64)),
+            }
+        )
+
+    uu = pairs.map_batches(uu_int, batch_format="pyarrow").materialize()
+
+    # base unk universe as a dataset: range over the key index space,
+    # filtered by the broadcast unk mask — never a driver list round-trip
+    def to_unk(t: pa.Table) -> pa.Table:
+        iu = get_broadcast_local(unk_ref)
+        ids = t["id"].to_numpy()
+        return pa.Table.from_pydict({"unk": pa.array(ids[iu[ids]], pa.int64())})
+
+    u_ds = ray.data.range(n_keys).map_batches(to_unk, batch_format="pyarrow")
+
+    # attach each member's component label (CC labels stay a dataset);
+    # singletons default to self
+    if uu.count() > 0:
+        comp_ds = connected_components_ds(uu, cfg)
+        u_ds = copartition_attach(
+            u_ds, comp_ds, "unk", "node", {"comp": "comp"}, partitions=P, how="left"
+        )
+
+        def fill_comp(df: pd.DataFrame) -> pd.DataFrame:
+            u = df["unk"].to_numpy(np.int64)
+            # left-join misses surface as float NaN OR object None
+            # depending on the merge group's dtype promotion
+            miss = df["comp"].isna().to_numpy()
+            c = np.where(miss, u, df["comp"].to_numpy())
+            return pd.DataFrame({"unk": u, "comp": c.astype(np.int64)})
+
+        u_ds = u_ds.map_batches(fill_comp, batch_format="pandas")
+    else:
+
+        def self_comp(t: pa.Table) -> pa.Table:
+            return t.append_column("comp", t["unk"])
+
+        u_ds = u_ds.map_batches(self_comp, batch_format="pyarrow")
+    u_ds = u_ds.materialize()
+
+    # per-COMPONENT best attachment: tag each attachment row with its
+    # member's component, then ONE comp-routed vectorized argmax fold
+    if n_att > 0:
+        att_c = copartition_attach(
+            att_ds, u_ds, "unk", "unk", {"comp": "comp"}, partitions=P, how="inner"
+        )
+
+        def cb_route(df: pd.DataFrame) -> pd.DataFrame:
+            df = df[["comp", "kn", "j"]].copy()
+            df["_pkey"] = (df["comp"].to_numpy(np.int64) % P).astype(np.int32)
+            return df
+
+        def cb_merge(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(
+                ["comp", "j", "kn"], ascending=[True, False, True], kind="mergesort"
+            ).drop_duplicates("comp")
+            return pd.DataFrame(
+                {
+                    "comp": g["comp"].to_numpy(np.int64),
+                    "best_kn": g["kn"].to_numpy(np.int64),
+                }
+            )
+
+        cb_ds = (
+            att_c.map_batches(cb_route, batch_format="pandas")
+            .groupby("_pkey")
+            .map_groups(cb_merge, batch_format="pandas")
+        )
+        full = copartition_attach(
+            u_ds, cb_ds, "comp", "comp", {"best_kn": "best_kn"}, partitions=P, how="left"
+        )
+    else:
+
+        def no_best(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "best_kn", pa.array(np.full(t.num_rows, -1, np.int64))
+            )
+
+        full = u_ds.map_batches(no_best, batch_format="pyarrow")
+
+    def finish(df: pd.DataFrame) -> pa.Table:
+        kl = get_broadcast_local(norms_ref)
+        kn_map = get_broadcast_local(known_ref)
+        unk = df["unk"].to_numpy(np.int64)
+        comp = df["comp"].to_numpy(np.int64)
+        miss = df["best_kn"].isna().to_numpy()  # left-join nulls (float or object)
+        bk = np.where(miss, -1, df["best_kn"].to_numpy()).astype(np.int64)
+        names, etypes = [], []
+        for c, b in zip(comp, bk):
+            if b >= 0:
+                nm, t = kn_map[kl[b]]
+                names.append(nm)
+                etypes.append(t)
+            else:
+                names.append(kl[c])  # min member = component label
+                etypes.append("UNK")
+        return pa.Table.from_pydict(
+            {
+                "norm": [kl[i] for i in unk],
+                "name": names,
+                "etype": etypes,
+                "is_new": (bk < 0).tolist(),
+            },
+            schema=_CANON_SCHEMA,
+        )
+
+    return full.map_batches(finish, batch_format="pandas")
 
 
 class _rev:

@@ -242,3 +242,61 @@ def test_tee_batch_retry_overwrites_not_appends(tmp_path):
     empty = batch.slice(0, 0)
     assert tee_batch(empty, d).num_rows == 0  # no file for empty batches
     assert len([f for f in os.listdir(d) if f.endswith(".parquet")]) == 2
+
+
+def test_fully_distributed_canonical_assembly(built, monkeypatch):
+    """VERDICT r4 #1: with canon_driver_max_norms=0, cc_driver_max_pairs=0
+    AND canon_broadcast_max=0, S5 must run the dataset-native assembly
+    end to end — the canonical parquet is written SHARDED by the dataset
+    (never a driver-collected table), no norm-scale dict (attachment map
+    or CC label map) materializes on the driver, and the final
+    entities/edges still equal the serial golden exactly."""
+    import dataclasses
+
+    from blarify_ray.config import DEFAULT_CONFIG
+    from blarify_ray.pipelines.kg_build import canonical_dir
+    from blarify_ray.stages import canonicalize as canon_mod
+
+    # the dict-building code paths must be unreachable in this regime
+    def _boom(*a, **k):  # pragma: no cover - failure-mode guard
+        raise AssertionError("driver dict assembly ran in forced-distributed tier")
+
+    monkeypatch.setattr(canon_mod, "connected_components", _boom)
+    monkeypatch.setattr(canon_mod, "min_label_components", _boom)
+    monkeypatch.setattr(canon_mod, "build_canonical_map", _boom)
+
+    _, serial = built
+    cfg = dataclasses.replace(
+        DEFAULT_CONFIG,
+        canon_driver_max_norms=0,
+        cc_driver_max_pairs=0,
+        canon_broadcast_max=0,
+    )
+    out2 = "/tmp/blarify_ray_test_e2e_fulldist_canon"
+    shutil.rmtree(out2, ignore_errors=True)
+    paths2 = build_kg(out2, N, cfg)
+
+    cdir = canonical_dir(paths2["canonical"])
+    assert os.path.isdir(cdir)
+    # the driver tiers write exactly "canonical-0.parquet"; the dataset
+    # write never uses that name — its absence proves the sharded branch
+    assert not os.path.exists(os.path.join(cdir, "canonical-0.parquet"))
+
+    got_ents = {
+        (e["entity_id"], e["name"], e["type"], tuple(e["aliases"]), e["n_mentions"])
+        for e in _stage_rows(paths2["entities"])
+    }
+    want_ents = {
+        (e["entity_id"], e["name"], e["type"], tuple(e["aliases"]), e["n_mentions"])
+        for e in serial["entities"]
+    }
+    assert got_ents == want_ents
+    got_edges = {
+        (e["src_id"], e["dst_id"], e["pred"], e["url"], e["sent_id"], e["weight"], e["scope_text"])
+        for e in _stage_rows(paths2["edges"])
+    }
+    want_edges = {
+        (e["src_id"], e["dst_id"], e["pred"], e["url"], e["sent_id"], e["weight"], e["scope_text"])
+        for e in serial["edges"]
+    }
+    assert got_edges == want_edges
