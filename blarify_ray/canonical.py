@@ -69,8 +69,13 @@ def pair_scorer(keys: list[str], cfg: PipelineConfig):
     """(score_fn, threshold) for the configured ResolverMode — JACCARD:
     exact char-shingle Jaccard; EMBEDDING: cosine over deterministic
     feature-hashed shingle embeddings (the model-based linker path for
-    unresolved surfaces, swappable for a learned encoder). Shared by the
-    serial spec and the distributed stage so both score identically."""
+    unresolved surfaces, swappable for a learned encoder); AUTO: the
+    fallback chain (``hybrid_resolver.py:20-27,71-116`` analog) —
+    dictionary-accepted pairs score ``1 + jaccard`` so they strictly
+    outrank every embedding-fallback pair (cosine ≤ 1) in the downstream
+    per-surface argmax, and dictionary-rejected pairs fall back to the
+    cosine against ``embed_link_threshold``. Shared by the serial spec
+    and the distributed stage so both score identically."""
     from .config import ResolverMode
 
     if cfg.resolver_mode == ResolverMode.EMBEDDING:
@@ -78,6 +83,25 @@ def pair_scorer(keys: list[str], cfg: PipelineConfig):
 
         emb = {k: shingle_embed(k, cfg.shingle_k) for k in keys}
         return (lambda x, y: round(embed_cosine(emb[x], emb[y]), 9)), cfg.embed_link_threshold
+    if cfg.resolver_mode == ResolverMode.AUTO:
+        from .text import embed_cosine, shingle_embed
+
+        sha = {k: char_shingles(k, cfg.shingle_k) for k in keys}
+        aemb: dict[str, object] = {}
+
+        def ascore(x: str, y: str) -> float:
+            j = jaccard(sha[x], sha[y])
+            if j >= cfg.jaccard_threshold:
+                return 1.0 + j  # dictionary hit: beats any cosine (≤ 1)
+            ex = aemb.get(x)
+            if ex is None:
+                ex = aemb[x] = shingle_embed(x, cfg.shingle_k)
+            ey = aemb.get(y)
+            if ey is None:
+                ey = aemb[y] = shingle_embed(y, cfg.shingle_k)
+            return round(embed_cosine(ex, ey), 9)
+
+        return ascore, cfg.embed_link_threshold
     sh = {k: char_shingles(k, cfg.shingle_k) for k in keys}
     return (lambda x, y: jaccard(sh[x], sh[y])), cfg.jaccard_threshold
 

@@ -24,10 +24,19 @@ class ResolverMode(str, enum.Enum):
     - EMBEDDING: cosine over deterministic feature-hashed shingle
       embeddings (the offline stand-in for a learned embedding scorer —
       same interface, swappable model)
+    - AUTO: the fallback chain (reference HybridResolver,
+      ``blarify/code_references/hybrid_resolver.py:20-27,71-116`` —
+      SCIP dictionary first, LSP/model per-surface fallback): a pair the
+      Jaccard scorer accepts uses the dictionary score and ALWAYS
+      outranks embedding-only pairs in the per-surface attachment argmax
+      (encoded as ``1 + jaccard``); a pair the dictionary rejects falls
+      back to the embedding cosine and is kept when it clears
+      ``embed_link_threshold``.
     """
 
     JACCARD = "jaccard"
     EMBEDDING = "embedding"
+    AUTO = "auto"
 
 
 @dataclass(frozen=True)
@@ -115,6 +124,16 @@ class PipelineConfig:
     # canonical table — the open-vocabulary path where the map itself is
     # sharded and never materializes on one machine.
     canon_broadcast_max: int = 2_000_000
+    # doc-layer vector search tier: at or below this many doc-layer rows
+    # a query brute-force scans the checkpoint (exact, zero extra
+    # state); above it `ensure_doc_ann` maintains an IVF hive layout
+    # next to the layer and queries read ONLY the probed centroid dirs
+    # — entity-scale × high-dim search must not re-scan the corpus per
+    # query. `doc_ann_nprobe >= doc_ann_cells` degrades the ANN tier to
+    # exact brute force (the parity-test lever).
+    doc_search_brute_max: int = 200_000
+    doc_ann_cells: int = 64
+    doc_ann_nprobe: int = 8
     # near-dup candidate tier: below this many candidate PAIRS the
     # distinct candidate-id set is pulled to the driver once and
     # broadcast as a sorted array (vectorized ``pc.is_in`` prune);

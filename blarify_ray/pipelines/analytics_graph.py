@@ -109,7 +109,29 @@ FROM agg
 # --- copurchase_two_hop (friends-of-friends) ---------------------------------
 
 
-def q_copurchase_two_hop(sf_dir: str):
+def _dropped_centers(adj, max_degree: int) -> int:
+    """Count of wedge CENTERS whose distinct-neighbor degree exceeds the
+    cap — the explicit drop metric for capped wedge enumeration (the
+    ``max_lsh_bucket`` pattern: bound the quadratic hot spot, surface
+    what was skipped). One src-routed exchange of int partials."""
+
+    def part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[["src", "dst"]].drop_duplicates()
+        deg = g.groupby("src", sort=False).size()
+        return pd.DataFrame({"n": [int((deg > max_degree).sum())]})
+
+    d = (
+        adj.map_batches(lambda df: _route(df, "src"), batch_format="pandas")
+        .groupby("_pkey")
+        .map_groups(part, batch_format="pandas")
+        .to_pandas()
+    )
+    return int(d["n"].sum()) if len(d) else 0
+
+
+def q_copurchase_two_hop(
+    sf_dir: str, max_degree: int | None = None, stats: dict | None = None
+):
     """Distinct 2-hop-ONLY neighborhood size per part: nodes reachable
     in exactly two hops of the co-purchase graph, excluding self and
     direct neighbors; parts with an empty 2-hop-only set emit no row
@@ -120,7 +142,15 @@ def q_copurchase_two_hop(sf_dir: str):
     same Θ(Σ deg(m)²) wedge enumeration the triangle census already
     pays; ids only, never baskets. (2) candidates ∪ direct-edge marker
     rows routed by NODE — one co-partitioned anti-join + distinct count
-    per group, so no neighbor set ever lands on the driver."""
+    per group, so no neighbor set ever lands on the driver.
+
+    ``max_degree`` (optional) bounds the quadratic term on power-law
+    graphs: wedge centers with more than ``max_degree`` distinct
+    neighbors emit NO wedges (their 2-hop contribution through that hub
+    is dropped — capped results are approximate THROUGH hubs), and the
+    dropped-center count lands in ``stats["dropped_centers"]`` when a
+    dict is passed. ``max_degree=None`` (the oracle default) is exact
+    and byte-identical to the uncapped plan."""
     li = _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
 
     def route_orders(df: pd.DataFrame) -> pd.DataFrame:
@@ -150,9 +180,17 @@ def q_copurchase_two_hop(sf_dir: str):
     # edge-scale int table consumed by BOTH exchanges — pin it once
     adj = pairs.map_batches(sym, batch_format="pandas").materialize()
 
+    if max_degree is not None and stats is not None:
+        stats["dropped_centers"] = _dropped_centers(adj, max_degree)
+
     # exchange 1: all of mid m's rows in one group → N(m) × N(m) wedges
     def wedges(g: pd.DataFrame) -> pd.DataFrame:
         g = g[["src", "dst"]].drop_duplicates()
+        if max_degree is not None:
+            # routing is by src, so a src's FULL distinct-neighbor count
+            # is visible here — hub centers drop before the self-merge
+            cnt = g.groupby("src", sort=False)["dst"].transform("size")
+            g = g[cnt <= max_degree]
         m = g.merge(g, on="src", suffixes=("_a", "_b"))
         m = m[m["dst_a"] != m["dst_b"]]
         out = m[["dst_a", "dst_b"]].drop_duplicates()
@@ -216,7 +254,9 @@ GROUP BY t.node
 # --- copurchase_local_cc (per-node clustering) -------------------------------
 
 
-def q_copurchase_local_cc(sf_dir: str):
+def q_copurchase_local_cc(
+    sf_dir: str, max_degree: int | None = None, stats: dict | None = None
+):
     """Local clustering coefficient per part: 2·t(v) / (d(v)·(d(v)−1))
     over the co-purchase graph, one row per node (cc = 0 when d < 2).
     KEY IDENTITY making this distributed-cheap: a node's triangle count
@@ -225,7 +265,15 @@ def q_copurchase_local_cc(sf_dir: str):
     and no per-triangle vertex unnest. Two exchanges: (1) adjacency by
     MID → (a, b, mid) wedge rows + (mid, degree) rows; (2) wedges ∪
     edge markers by the (a, b) endpoint pair → closure check, credits
-    summed per mid co-partitioned with its degree row."""
+    summed per mid co-partitioned with its degree row.
+
+    ``max_degree`` (optional) bounds the per-center quadratic term:
+    a node with more than ``max_degree`` distinct neighbors emits
+    neither wedges nor its degree row — it is DROPPED from the output
+    (never given a wrong cc), with the count exposed via
+    ``stats["dropped_centers"]``. Other nodes are unaffected (their cc
+    uses wedges centered at themselves). ``max_degree=None`` (the
+    oracle default) is exact."""
     li = _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
 
     def route_orders(df: pd.DataFrame) -> pd.DataFrame:
@@ -255,9 +303,17 @@ def q_copurchase_local_cc(sf_dir: str):
 
     adj = pairs.map_batches(sym, batch_format="pandas")
 
+    if max_degree is not None and stats is not None:
+        stats["dropped_centers"] = _dropped_centers(adj, max_degree)
+
     # exchange 1: per mid — degree row (kind 2) + a<b wedge rows (kind 0)
     def wedges(g: pd.DataFrame) -> pd.DataFrame:
         g = g[["src", "dst"]].drop_duplicates()
+        if max_degree is not None:
+            # capped centers lose BOTH their wedges and their degree row
+            # — dropped from the output entirely, never a wrong cc
+            cnt = g.groupby("src", sort=False)["dst"].transform("size")
+            g = g[cnt <= max_degree]
         deg = g.groupby("src", sort=False).size().reset_index(name="n")
         m = g.merge(g, on="src", suffixes=("_a", "_b"))
         m = m[m["dst_a"] < m["dst_b"]]

@@ -331,20 +331,101 @@ def _read_layer(
     )
 
 
+def _layer_rows(layer_path: str) -> int:
+    """Doc-layer row count from parquet FOOTERS only — the search-tier
+    probe must not read column data."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    return sum(
+        pq.read_metadata(f).num_rows
+        for f in glob.glob(os.path.join(layer_path, "*.parquet"))
+    )
+
+
+def ensure_doc_ann(paths: dict[str, str], cfg: PipelineConfig = DEFAULT_CONFIG):
+    """Build-or-reuse the IVF hive layout over the doc layer — the
+    persisted ANN index for entity-scale vector search. Manifest-tracked
+    like every derived stage: lineage = doc-layer lineage × cell count
+    (plus the package code digest), so a rebuilt or delta-refreshed
+    layer invalidates the layout. ZERO-SHUFFLE write: one streaming
+    assign pass hive-splits batches across centroid dirs
+    (``ops/similarity.IvfIndex.write_partitioned``, the ``edges_by_dst``
+    pattern). Returns ``(layout_dir, IvfIndex)``."""
+    from ..ops.similarity import IvfIndex
+
+    layer_path, _ = ensure_doc_layer(paths, cfg)
+    out_dir = os.path.dirname(layer_path.rstrip(os.sep))
+    lay_man = read_manifest(out_dir, "doc_layer") or {}
+    lin = lineage_hash("doc_ann", lay_man.get("lineage", "none"), cfg.doc_ann_cells)
+
+    def produce(tmp: str) -> None:
+        layer = read_stage(
+            layer_path,
+            columns=["entity_id", "name", "content", "content_embedding"],
+        )
+        idx = IvfIndex.train(layer, cfg.doc_ann_cells, emb_col="content_embedding")
+        idx.write_partitioned(
+            layer, os.path.join(tmp, "ivf"), emb_col="content_embedding"
+        )
+        # "_"-prefixed: parquet dataset discovery (run_stage row count)
+        # ignores it, like "_MANIFEST.json"
+        np.save(os.path.join(tmp, "_centroids.npy"), idx.centroids)
+
+    ann_path, _ = run_stage(out_dir, "doc_ann", lin, produce)
+    cents = np.load(os.path.join(ann_path, "_centroids.npy"))
+    return os.path.join(ann_path, "ivf"), IvfIndex(cents)
+
+
+def _probe_files(layout_dir: str, index, qvec: np.ndarray, nprobe: int) -> list[str]:
+    """Parquet files under the ≤ nprobe probed centroid dirs — the exact
+    byte surface an ANN-tier query reads (exposed for tests)."""
+    import glob
+
+    dirs = index.probe_dirs(layout_dir, qvec, nprobe)
+    return sorted(f for d in dirs for f in glob.glob(os.path.join(d, "*.parquet")))
+
+
+def _search_candidates(
+    paths: dict[str, str], qvec: np.ndarray, cfg: PipelineConfig, columns: list[str]
+) -> ray.data.Dataset:
+    """Candidate rows for one vector query, size-tiered: at or below
+    ``cfg.doc_search_brute_max`` layer rows the whole checkpoint scans
+    (exact); above it only the ``doc_ann_nprobe`` probed IVF dirs are
+    read — per-query bytes shrink to the probed fraction of the corpus.
+    ``doc_ann_nprobe >= doc_ann_cells`` makes the ANN tier exact (full
+    probe), which is how the forced-tier parity test pins equality."""
+    layer_path, _ = ensure_doc_layer(paths, cfg)
+    if _layer_rows(layer_path) <= cfg.doc_search_brute_max:
+        return read_stage(layer_path, columns=columns)
+    layout_dir, index = ensure_doc_ann(paths, cfg)
+    files = _probe_files(layout_dir, index, qvec, cfg.doc_ann_nprobe)
+    if not files:
+        return read_stage(layer_path, columns=columns).limit(0)
+    return ray.data.read_parquet(files, columns=columns)
+
+
 def doc_search(
     paths: dict[str, str], query_text: str, k: int = 10,
     cfg: PipelineConfig = DEFAULT_CONFIG,
 ) -> ray.data.Dataset:
     """Vector search over the documentation layer: embed the query with
-    the same (stub) model, brute-force cosine top-k
-    (``queries.py:2298-2356`` analog). Scans the doc-layer CHECKPOINT —
-    only the query string is embedded per call."""
+    the same (stub) model, cosine top-k (``queries.py:2298-2356``
+    analog). Only the query string is embedded per call. Size-tiered on
+    ``cfg.doc_search_brute_max``: small layers brute-force scan the
+    checkpoint; large layers read ONLY the probed dirs of the
+    manifest-tracked IVF layout (``ensure_doc_ann``)."""
     q = hash_embed(query_text).astype(np.float64)
-    layer = _read_layer(paths, cfg)
+    layer = _search_candidates(
+        paths, q, cfg, ["entity_id", "name", "content_embedding"]
+    )
 
     def score(t: pa.Table) -> pa.Table:
-        m = np.array(t["content_embedding"].to_pylist(), dtype=np.float64)
-        sims = m @ q
+        from ..ops.similarity import _mat
+
+        m = _mat(t["content_embedding"])
+        sims = m @ q if len(m) else np.zeros(0)
         return pa.Table.from_pydict(
             {
                 "entity_id": t["entity_id"],
@@ -375,15 +456,24 @@ def doc_search_hybrid(
     (title boost), a term matching only the summary content counts once;
     the /(2·terms) normalization makes an all-name-hit query score
     exactly 1.0.
+
+    Size-tiered like ``doc_search``; in the ANN tier the candidate set
+    is the VECTOR-probed cells (a keyword-only hit outside the probed
+    cells is missed — standard hybrid-over-ANN semantics; full probe
+    restores exactness).
     """
     from ..text import normalize_surface
 
     q = hash_embed(query_text).astype(np.float64)
     terms = [t for t in normalize_surface(query_text).split() if len(t) >= 3]
-    layer = _read_layer(paths, cfg)
+    layer = _search_candidates(
+        paths, q, cfg, ["entity_id", "name", "content", "content_embedding"]
+    )
 
     def score(t: pa.Table) -> pa.Table:
-        m = np.array(t["content_embedding"].to_pylist(), dtype=np.float64)
+        from ..ops.similarity import _mat
+
+        m = _mat(t["content_embedding"])
         cos = m @ q if len(m) else np.zeros(0)
         kws = []
         for name, content in zip(t["name"].to_pylist(), t["content"].to_pylist()):

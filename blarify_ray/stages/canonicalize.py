@@ -113,6 +113,35 @@ def _idx_scorer(keys: list[str], cfg: PipelineConfig):
 
         return escore, cfg.embed_link_threshold
 
+    if cfg.resolver_mode == ResolverMode.AUTO:
+        from ..text import char_shingles, embed_cosine, jaccard, shingle_embed
+
+        sha: dict[int, object] = {}
+        aemb: dict[int, object] = {}
+
+        def ashingles(i: int):
+            s = sha.get(i)
+            if s is None:
+                s = sha[i] = char_shingles(keys[i], cfg.shingle_k)
+            return s
+
+        def aembed(i: int):
+            e = aemb.get(i)
+            if e is None:
+                e = aemb[i] = shingle_embed(keys[i], cfg.shingle_k)
+            return e
+
+        def ascore(xi: int, yi: int) -> float:
+            # dictionary (Jaccard) first; accepted pairs score 1+j so
+            # they strictly outrank every cosine-fallback pair (≤ 1) —
+            # kernels and rounding identical to canonical.pair_scorer
+            j = jaccard(ashingles(xi), ashingles(yi))
+            if j >= cfg.jaccard_threshold:
+                return 1.0 + j
+            return round(embed_cosine(aembed(xi), aembed(yi)), 9)
+
+        return ascore, cfg.embed_link_threshold
+
     from ..text import char_shingles, jaccard
 
     sh: dict[int, object] = {}

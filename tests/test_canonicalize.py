@@ -185,3 +185,86 @@ def test_forced_distributed_cc_tier_matches_serial():
         )
     }
     assert got == want
+
+
+def test_auto_mode_fallback_chain():
+    """ResolverMode.AUTO (HybridResolver analog): the dictionary
+    (Jaccard) scorer decides first; surfaces it cannot attach fall back
+    to the embedding scorer per pair. With the Jaccard threshold forced
+    sky-high the dictionary rejects everything — JACCARD mode then mints
+    a new entity for the typo while AUTO still rescues it via cosine."""
+    import dataclasses
+
+    from blarify_ray.config import ResolverMode
+
+    strict_jac = dataclasses.replace(
+        DEFAULT_CONFIG, resolver_mode=ResolverMode.JACCARD, jaccard_threshold=0.99
+    )
+    strict_auto = dataclasses.replace(
+        DEFAULT_CONFIG, resolver_mode=ResolverMode.AUTO, jaccard_threshold=0.99
+    )
+    unks = {"nrodic foods", "zzz qqq vvv"}
+    jac = canonicalize_surfaces(unks, KNOWN, strict_jac)
+    auto = canonicalize_surfaces(unks, KNOWN, strict_auto)
+    assert jac["nrodic foods"][2] is True  # dictionary alone: new entity
+    assert auto["nrodic foods"] == ("Nordic Foods Industries", "ORG", False)
+    assert auto["zzz qqq vvv"][2] is True  # unrelated stays new in AUTO too
+
+    # at DEFAULT thresholds a dictionary hit must outrank any cosine:
+    # the pair score of an accepted dict pair is 1+j > 1 >= cosine
+    from blarify_ray.canonical import pair_scorer
+
+    auto_cfg = dataclasses.replace(DEFAULT_CONFIG, resolver_mode=ResolverMode.AUTO)
+    keys = sorted({"nrodic foods"} | set(KNOWN))
+    score, thr = pair_scorer(keys, auto_cfg)
+    s = score("nrodic foods", "nordic foods")
+    assert s > 1.0  # dictionary-accepted encoding
+    assert thr == auto_cfg.embed_link_threshold
+
+
+def test_auto_mode_serial_equals_distributed():
+    """AUTO mode parity across all three execution tiers: serial spec ==
+    driver fast-path == fully distributed (norms gate 0) == dataset
+    assembly (norms AND pairs gates 0)."""
+    import dataclasses
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from blarify_ray.config import ResolverMode
+
+    unks = {
+        "nrodic foods",
+        "golbal data systems",
+        "global data sytsems",
+        "zzz qqq vvv",
+        "zzz qqq vvw",
+        "hiro almedia",
+    }
+    base = dataclasses.replace(
+        DEFAULT_CONFIG, resolver_mode=ResolverMode.AUTO, jaccard_threshold=0.99
+    )
+    want = canonicalize_surfaces(unks, KNOWN, base)
+    # the strict dictionary forces the embedding fallback to do the work
+    assert want["nrodic foods"][2] is False
+
+    tbl = pa.table(
+        {
+            "key": list(unks) + ["Global Data Systems"],
+            "resolved": [False] * len(unks) + [True],
+        }
+    )
+    for cfg in (
+        base,
+        dataclasses.replace(base, canon_driver_max_norms=0),
+        dataclasses.replace(base, canon_driver_max_norms=0, cc_driver_max_pairs=0),
+    ):
+        got_tbl = build_canonical_map(rd.from_arrow(tbl), KNOWN, cfg)
+        got = {
+            n: (nm, t, bool(new))
+            for n, nm, t, new in zip(
+                got_tbl["norm"].to_pylist(), got_tbl["name"].to_pylist(),
+                got_tbl["etype"].to_pylist(), got_tbl["is_new"].to_pylist(),
+            )
+        }
+        assert got == want
