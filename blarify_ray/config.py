@@ -124,6 +124,15 @@ class PipelineConfig:
     # canonical table — the open-vocabulary path where the map itself is
     # sharded and never materializes on one machine.
     canon_broadcast_max: int = 2_000_000
+    # gazetteer tier: at or below this many entities the alias dictionary
+    # broadcasts (`ray.put` once, worker-cached Gazetteer — the default);
+    # above it the dictionary is hive-sharded by first-token hash
+    # (`stages/gazetteer_shards.py`) and workers LRU-load only the shards
+    # their pages' vocabulary probes — dictionary growth costs disk, not
+    # per-worker broadcast RAM. Both tiers match identically (forced-tier
+    # e2e test).
+    gazetteer_broadcast_max: int = 50_000_000
+    gazetteer_shards: int = 16
     # doc-layer vector search tier: at or below this many doc-layer rows
     # a query brute-force scans the checkpoint (exact, zero extra
     # state); above it `ensure_doc_ann` maintains an IVF hive layout

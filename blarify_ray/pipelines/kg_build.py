@@ -118,13 +118,31 @@ def build_kg(
         man = read_manifest(out_dir, stage)
         return man is not None and man.get("lineage") == lin
 
+    # gazetteer tier: broadcast dictionary by default; above
+    # gazetteer_broadcast_max the dictionary is hive-SHARDED once per
+    # universe (manifest-keyed) and workers probe shards instead of
+    # holding a broadcast copy (stages/gazetteer_shards.py)
+    shards_dir: str | None = None
+    if len(entities) > cfg.gazetteer_broadcast_max:
+        from ..stages.gazetteer_shards import build_gazetteer_shards
+
+        def produce_shards(tmp: str) -> None:
+            build_gazetteer_shards(entities, tmp, n_shards=cfg.gazetteer_shards)
+
+        shards_path, _ = run_stage(
+            out_dir, "gaz_shards",
+            lineage_hash("gaz_shards", gaz_fp, cfg.gazetteer_shards),
+            produce_shards,
+        )
+        shards_dir = shards_path
+
     if _current("docs", docs_lin):
         docs_path = os.path.join(out_dir, "docs")
 
         def produce_mentions(tmp: str) -> None:
-            ents_ref = ray.put(entities)
+            ents_ref = ray.put(entities) if shards_dir is None else None
             docs = read_stage(docs_path, columns=["url", "text", "raw", "lang"])
-            detect_and_link(docs, ents_ref, cfg).write_parquet(tmp)
+            detect_and_link(docs, ents_ref, cfg, shards_dir=shards_dir).write_parquet(tmp)
 
         men_path, _ = run_stage(out_dir, "mentions", men_lin, produce_mentions)
     else:
@@ -139,8 +157,8 @@ def build_kg(
             docs_ds = extract_and_dedup(ds, cfg).map_batches(
                 tee, batch_format="pyarrow", batch_size=8192
             )
-            ents_ref = ray.put(entities)
-            detect_and_link(docs_ds, ents_ref, cfg).write_parquet(men_tmp)
+            ents_ref = ray.put(entities) if shards_dir is None else None
+            detect_and_link(docs_ds, ents_ref, cfg, shards_dir=shards_dir).write_parquet(men_tmp)
 
         docs_path, men_path = run_fused_stages(
             out_dir, ("docs", docs_lin), ("mentions", men_lin), produce_docs_and_mentions

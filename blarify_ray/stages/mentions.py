@@ -136,10 +136,28 @@ def link_batch(gaz: Gazetteer, batch: pa.Table) -> pa.Table:
     return pa.Table.from_pydict(cols, schema=MENTIONS_RESOLVED)
 
 
+_SHARD_CACHE: dict[str, object] = {}
+
+
+def _sharded_for(shards_dir: str, max_cached: int):
+    """Worker-local ShardedGazetteer (one per shard layout) — shard
+    structures LRU inside it; the worker never holds the dictionary."""
+    g = _SHARD_CACHE.get(shards_dir)
+    if g is None:
+        from .gazetteer_shards import ShardedGazetteer
+
+        _SHARD_CACHE.clear()
+        g = _SHARD_CACHE[shards_dir] = ShardedGazetteer(
+            shards_dir, max_cached=max_cached
+        )
+    return g
+
+
 def detect_and_link(
     docs: ray.data.Dataset,
     entities_ref,
     cfg: PipelineConfig = DEFAULT_CONFIG,
+    shards_dir: str | None = None,
 ) -> ray.data.Dataset:
     """docs → MENTIONS_RESOLVED.
 
@@ -147,7 +165,19 @@ def detect_and_link(
     participates and pre-warmed workers skip pool spin-up (the broadcast
     state is read-only, so tasks and actors are semantically identical).
     ``cfg.ner_stateless=False`` selects the actor-pool tier sized by
-    ``util.pool_size``."""
+    ``util.pool_size``. ``shards_dir`` (set by the caller when the
+    entity universe exceeds ``cfg.gazetteer_broadcast_max``) selects the
+    SHARDED-dictionary tier: workers probe the hive layout instead of a
+    broadcast Gazetteer — identical output (forced-tier e2e test)."""
+    if shards_dir is not None:
+
+        def sfn(batch: pa.Table, _dir=shards_dir, _mc=max(cfg.gazetteer_shards, 64)) -> pa.Table:
+            return link_batch(_sharded_for(_dir, _mc), batch)
+
+        return docs.map_batches(
+            sfn, batch_format="pyarrow", batch_size=cfg.ner_batch_size
+        )
+
     if cfg.ner_stateless:
 
         def fn(batch: pa.Table, _ref=entities_ref) -> pa.Table:

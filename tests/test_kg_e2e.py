@@ -300,3 +300,43 @@ def test_fully_distributed_canonical_assembly(built, monkeypatch):
         for e in serial["edges"]
     }
     assert got_edges == want_edges
+
+
+def test_sharded_gazetteer_tier_matches_serial(built):
+    """Forced sharded-dictionary tier (gazetteer_broadcast_max=0): S2-S4
+    probe the hive-sharded alias table instead of a broadcast Gazetteer
+    — triples and entities must equal the serial golden exactly, and the
+    shard layout stage must exist."""
+    import dataclasses
+
+    from blarify_ray.config import DEFAULT_CONFIG
+
+    _, serial = built
+    cfg = dataclasses.replace(
+        DEFAULT_CONFIG, gazetteer_broadcast_max=0, gazetteer_shards=8
+    )
+    out2 = "/tmp/blarify_ray_test_e2e_gazshard"
+    shutil.rmtree(out2, ignore_errors=True)
+    paths2 = build_kg(out2, N, cfg)
+    assert os.path.isdir(os.path.join(out2, "gaz_shards"))
+    assert any(
+        d.startswith("shard=") for d in os.listdir(os.path.join(out2, "gaz_shards"))
+    )
+    got = {
+        (r["url"], r["sent_id"], r["subj"], r["pred"], r["obj"])
+        for r in triples_table(paths2, cfg).take_all()
+    }
+    want = {
+        (t["url"], t["sent_id"], t["subj"], t["pred"], t["obj"])
+        for t in serial["triples"]
+    }
+    assert got == want
+    got_ents = {
+        (e["entity_id"], e["name"], e["type"], tuple(e["aliases"]), e["n_mentions"])
+        for e in _stage_rows(paths2["entities"])
+    }
+    want_ents = {
+        (e["entity_id"], e["name"], e["type"], tuple(e["aliases"]), e["n_mentions"])
+        for e in serial["entities"]
+    }
+    assert got_ents == want_ents
