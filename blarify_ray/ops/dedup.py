@@ -310,15 +310,45 @@ def cluster_pairs_min_label(
         return sorted((x, find(x)) for x in parent if find(x) != x)
 
     # distributed fallback: min-label propagation is type-generic — reuse
-    # the canonicalize loop over (x, y) int columns
-    from ..stages.canonicalize import connected_components
+    # the canonicalize loop over (x, y) int columns. The label table is
+    # collected here because this helper's API is a driver list; callers
+    # that must stay dataset-native above the gate (minhash_near_dup)
+    # use cluster_pairs_min_label_ds instead.
+    rows = cluster_pairs_min_label_ds(pairs, cfg).take_all()
+    return sorted((int(r["id"]), int(r["dup_of"])) for r in rows)
+
+
+def cluster_pairs_min_label_ds(
+    pairs: ray.data.Dataset, cfg: PipelineConfig
+) -> ray.data.Dataset:
+    """Dataset-native form of the distributed tier: verified (a, b) int
+    pairs → Dataset[(id, dup_of)] for every non-root member, via the
+    hash-partitioned min-label loop (``connected_components_ds``). The
+    cluster table NEVER lands on the driver — at a 100-TB corpus the
+    duplicate set is itself corpus-scale (30-50% of a raw web crawl),
+    far beyond driver RAM."""
+    from ..stages.canonicalize import connected_components_ds
 
     renamed = pairs.map_batches(
         lambda t: pa.Table.from_pydict({"x": t["a"], "y": t["b"]}),
         batch_format="pyarrow",
     )
-    labels = connected_components(renamed, cfg)
-    return sorted((int(x), int(c)) for x, c in labels.items() if x != c)
+
+    def non_roots(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.not_equal(t["node"], t["comp"])
+        f = t.filter(keep)
+        return pa.Table.from_pydict(
+            {
+                "id": pc.cast(f["node"], pa.int64()),
+                "dup_of": pc.cast(f["comp"], pa.int64()),
+            }
+        )
+
+    return connected_components_ds(renamed, cfg).map_batches(
+        non_roots, batch_format="pyarrow"
+    )
 
 
 def minhash_near_dup(
@@ -371,15 +401,21 @@ def minhash_near_dup(
             out, schema=pa.schema([("a", pa.int64()), ("b", pa.int64())])
         )
 
-    verified = enriched.map_batches(verify, batch_format="pyarrow")
-    rows = cluster_pairs_min_label(verified, cfg)
-    tbl = pa.Table.from_pydict(
-        {
-            "id": pa.array([r[0] for r in rows], pa.int64()),
-            "dup_of": pa.array([r[1] for r in rows], pa.int64()),
-        }
-    )
-    return ray.data.from_arrow(tbl)
+    verified = enriched.map_batches(verify, batch_format="pyarrow").materialize()
+    # size-tiered cluster resolution: driver union-find below the gate
+    # (latency), the hash-partitioned min-label loop above it — the
+    # cluster table stays a DATASET there (duplicate sets are
+    # corpus-scale on raw web crawls; forced-tier parity tested)
+    if verified.count() <= cfg.cc_driver_max_pairs:
+        rows = cluster_pairs_min_label(verified, cfg)
+        tbl = pa.Table.from_pydict(
+            {
+                "id": pa.array([r[0] for r in rows], pa.int64()),
+                "dup_of": pa.array([r[1] for r in rows], pa.int64()),
+            }
+        )
+        return ray.data.from_arrow(tbl)
+    return cluster_pairs_min_label_ds(verified, cfg)
 
 
 # --- SimHash ---------------------------------------------------------------

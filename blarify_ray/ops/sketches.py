@@ -345,3 +345,116 @@ def grouped_distinct(
         .groupby("_pkey")
         .map_groups(merge, batch_format="pandas")
     )
+
+
+class BloomFilter:
+    """Blocked Bloom filter over 64-bit md5-derived hashes — the
+    no-false-negative membership sketch the incremental-dedup /
+    decontamination path wants when the reference set outgrows a
+    broadcastable Python set (a 10¹⁰-key history at 10 bits/key is
+    ~12 GB of BITS vs hundreds of GB of strings).
+
+    ``k`` probe positions are derived double-hash style
+    (Kirsch–Mitzenmacher 2006, public): ``pos_i = h1 + i·h2 mod m`` —
+    one 64-bit hash per key total, split into two 32-bit halves.
+    Deterministic: same keys → same bits on every run and tier.
+
+    Scale shape (the HLL pattern, bigger blob): every ``map_batches``
+    partial emits ONE packed uint64 bit array; merging is elementwise
+    OR — associative, commutative, idempotent, so duplicate partials
+    from task retries are harmless. Driver state = the filter itself
+    (m/8 bytes, independent of corpus size). Beyond driver-RAM filter
+    sizes, split the bit space by hash prefix into a hive layout and
+    OR/probe per shard (the ``edges_by_dst`` pattern) — the probe side
+    stays map-only either way."""
+
+    __slots__ = ("m", "k", "bits")
+
+    def __init__(self, n_bits: int = 1 << 20, k: int = 7, bits: np.ndarray | None = None):
+        assert n_bits % 64 == 0
+        self.m = n_bits
+        self.k = k
+        self.bits = bits if bits is not None else np.zeros(n_bits // 64, dtype=np.uint64)
+
+    def _positions(self, hs: np.ndarray) -> np.ndarray:
+        """(len(hs), k) probe positions from one 64-bit hash per key."""
+        h1 = (hs >> np.uint64(32)).astype(np.uint64)
+        h2 = (hs & np.uint64(0xFFFFFFFF)) | np.uint64(1)  # odd → full cycle
+        i = np.arange(self.k, dtype=np.uint64)[None, :]
+        return ((h1[:, None] + i * h2[:, None]) % np.uint64(self.m)).astype(np.int64)
+
+    def add_hashes(self, hs: np.ndarray) -> None:
+        pos = self._positions(hs).ravel()
+        np.bitwise_or.at(
+            self.bits, pos >> 6, np.uint64(1) << (pos.astype(np.uint64) & np.uint64(63))
+        )
+
+    def contains_hashes(self, hs: np.ndarray) -> np.ndarray:
+        if not len(hs):
+            return np.zeros(0, dtype=bool)
+        pos = self._positions(hs)
+        got = (self.bits[pos >> 6] >> (pos.astype(np.uint64) & np.uint64(63))) & np.uint64(1)
+        return got.all(axis=1)
+
+    def add(self, values: list) -> None:
+        self.add_hashes(_hash64(values))
+
+    def contains(self, values: list) -> np.ndarray:
+        return self.contains_hashes(_hash64(values))
+
+    def merge(self, other: "BloomFilter") -> "BloomFilter":
+        assert self.m == other.m and self.k == other.k
+        return BloomFilter(self.m, self.k, self.bits | other.bits)
+
+    def fill_ratio(self) -> float:
+        return float(np.unpackbits(self.bits.view(np.uint8)).mean())
+
+    def serialize(self) -> bytes:
+        return self.bits.tobytes()
+
+    @classmethod
+    def deserialize(cls, blob: bytes, n_bits: int, k: int) -> "BloomFilter":
+        return cls(n_bits, k, np.frombuffer(blob, dtype=np.uint64).copy())
+
+
+def bloom_build(
+    ds: ray.data.Dataset, col: str, n_bits: int = 1 << 20, k: int = 7
+) -> BloomFilter:
+    """Distributed build: per-batch bit-array partials, OR-fold on the
+    driver (constant driver state = the filter; rows never shuffle)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        f = BloomFilter(n_bits, k)
+        f.add(t[col].to_pylist())
+        return pa.Table.from_pydict({"blob": pa.array([f.serialize()], pa.binary())})
+
+    out = BloomFilter(n_bits, k)
+    for row in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        out = out.merge(BloomFilter.deserialize(row["blob"], n_bits, k))
+    return out
+
+
+def bloom_probe(
+    ds: ray.data.Dataset, col: str, bloom: BloomFilter, flag_col: str = "maybe_member"
+) -> ray.data.Dataset:
+    """Map-only membership probe: broadcast the filter once (``ray.put``),
+    flag each row. NO false negatives (a true member always flags);
+    false-positive rate ≈ (1 - e^{-kn/m})^k — size m accordingly. The
+    decontamination / incremental-dedup pre-filter: rows flagged False
+    skip the exact (expensive) membership check entirely."""
+    import ray as _ray
+
+    from ..util import get_broadcast
+
+    blob_ref = _ray.put(bloom.serialize())
+    n_bits, k = bloom.m, bloom.k
+
+    def probe(t: pa.Table) -> pa.Table:
+        # zero-copy read-only view over the worker-cached broadcast bytes
+        # (get_broadcast caches per worker; no per-batch deserialization)
+        f = BloomFilter(
+            n_bits, k, np.frombuffer(get_broadcast(blob_ref), dtype=np.uint64)
+        )
+        return t.append_column(flag_col, pa.array(f.contains(t[col].to_pylist())))
+
+    return ds.map_batches(probe, batch_format="pyarrow")

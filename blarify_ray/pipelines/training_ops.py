@@ -327,6 +327,41 @@ def q_clean_corpus_docs(sf_dir: str):
     return pruned.map_batches(label_filter, batch_format="pyarrow")
 
 
+def q_bloom_prefilter_docs(sf_dir: str):
+    """Bloom pre-filter for decontamination: build a distributed Bloom
+    filter over the benchmark-side texts (every FUZZY_MOD-th doc — the
+    same donor rule as ``fuzzy_contamination``), probe the WHOLE corpus
+    map-only, return the flagged (doc_id, maybe_member) rows. No false
+    negatives by construction — every true benchmark text flags — so
+    the exact (expensive) containment check downstream only runs on the
+    flagged sliver. Deterministic (md5 double hashing): rows-only driver
+    check + bit-level invariants in tests/test_ops.py.
+
+    Scale shape: build = one bit-blob partial per batch, OR-fold
+    (driver state = the filter, constant in corpus size); probe =
+    map-only against the broadcast filter."""
+    from ..ops.sketches import bloom_build, bloom_probe
+    from .analytics_export import FUZZY_MOD
+
+    docs = _docs(sf_dir)
+
+    def bench_side(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["doc_id"] % FUZZY_MOD == 0]
+        return pd.DataFrame({"text": d["text"].fillna("")})
+
+    bloom = bloom_build(
+        docs.map_batches(bench_side, batch_format="pandas"), "text",
+        n_bits=1 << 18, k=7,
+    )
+    flagged = bloom_probe(docs, "text", bloom)
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["maybe_member"]]
+        return pd.DataFrame({"doc_id": d["doc_id"].to_numpy(np.int64)})
+
+    return flagged.map_batches(keep, batch_format="pandas")
+
+
 def q_source_length_quantiles(sf_dir: str):
     """Per-source p50/p90 document length via GROUPED KLL sketches —
     key-scale blob rows through one key-routed exchange; the raw length
@@ -494,4 +529,5 @@ QUERIES = {
     "clean_corpus_docs": q_clean_corpus_docs,
     "source_length_quantiles": q_source_length_quantiles,
     "semdedup_embeddings": q_semdedup_embeddings,
+    "bloom_prefilter_docs": q_bloom_prefilter_docs,
 }

@@ -743,3 +743,94 @@ def test_ccnet_buckets(ray_session, tmp_path):
         out.sort_values("doc_id").reset_index(drop=True),
         out2.sort_values("doc_id").reset_index(drop=True),
     )
+
+
+# ---------------------------------------------------------------- bloom filter
+
+
+def test_bloom_no_false_negatives_and_fp_rate(ray_session):
+    """The membership contract: EVERY inserted key flags True (no false
+    negatives, the property dedup/decontamination rely on); on a
+    disjoint probe set the false-positive rate stays near the
+    (1-e^{-kn/m})^k theory value."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from blarify_ray.ops.sketches import BloomFilter, bloom_build, bloom_probe
+
+    n = 20_000
+    members = [f"doc-{i}" for i in range(n)]
+    others = [f"other-{i}" for i in range(n)]
+    ds = rd.from_arrow(pa.table({"key": members}))
+    n_bits, k = 1 << 18, 7  # ~13 bits/key → theory fp ≈ 0.26%
+    f = bloom_build(ds, "key", n_bits=n_bits, k=k)
+
+    flags = (
+        bloom_probe(rd.from_arrow(pa.table({"key": members})), "key", f)
+        .to_pandas()["maybe_member"]
+    )
+    assert flags.all()  # zero false negatives, always
+
+    fp = (
+        bloom_probe(rd.from_arrow(pa.table({"key": others})), "key", f)
+        .to_pandas()["maybe_member"]
+        .mean()
+    )
+    theory = (1 - np.exp(-k * n / n_bits)) ** k
+    assert fp < 5 * theory + 0.01  # same order as theory, not degenerate
+    assert 0.0 < f.fill_ratio() < 0.6
+
+
+def test_bloom_merge_is_or_and_deterministic(ray_session):
+    """OR-merge algebra (retry-idempotent) + bit-level determinism: the
+    distributed build equals a single-process build of the same keys."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from blarify_ray.ops.sketches import BloomFilter, bloom_build
+
+    keys = [f"k{i}" for i in range(5000)]
+    one = BloomFilter(1 << 16, 5)
+    one.add(keys)
+    dist = bloom_build(
+        rd.from_arrow(pa.table({"key": keys})).repartition(7), "key",
+        n_bits=1 << 16, k=5,
+    )
+    assert np.array_equal(one.bits, dist.bits)
+    # idempotent re-merge (a retried partial changes nothing)
+    again = dist.merge(dist)
+    assert np.array_equal(again.bits, dist.bits)
+    # serialize round-trip
+    back = BloomFilter.deserialize(dist.serialize(), 1 << 16, 5)
+    assert np.array_equal(back.bits, dist.bits)
+
+
+def test_minhash_cluster_tier_forced_distributed(ray_session):
+    """minhash_near_dup with cc_driver_max_pairs=0 resolves clusters
+    through the dataset-native min-label loop — output must equal the
+    driver-tier result exactly (set of (id, dup_of) rows)."""
+    import dataclasses
+
+    from blarify_ray.config import DEFAULT_CONFIG
+
+    texts = []
+    for i in range(30):
+        base = (
+            f"the quick brown fox jumps over the lazy dog number {i} "
+            "while the farmer watches from the old wooden gate near the "
+            "river bend and the afternoon sun warms the quiet field"
+        )
+        texts.append(base)
+        if i % 3 == 0:  # near-dup: one word changed in a long text
+            texts.append(base.replace("farmer", "rancher"))
+    ids = list(range(len(texts)))
+    ds = rd.from_arrow(pa.table({"doc_id": ids, "text": texts}))
+
+    def run(cfg):
+        got = minhash_near_dup(ds, "text", "doc_id", cfg).take_all()
+        return {(r["id"], r["dup_of"]) for r in got}
+
+    want = run(DEFAULT_CONFIG)
+    forced = run(dataclasses.replace(DEFAULT_CONFIG, cc_driver_max_pairs=0))
+    assert want  # the planted near-dups actually cluster
+    assert forced == want
