@@ -527,8 +527,14 @@ def _build_canonical(
 
     # Sorted global key list — index order IS lexicographic order,
     # mirroring the serial spec's ``keys = sorted(unk | known)``
-    # (canonical.verified_pairs). The list is broadcast once; every
-    # exchange below carries only fixed-width int rows.
+    # (canonical.verified_pairs). The list is broadcast ONCE (ray.put —
+    # object-store memory, workers map it read-only; it is an input
+    # dictionary like the gazetteer, not a per-norm accumulation) and
+    # every exchange below carries only fixed-width int rows. Memory
+    # envelope: ~20 B/surface → low-GB broadcast at 10^8 distinct
+    # surfaces; beyond that the same first-token hive sharding the
+    # gazetteer tier uses (stages/gazetteer_shards.py) applies to the
+    # key list — out of scope until a corpus actually crosses it.
     _updf = distinct.to_pandas()
     unk_list = _updf["norm"].tolist() if "norm" in _updf.columns else []
     unk_set = set(unk_list)
